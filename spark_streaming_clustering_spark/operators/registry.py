@@ -1,0 +1,37 @@
+"""Central registry mapping query keys -> (Spark builder, DuckDB oracle SQL).
+
+Every operator declared done in SURVEY.md section 2 registers here; the
+driver contract (``__spark_entry__``) re-exports these dicts.  Builders
+take ``(spark, sf_dir)`` and return a DataFrame; oracles are ANSI SQL
+strings DuckDB runs over the same parquet tables.  Keys without an
+oracle get the driver's weaker rows-only check (streaming / non-SQL
+ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .flagship import FLAGSHIP_ORACLE, flagship_revenue
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(key: str, fn: QueryFn, oracle: str | None = None) -> None:
+    QUERIES[key] = fn
+    if oracle is not None:
+        ORACLES[key] = oracle
+
+
+register("flagship_revenue", flagship_revenue, FLAGSHIP_ORACLE)
+
+# Populated by the surface modules at import time.
+from . import relational  # noqa: E402,F401
+from . import vector_queries  # noqa: E402,F401
+from . import builtins_surface  # noqa: E402,F401
+from . import pipeline_surface  # noqa: E402,F401

@@ -1,0 +1,50 @@
+"""Parquet table loaders for the driver-generated test tables.
+
+Mirrors the reference's batch scan entry point (A1,
+batchStreamRun.scala:37 reads the init file with ``sc.textFile``) in
+Spark-native form: columnar parquet scans with Catalyst predicate
+pushdown and column pruning — at 100 TB these scans are where most of
+the win comes from, so every query selects columns explicitly and
+filters as early as possible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (region /
+# nation are fixed-cardinality; customer/supplier/part grow with SF but stay
+# far below fact-table size — still broadcastable at sf<=1; at 100 TB the
+# planner's autoBroadcastJoinThreshold makes the call via AQE runtime stats).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
