@@ -37,7 +37,15 @@ ALWAYS_BROADCAST = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong);
+        # floor-divide to micros == DuckDB's nanos->micros truncation.
+        from pyspark.sql import functions as F
+
+        # integer div, not '/': nanos ~1.7e18 exceed double's 53-bit mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
