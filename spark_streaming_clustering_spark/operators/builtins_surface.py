@@ -1,1 +1,450 @@
-"""Populated in M1."""
+"""Relational built-ins absent from the reference (SURVEY.md section 2,
+"operators the reference does NOT have").
+
+The reference's capability surface stops at its clustering dataflow;
+a user switching to this engine gets the full Spark relational layer.
+Each built-in is declared as an oracle-checked query key so the driver
+gate proves the surface, not just the claim.
+
+Event-time windows run in *batch* mode here (same ``F.window`` /
+``F.session_window`` expressions Structured Streaming uses — the
+streaming path with watermarks lives in ``streaming/`` and is smoke-
+checked rows-only, since DuckDB has no streaming semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+# --- joins ----------------------------------------------------------------
+def join_hash_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+register(
+    "join_hash_equi",
+    join_hash_equi,
+    "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
+)
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+register(
+    "join_broadcast",
+    join_broadcast,
+    "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+)
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that never shipped in a high-quantity line item."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_partkey")
+    )
+    return part.join(big, part.p_partkey == big.l_partkey, "anti")
+
+
+register(
+    "join_anti",
+    join_anti,
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_quantity >= 48 AND l_partkey = p_partkey)
+    """,
+)
+
+
+# --- set operations -------------------------------------------------------
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("c").alias("tag")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.lit("v").alias("tag")
+    )
+    return clicks.unionAll(views)
+
+
+register(
+    "union_all",
+    union_all,
+    """
+    SELECT event_id, 'c' AS tag FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'v' AS tag FROM events WHERE event_type = 'view'
+    """,
+)
+
+
+def intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+register(
+    "intersect_q",
+    intersect_q,
+    "SELECT user_id FROM events WHERE event_type = 'click' "
+    "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'",
+)
+
+
+def except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    allu = ev.select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    return allu.exceptAll(err).distinct()
+
+
+register(
+    "except_q",
+    except_q,
+    "SELECT DISTINCT user_id FROM (SELECT user_id FROM events "
+    "EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error')",
+)
+
+
+def distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+register(
+    "distinct_q",
+    distinct_q,
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+
+# --- grouping sets --------------------------------------------------------
+def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+register(
+    "rollup_q",
+    rollup_q,
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+register(
+    "cube_q",
+    cube_q,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+
+# --- window frames --------------------------------------------------------
+def window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+register(
+    "window_frame_range",
+    window_frame_range,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+
+
+def topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority, keeping ties (rank, not row_number)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+register(
+    "topk_q",
+    topk_q,
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+
+
+# --- distinct-count aggregates -------------------------------------------
+def count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+register(
+    "count_distinct_q",
+    count_distinct_q,
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# HLL sketches differ between engines by design -> rows-only check.
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+
+
+register("approx_count_distinct_q", approx_count_distinct_q, None)
+
+
+# --- scalar function families --------------------------------------------
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.length("c_name").alias("ln"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("cat"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+register(
+    "str_funcs",
+    str_funcs,
+    """
+    SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
+           length(c_name) AS ln, substring(c_name, 1, 8) AS sub,
+           concat_ws('|', c_name, c_mktsegment) AS cat,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+    FROM customer
+    """,
+)
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.add_months(F.col("o_orderdate"), 3).cast("date").alias("plus3m"),
+    )
+
+
+register(
+    "date_funcs",
+    date_funcs,
+    """
+    SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           dayofmonth(o_orderdate) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+    FROM orders
+    """,
+)
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+    )
+
+
+register(
+    "json_funcs",
+    json_funcs,
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing') AS k_missing
+    FROM events
+    """,
+)
+
+
+# --- event-time windows (batch semantics of the streaming exprs) ----------
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+register(
+    "window_tumbling",
+    window_tumbling,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+    )
+
+
+register(
+    "window_sliding",
+    window_sliding,
+    # each event belongs to 2 sliding windows (size 1h, slide 30m):
+    # starts at bucket(30m, ts) and bucket(30m, ts) - 30m
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - CAST(k * 30 AS INTEGER) * INTERVAL '1 minute' AS w_start
+      FROM events, (SELECT unnest([0, 1]) AS k))
+    SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+        )
+    )
+
+
+register(
+    "window_session",
+    window_session,
+    # gaps-and-islands: a session breaks when the gap from the previous
+    # event of the same user is >= 10 minutes; session end = last ts + gap
+    # (Spark session_window semantics).
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL '10 minutes' AS s_end, COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)

@@ -1,1 +1,678 @@
-"""Populated in M1."""
+"""Large-scale training-data pipeline operators (SURVEY.md section 7 M7).
+
+Beyond the reference's own surface: deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine), similarity search (brute
+force + LSH-bucketed ANN), text analysis (language-ID, quality score,
+token counting, winnowing fingerprints) and multimodal binary-column
+plumbing.  All cross-engine hashing goes through md5-hex prefixes
+parsed to BIGINT so Spark and the DuckDB oracle agree bit-for-bit; all
+pseudo-randomness (MinHash coefficients, LSH hyperplanes) comes from an
+integer LCG evaluated in Python and embedded as literals in BOTH the
+Spark plan and the oracle SQL.
+
+Scale notes (100 TB): every operator here is shuffle-based —
+shingle/token explosion is map-side, signatures are one groupBy, LSH
+candidate generation is an equi-join on (band, key) / bucket, never an
+O(n^2) cross join.  The only cross joins are the explicitly-bounded
+brute-force ANN baseline (10 query rows broadcast) and the bounded
+pairwise jaccard verify (doc_id < 200).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vec
+from ..sources.tables import load_table
+from .registry import register
+
+# --- deterministic constants (pure integer LCG; no RNG library) -----------
+P_MINHASH = 268_435_399  # prime < 2^28; token hashes are 28-bit so a*h < 2^56
+
+
+def _lcg(seed: int):
+    x = seed
+    while True:
+        x = (1_103_515_245 * x + 12_345) % 2_147_483_648
+        yield x
+
+
+_g = _lcg(7)
+NUM_HASHES = 16
+MINHASH_AB = [(1 + next(_g) % (P_MINHASH - 1), next(_g) % P_MINHASH) for _ in range(NUM_HASHES)]
+N_BANDS, ROWS_PER_BAND = 8, 2  # 8 bands x 2 rows over the 16-component signature
+
+N_PLANES = 4
+PLANES = [
+    [
+        ((1_103_515_245 * (p * 64 + d) + 12_345) % 2_147_483_648) / 2_147_483_648.0 - 0.5
+        for d in range(64)
+    ]
+    for p in range(N_PLANES)
+]
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+# --- shared Spark fragments ----------------------------------------------
+
+
+def _hash28(col) -> F.Column:
+    """28-bit cross-engine string hash: first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """(doc_id, pos, sh): k-token shingles with 1-based position."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", t[i - 1], t[i], t[i + 1]),
+    )
+    return docs.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "sh"
+    )
+
+
+# --- shared DuckDB fragments ----------------------------------------------
+_DK_HASH = "CAST(('0x' || substr(md5({c}), 1, 7)) AS BIGINT)"
+_DK_SHINGLES = """
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+_DK_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_DK_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
+_DK_NORM = "sqrt(list_sum(list_transform({a}, x -> x*x)))"
+
+
+def _duck_plane(p: int) -> str:
+    vals = ", ".join(repr(v) for v in PLANES[p])
+    return f"[{vals}]::DOUBLE[]"
+
+
+# ==========================================================================
+# Deduplication
+# ==========================================================================
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text; keeper = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+register(
+    "dedup_exact",
+    dedup_exact,
+    "SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS n_copies "
+    "FROM documents GROUP BY md5(text)",
+)
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).select("doc_id", "sh").distinct()
+    h = _hash28(F.col("sh"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % P_MINHASH).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature -> banded LSH -> candidate pairs -> estimate.
+
+    shingle -> 16 minhashes -> 8 bands x 2 rows; pairs sharing a band
+    bucket are candidates (equi-join, no O(n^2)); keep pairs whose
+    signature agreement >= 4/16.
+    """
+    sig = _signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *cols).alias("bkey"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (eq / F.lit(float(NUM_HASHES))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 4.0 / NUM_HASHES)
+    )
+
+
+def _minhash_oracle() -> str:
+    h = _DK_HASH.format(c="sh")
+    mins = ",\n           ".join(
+        f"MIN(({a} * {h} + {b}) % {P_MINHASH}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1}) AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, ({eq}) / {float(NUM_HASHES)} AS est_jaccard
+    FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+    WHERE ({eq}) / {float(NUM_HASHES)} >= {4.0 / NUM_HASHES}
+    """
+
+
+register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from token hashes (with multiplicity)."""
+    tok = _tokens(spark, sf_dir)
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    t = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    sums = t.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)
+    )
+    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    h = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    )
+    sim = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    t AS (SELECT doc_id, {h} AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
+    """
+
+
+register("dedup_simhash", dedup_simhash, _simhash_oracle())
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for candidate pairs among doc_id < 200.
+
+    Pairs come from the shared-shingle equi-join (never all-pairs);
+    jaccard = |A intersect B| / (|A| + |B| - |A intersect B|).
+    """
+    sh = (
+        _shingles(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "sh")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES}) WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+    """,
+)
+
+
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.35 over vec_id pairs.
+
+    Brute-force within the bounded embeddings table; the scale path is
+    ann_lsh_bucketed (bucketed equi-join) below.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = vec.cosine("va", "vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+register(
+    "dedup_embed_cosine",
+    dedup_embed_cosine,
+    f"""
+    WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DK_DOT.format(a='a.v', b='b.v')}
+                 / ({_DK_NORM.format(a='a.v')} * {_DK_NORM.format(a='b.v')}), 6) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND round({_DK_DOT.format(a='a.v', b='b.v')}
+                / ({_DK_NORM.format(a='a.v')} * {_DK_NORM.format(a='b.v')}), 6) >= 0.35
+    """,
+)
+
+
+# ==========================================================================
+# Similarity search (ANN)
+# ==========================================================================
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (broadcast queries)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cos = vec.cosine("qv", "v")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+register(
+    "ann_bruteforce_topk",
+    ann_bruteforce_topk,
+    f"""
+    WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    d AS (SELECT q_id, e.vec_id AS n_id,
+                 round({_DK_DOT.format(a='qv', b='v')}
+                       / ({_DK_NORM.format(a='qv')} * {_DK_NORM.format(a='v')}), 6) AS cos
+          FROM e, q WHERE e.vec_id <> q_id),
+    r AS (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM d)
+    SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+
+
+def _bucket_expr_spark():
+    terms = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in PLANES[p]])
+        terms.append(F.when(vec.dot("v", plane) > 0, F.lit(1 << p)).otherwise(0))
+    return sum(terms).cast("int")
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket equi-join then top-3 per query.
+
+    The scale path: candidates = same sign-pattern bucket (equi-join on
+    bucket id), so the pair count is sum over buckets of |bucket|^2
+    instead of n^2.  Planes are LCG literals shared with the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", _bucket_expr_spark())
+    a = bucketed.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = bucketed.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv"), "bucket")
+    cos = vec.cosine("qv", "nv")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "bucket", F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _lsh_oracle() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_DK_DOT.format(a='v', b=_duck_plane(p))} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings),
+    bkt AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
+    d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, a.bucket,
+                 round({_DK_DOT.format(a='a.v', b='b.v')}
+                       / ({_DK_NORM.format(a='a.v')} * {_DK_NORM.format(a='b.v')}), 6) AS cos
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id),
+    r AS (SELECT q_id, n_id, bucket, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM d)
+    SELECT q_id, n_id, bucket, cos, rank FROM r WHERE rank <= 3
+    """
+
+
+register("ann_lsh_bucketed", ann_lsh_bucketed, _lsh_oracle())
+
+
+# ==========================================================================
+# Text analysis
+# ==========================================================================
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by corpus-learned token profiles.
+
+    Profile = top-20 tokens per language by frequency (ties: token asc);
+    prediction = language with max distinct-token overlap (ties: lang
+    asc).  Docs with zero overlap with every profile are dropped.
+    """
+    tok = _tokens(spark, sf_dir)
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    profile = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("plang"), "tok")
+    )
+    doc_tok = tok.select("doc_id", "lang", "tok").distinct()
+    ov = doc_tok.join(profile, "tok").groupBy("doc_id", "lang", "plang").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("plang"))
+    return (
+        ov.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("plang").alias("pred_lang"),
+            "overlap",
+            F.col("lang").alias("actual_lang"),
+            (F.col("plang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+register(
+    "lang_id_ngram",
+    lang_id_ngram,
+    """
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    counts AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok),
+    profile AS (
+      SELECT lang AS plang, tok FROM (
+        SELECT lang, tok,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rn
+        FROM counts) WHERE rn <= 20),
+    doc_tok AS (SELECT DISTINCT doc_id, lang, tok FROM tok),
+    ov AS (SELECT doc_id, lang, plang, COUNT(*) AS overlap
+           FROM doc_tok JOIN profile USING (tok)
+           GROUP BY doc_id, lang, plang),
+    ranked AS (
+      SELECT doc_id, plang, overlap, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, plang ASC) AS rn
+      FROM ov)
+    SELECT doc_id, plang AS pred_lang, overlap, lang AS actual_lang,
+           plang = lang AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: uniqueness, stopword ratio, avg token length."""
+    tok = _tokens(spark, sf_dir)
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("tok").alias("n_uniq"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    uniq_ratio = F.col("n_uniq") / F.col("n_tok")
+    stop_ratio = F.col("n_stop") / F.col("n_tok")
+    avg_len = F.col("sum_len") / F.col("n_tok")
+    score = (
+        F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
+    )
+    return stats.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+register(
+    "text_quality_score",
+    text_quality_score,
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_uniq,
+             SUM(length(tok)) AS sum_len,
+             SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_uniq,
+           round(n_stop / n_tok, 6) AS stop_ratio,
+           round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
+                 + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+    FROM stats
+    """,
+)
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + regex word count + BPE-ish size estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("word_tokens"),
+        F.length("text").alias("n_chars"),
+        F.ceil(F.length("text") / F.lit(3.5)).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+register(
+    "token_count",
+    token_count,
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+           length(text) AS n_chars,
+           CAST(ceil(length(text) / 3.5) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint: min 3-gram hash per 4-shingle window.
+
+    fp set = distinct window-minima of the 28-bit shingle hashes;
+    compact output = (count, min, exact sum) of the fingerprint set.
+    """
+    sh = _shingles(spark, sf_dir).select("doc_id", "pos", _hash28(F.col("sh")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    mins = sh.select("doc_id", F.min("h").over(w).alias("m"))
+    return mins.groupBy("doc_id").agg(
+        F.countDistinct("m").alias("n_fp"),
+        F.min("m").alias("fp_min"),
+        F.sum_distinct(F.col("m")).alias("fp_sum"),
+    )
+
+
+register(
+    "doc_fingerprint",
+    doc_fingerprint,
+    f"""
+    WITH sh AS (SELECT doc_id, pos, {_DK_HASH.format(c='sh')} AS h FROM ({_DK_SHINGLES})),
+    mins AS (SELECT doc_id,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+             FROM sh)
+    SELECT doc_id, COUNT(DISTINCT m) AS n_fp, MIN(m) AS fp_min,
+           SUM(DISTINCT m) AS fp_sum
+    FROM mins GROUP BY doc_id
+    """,
+)
+
+
+# ==========================================================================
+# Multimodal binary columns
+# ==========================================================================
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: byte length, content hash, magic prefix.
+
+    Stands in for image/audio payload handling: the payload is treated
+    as opaque bytes with typed metadata alongside.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2("text", 256).alias("content_sha256"),
+        F.lower(F.hex(F.substring("text", 1, 4))).alias("magic_hex"),
+        "source",
+    )
+
+
+register(
+    "multimodal_meta",
+    multimodal_meta,
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256,
+           lower(hex(substr(text, 1, 4))) AS magic_hex,
+           source
+    FROM documents
+    """,
+)
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over binary payloads (rows-only).
+
+    Real Spark plumbing — binary column, Arrow batches, typed output
+    schema — with the actual media decode STUBBED: the container has no
+    image/audio libraries, so the decode step degrades to a
+    deterministic fake feature vector (first 4 payload bytes / 255)
+    and reports status='stubbed'.  Swap `_decode` for a real library
+    call (PIL/librosa) to productionize; the distributed shape stays
+    identical.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _decode(payload: bytes) -> list[float]:
+        raise NotImplementedError("media decode libraries not present in container")
+
+    def batches(it):
+        for pdf in it:
+            feats, status = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                try:
+                    f = _decode(raw)
+                    status.append("decoded")
+                except NotImplementedError:
+                    f = [b / 255.0 for b in raw[:4]]
+                    status.append("stubbed")
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "feat": feats,
+                    "status": status,
+                }
+            )
+
+    return docs.mapInPandas(
+        batches, "doc_id long, n_bytes int, feat array<double>, status string"
+    )
+
+
+register("multimodal_decode_stub", multimodal_decode_stub, None)

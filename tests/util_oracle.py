@@ -64,7 +64,8 @@ def compare(spark_df, con, sql: str, key: str = "") -> None:
 
     s_idx = [spark_df.columns.index(c) for c in s_cols]
     d_idx = [duck_cols.index(c) for c in d_cols]
-    s_set = sorted(tuple(_norm(r[i]) for i in s_idx) for r in spark_rows)
-    d_set = sorted(tuple(_norm(r[i]) for i in d_idx) for r in duck_rows)
+    # key=repr: rows may mix None with strings/ints (rollup/cube nulls)
+    s_set = sorted((tuple(_norm(r[i]) for i in s_idx) for r in spark_rows), key=repr)
+    d_set = sorted((tuple(_norm(r[i]) for i in d_idx) for r in duck_rows), key=repr)
     for i, (a, b) in enumerate(zip(s_set, d_set)):
         assert a == b, f"{key}: first row mismatch at {i}:\n spark={a}\n duck ={b}"
