@@ -35,3 +35,4 @@ from . import relational  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
 from . import builtins_surface  # noqa: E402,F401
 from . import pipeline_surface  # noqa: E402,F401
+from . import streaming_surface  # noqa: E402,F401

@@ -1,0 +1,95 @@
+"""Rows-only query keys for the streaming / G-Stream paths.
+
+These are not SQL-expressible (stateful iterative algorithm; streaming
+semantics), so they register without an oracle: the driver records the
+weaker rows>0 check, and the real verification lives in the pytest
+micro-traces and golden-replay tests (tests/test_gstream.py,
+tests/test_train_golden.py, tests/test_streaming_smoke.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.points import stream_points
+from ..sources.tables import load_table
+from ..streaming.params import GStreamParams
+from ..streaming.train import GStreamTrainer
+from .registry import register
+
+
+def _point_batches(spark: SparkSession, sf_dir: str, n_batches: int = 10):
+    """Deterministic micro-batches from the embeddings table: vec_id
+    ranges of ~equal size, features = the 64-d embedding."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("label"),
+        F.col("vec_id").alias("id"),
+    )
+    n = emb.count()
+    per = max(n // n_batches, 2)
+    for b in range(n_batches):
+        lo, hi = b * per, (b + 1) * per
+        yield emb.filter((F.col("id") >= lo) & (F.col("id") < hi))
+
+
+def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full G-Stream run (E-step + M-step) over 10 deterministic
+    micro-batches; returns the final prototype table."""
+    trainer = GStreamTrainer(spark, GStreamParams(), out_dir=None, nb_wind=10)
+    batches = _point_batches(spark, sf_dir)
+    first = next(batches)
+    trainer.init_from_seed(first)
+    trainer.step(first)
+    trainer.fit_batches(batches)
+    rows = trainer.model.snapshot_tables()["prototypes"]
+    return spark.createDataFrame(rows, "node_id long, vector array<double>")
+
+
+register("gstream_epoch", gstream_epoch, None)
+
+
+def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A34/A35 one-shot: replay point CSV files through a real
+    Structured Streaming file source + foreachBatch G-Stream trainer."""
+    tmp = tempfile.mkdtemp(prefix="gstream_stream_")
+    data_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(data_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .limit(120)
+        .collect()
+    )
+    dim = len(emb[0].embedding)
+    for b in range(4):  # 4 micro-batch files of 30 points
+        with open(os.path.join(data_dir, f"batch-{b}.csv"), "w") as f:
+            for r in emb[b * 30 : (b + 1) * 30]:
+                vals = ",".join(repr(float(v)) for v in r.embedding)
+                f.write(f"{vals},{r.label},{r.vec_id}\n")
+
+    trainer = GStreamTrainer(spark, GStreamParams(), out_dir=None, nb_wind=4)
+    seed = spark.createDataFrame(
+        [(list(map(float, emb[0].embedding)),), (list(map(float, emb[1].embedding)),)],
+        "features array<double>",
+    )
+    trainer.init_from_seed(seed)
+    stream = stream_points(spark, data_dir, dim=dim, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: trainer.step(df, bid))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = trainer.model.snapshot_tables()["prototypes"]
+    return spark.createDataFrame(rows, "node_id long, vector array<double>")
+
+
+register("streaming_file_source", streaming_file_source, None)

@@ -1,0 +1,60 @@
+"""Point-stream sources in the reference's CSV format.
+
+Format (batchStreamRun.scala:37,40,44-45; batchStreamModel.scala:46-51):
+comma-separated doubles, positional — first ``dim`` columns are the
+feature vector, then ``label`` (int), then ``id`` (line number).  The
+reference infers ``dim`` from the first line minus labId=2 trailing
+columns; we expose the same inference for batch reads and require an
+explicit dim for streams (Structured Streaming needs a declared
+schema before any file exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def point_csv_schema(dim: int) -> T.StructType:
+    fields = [T.StructField(f"x{i}", T.DoubleType()) for i in range(dim)]
+    fields.append(T.StructField("label", T.IntegerType()))
+    fields.append(T.StructField("id", T.LongType()))
+    return T.StructType(fields)
+
+
+def _project(df: DataFrame, dim: int) -> DataFrame:
+    """Positional slice -> (features, label, id) (pointToObjet, A5)."""
+    return df.select(
+        F.array(*[F.col(f"x{i}") for i in range(dim)]).alias("features"),
+        F.col("label"),
+        F.col("id"),
+    )
+
+
+def infer_dim(spark: SparkSession, path: str, lab_id: int = 2) -> int:
+    """dim = width of the first line minus trailing label/id columns
+    (batchStreamRun.scala:44-45)."""
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        raise ValueError(f"empty init file: {path}")
+    return len(first[0][0].split(",")) - lab_id
+
+
+def read_points(spark: SparkSession, path: str, dim: int | None = None) -> DataFrame:
+    """Batch read (A1 + A4 + A5)."""
+    dim = dim if dim is not None else infer_dim(spark, path)
+    return _project(spark.read.schema(point_csv_schema(dim)).csv(path), dim)
+
+
+def stream_points(
+    spark: SparkSession, dir_path: str, dim: int, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming file source (A2): new files in dir become micro-batches,
+    like the reference's ``ssc.textFileStream`` (batchStreamRun.scala:40)."""
+    return _project(
+        spark.readStream.schema(point_csv_schema(dim))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(dir_path),
+        dim,
+    )

@@ -1,0 +1,117 @@
+"""G-Stream trainers: batch loop and Structured Streaming wiring.
+
+Mirrors the reference's training topology (batchStream.scala:82-121):
+per micro-batch, distributed E-step -> driver M-step -> milestone
+snapshots, with the B10 snapshot schedule and the B11 capped timing
+buffer.  The streaming variant swaps the hand-rolled DStream loop for
+``readStream.foreachBatch`` and gains checkpointed offsets for free —
+the reference loses its model on driver crash.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .estep import compute_point_stats
+from .gstream_model import GStreamModel
+from .params import GStreamParams
+
+
+def snapshot_due(kk: int, nb_wind: int) -> bool:
+    """B10 milestone predicate (batchStream.scala:95); integer division."""
+    ninth = [m * nb_wind // 9 for m in range(1, 9)]
+    return (
+        kk == 1
+        or kk in ninth
+        or (kk > 8 * nb_wind // 9 + 10 and kk % 10 == 0)
+        or kk >= nb_wind - 2
+    )
+
+
+def write_snapshot(spark: SparkSession, model: GStreamModel, out_dir: str, kk: int,
+                   time_updates: list[int]) -> None:
+    """Snapshot families as parquet (reference writes text, batchStream.scala:97-101)."""
+    tables = model.snapshot_tables()
+    specs = {
+        "Prototypes": (tables["prototypes"], "node_id long, vector array<double>"),
+        "OutdatedProtos": (tables["outdated_protos"], "node_id long, vector array<double>"),
+        "Edges": (tables["edges"], "src long, dst long"),
+        "Weights": (tables["weights"], "node_id long, weight double"),
+        "timeUpdates": (list(enumerate(time_updates)), "batch int, cum_ms long"),
+    }
+    for family, (rows, schema) in specs.items():
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{family}-{kk}")
+        )
+
+
+class GStreamTrainer:
+    """Drives E-step + M-step over micro-batches (batch or streaming)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        params: GStreamParams | None = None,
+        out_dir: str | None = None,
+        nb_wind: int = 91,
+    ):
+        self.spark = spark
+        self.params = params or GStreamParams()
+        self.model = GStreamModel(self.params)
+        self.out_dir = out_dir
+        self.nb_wind = nb_wind
+        self.kk = 1
+        self.time_updates: list[int] = [0]  # cumulative ms, B11
+
+    def init_from_seed(self, seed_df: DataFrame) -> "GStreamTrainer":
+        """initModelObj: seed the graph with the first 2 points
+        (batchStream.scala:72-78)."""
+        first_two = seed_df.select("features").limit(2).collect()
+        self.model.init_two_nodes(first_two[0][0], first_two[1][0], id_point=1)
+        return self
+
+    def step(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        """One micro-batch: the foreachRDD body (batchStream.scala:86-116)."""
+        if batch_df.isEmpty():  # cheaper than the reference's count()>0
+            return
+        t0 = time.monotonic()
+        stats = compute_point_stats(batch_df, self.model.nodes)
+        self.model.update(stats, self.kk)
+        elapsed_ms = int((time.monotonic() - t0) * 1000)
+        self.time_updates.append(self.time_updates[-1] + elapsed_ms)
+        if len(self.time_updates) > 100:
+            self.time_updates.pop(0)
+        if self.out_dir and snapshot_due(self.kk, self.nb_wind):
+            write_snapshot(self.spark, self.model, self.out_dir, self.kk, self.time_updates)
+        self.kk += 1
+
+    # --- batch replay (M5) ------------------------------------------------
+    def fit_batches(self, batches: Iterable[DataFrame]) -> GStreamModel:
+        for df in batches:
+            self.step(df)
+        return self.model
+
+    # --- structured streaming (M6) ---------------------------------------
+    def fit_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        trigger_ms: int = 100,
+        await_seconds: float | None = None,
+    ):
+        """readStream -> foreachBatch(step); processing-time trigger like
+        the reference's 100 ms batch interval (batchStreamRun.scala:32-34)."""
+        q = (
+            stream_df.writeStream.foreachBatch(lambda df, bid: self.step(df, bid))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_ms} milliseconds")
+            .start()
+        )
+        if await_seconds is not None:
+            q.awaitTermination(await_seconds)
+        return q

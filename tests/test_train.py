@@ -1,0 +1,135 @@
+"""Trainer tests: deterministic golden replay (M5) + streaming smoke (M6)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_clustering_spark.sources.points import (
+    infer_dim,
+    read_points,
+    stream_points,
+)
+from spark_streaming_clustering_spark.sources.tables import load_table
+from spark_streaming_clustering_spark.streaming.params import GStreamParams
+from spark_streaming_clustering_spark.streaming.train import (
+    GStreamTrainer,
+    snapshot_due,
+)
+
+
+def _batches(spark, sf_dir, n_batches=8, per=40):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        "label",
+        F.col("vec_id").alias("id"),
+    )
+    return [
+        emb.filter((F.col("id") >= b * per) & (F.col("id") < (b + 1) * per))
+        for b in range(n_batches)
+    ]
+
+
+def _run(spark, sf_dir, out_dir=None):
+    batches = _batches(spark, sf_dir)
+    tr = GStreamTrainer(spark, GStreamParams(), out_dir=out_dir, nb_wind=8)
+    tr.init_from_seed(batches[0])
+    tr.fit_batches(batches)
+    return tr
+
+
+def test_snapshot_schedule_matches_reference():
+    # nbWind=91 -> milestones 1,10,20,...,80,89,90,91,92... (B10)
+    due = [k for k in range(1, 95) if snapshot_due(k, 91)]
+    assert due == [1, 10, 20, 30, 40, 50, 60, 70, 80, 89, 90, 91, 92, 93, 94]
+
+
+def test_replay_is_deterministic(spark, sf_dir):
+    m1 = _run(spark, sf_dir).model
+    m2 = _run(spark, sf_dir).model
+    assert m1.n_nodes == m2.n_nodes
+    np.testing.assert_allclose(m1.nodes, m2.nodes, rtol=1e-9)
+    np.testing.assert_array_equal(m1.edges, m2.edges)
+    np.testing.assert_allclose(m1.weights, m2.weights, rtol=1e-9)
+    assert m1.node_ids == m2.node_ids
+
+
+def test_model_invariants_after_training(spark, sf_dir):
+    tr = _run(spark, sf_dir)
+    m = tr.model
+    n = m.n_nodes
+    assert n >= 2
+    assert m.edges.shape == (n, n) and m.ages.shape == (n, n)
+    np.testing.assert_array_equal(m.edges, m.edges.T)  # symmetric
+    assert len(m.weights) == n and len(m.errors) == n and len(m.node_ids) == n
+    # growth fired at kk=5 -> more than the 2 seed nodes
+    assert n > 2
+    # every point id assigned somewhere (ids 0..319 minus none)
+    assigned = set().union(*m.point_ids)
+    assert len(assigned) > 200
+
+
+def test_snapshots_written(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "snaps")
+    _run(spark, sf_dir, out_dir=out)
+    # nb_wind=8 -> due at kk in {1,2,3,4,5,6,7,8} (ninths collapse) per B10
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out}/*")}
+    assert any(d.startswith("Prototypes-") for d in dirs)
+    assert any(d.startswith("Edges-") for d in dirs)
+    assert any(d.startswith("Weights-") for d in dirs)
+    assert any(d.startswith("timeUpdates-") for d in dirs)
+    protos = spark.read.parquet(f"{out}/Prototypes-6")
+    assert protos.count() >= 2
+    assert protos.columns == ["node_id", "vector"]
+
+
+def test_csv_point_roundtrip(spark, tmp_path):
+    p = tmp_path / "pts.csv"
+    p.write_text("1.5,2.5,1,1\n3.5,4.5,2,2\n")
+    assert infer_dim(spark, str(p)) == 2
+    rows = read_points(spark, str(p)).orderBy("id").collect()
+    assert rows[0].features == [1.5, 2.5] and rows[0].label == 1 and rows[0].id == 1
+
+
+def test_streaming_smoke(spark, sf_dir, tmp_path):
+    """File-source stream -> foreachBatch trainer: batches arrive in file
+    order (maxFilesPerTrigger=1), model grows, checkpoints written."""
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .limit(90)
+        .collect()
+    )
+    dim = len(emb[0].embedding)
+    for b in range(3):
+        with open(data_dir / f"b{b}.csv", "w") as f:
+            for r in emb[b * 30 : (b + 1) * 30]:
+                f.write(
+                    ",".join(repr(float(v)) for v in r.embedding)
+                    + f",{r.label},{r.vec_id}\n"
+                )
+    tr = GStreamTrainer(spark, GStreamParams(), nb_wind=3)
+    seed = spark.createDataFrame(
+        [(list(map(float, emb[0].embedding)),), (list(map(float, emb[1].embedding)),)],
+        "features array<double>",
+    )
+    tr.init_from_seed(seed)
+    stream = stream_points(spark, str(data_dir), dim=dim)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: tr.step(df, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert tr.kk == 4  # 3 non-empty micro-batches processed
+    assert tr.model.n_nodes >= 2
+    assert len(tr.time_updates) == 4
+    assert (tmp_path / "ckpt" / "offsets").exists()
