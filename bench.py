@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md section 7, M8).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two comparisons against BASELINE.md:
+
+* ``gstream_ms_per_batch`` — mean model-update latency per ~100-point
+  micro-batch (the reference's timeUpdates metric: 58 ms/batch on
+  local[2]; the 2x budget is 116 ms).  Measured with the trainer's own
+  B11 timing buffer so it covers exactly what the reference timed
+  (distributed E-step + driver M-step, batchStream.scala:84-93).
+* per-query wall-clock for a representative, shuffle/join/agg-heavy
+  subset of the registry, each forced with a noop write so the full
+  plan executes without driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_streaming_clustering_spark.session import get_spark  # noqa: E402
+from spark_streaming_clustering_spark.operators.registry import QUERIES  # noqa: E402
+from spark_streaming_clustering_spark.sources.tables import load_table  # noqa: E402
+from spark_streaming_clustering_spark.streaming.params import GStreamParams  # noqa: E402
+from spark_streaming_clustering_spark.streaming.train import GStreamTrainer  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative headline subset: every execution shape the engine has
+# (multi-join star query, hash aggregate, window, cross-join top-k,
+# LSH self-join dedup, ANN, text pipeline, event-time window).
+HEADLINE = [
+    "flagship_revenue",
+    "groupby_agg_sums",
+    "join_hash_equi",
+    "knn_assign_topk",
+    "window_tumbling",
+    "window_frame_range",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_bruteforce_topk",
+    "token_count",
+    "topk_q",
+    "vector_sum_agg",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 20) -> float:
+    """Mean model-update ms per ~100-point micro-batch (BASELINE metric).
+
+    Mirrors the reference's measured configuration: ~100 points per
+    batch, model growing from 2 nodes, timing exactly the E-step +
+    M-step (batchStream.scala:84-93).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+            F.col("vec_id").alias("id"),
+        )
+        .limit(batch_points * n_batches)
+        .collect()
+    )
+    trainer = GStreamTrainer(spark, GStreamParams(), out_dir=None, nb_wind=n_batches)
+    seed = spark.createDataFrame(
+        [(r.features,) for r in emb[:2]], "features array<double>"
+    )
+    trainer.init_from_seed(seed)
+    schema = "features array<double>, id long"
+    for b in range(n_batches):
+        chunk = emb[b * batch_points : (b + 1) * batch_points]
+        if not chunk:
+            break
+        trainer.step(spark.createDataFrame([(r.features, r.id) for r in chunk], schema))
+    total_ms = trainer.time_updates[-1]
+    batches_run = trainer.kk - 1
+    return total_ms / max(batches_run, 1)
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    # Warm the JVM / codegen paths before timing anything.
+    _force(QUERIES["flagship_revenue"](spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.monotonic()
+        _force(QUERIES[key](spark, SF_DIR))
+        times[key] = round(time.monotonic() - t0, 3)
+
+    gstream_ms = bench_gstream(spark, SF_DIR)
+    times["gstream_epoch_20x100"] = round(gstream_ms * 20 / 1000.0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "gstream_ms_per_batch": round(gstream_ms, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
