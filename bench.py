@@ -54,6 +54,7 @@ HEADLINE = [
     "token_count",
     "topk_q",
     "vector_sum_agg",
+    "gstream_epoch",
 ]
 
 
@@ -69,6 +70,8 @@ def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 
     batch, model growing from 2 nodes, timing exactly the E-step +
     M-step (batchStream.scala:84-93).
     """
+    import pandas as pd
+
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -76,19 +79,22 @@ def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 
             F.col("vec_id").alias("id"),
         )
         .limit(batch_points * n_batches)
-        .collect()
+        .toPandas()
     )
     trainer = GStreamTrainer(spark, GStreamParams(), out_dir=None, nb_wind=n_batches)
     seed = spark.createDataFrame(
-        [(r.features,) for r in emb[:2]], "features array<double>"
+        [([float(x) for x in v],) for v in emb["features"].iloc[:2]],
+        "features array<double>",
     )
     trainer.init_from_seed(seed)
-    schema = "features array<double>, id long"
+    # In-memory micro-batches: the reference's measured regime is ~100
+    # points arriving per 100 ms window, already materialized by the
+    # streaming receiver when its timed updateObj starts.
     for b in range(n_batches):
-        chunk = emb[b * batch_points : (b + 1) * batch_points]
-        if not chunk:
+        chunk = emb.iloc[b * batch_points : (b + 1) * batch_points]
+        if chunk.empty:
             break
-        trainer.step(spark.createDataFrame([(r.features, r.id) for r in chunk], schema))
+        trainer.step(pd.DataFrame(chunk))
     total_ms = trainer.time_updates[-1]
     batches_run = trainer.kk - 1
     return total_ms / max(batches_run, 1)

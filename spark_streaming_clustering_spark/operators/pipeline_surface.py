@@ -73,12 +73,16 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """(doc_id, pos, sh): k-token shingles with 1-based position."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
+    # Materialize the token array as a bound column first: referencing
+    # F.split(...) inside the lambda would re-split the text for every
+    # shingle element (3 evaluations x ~tokens elements = O(tokens^2)).
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", t[i - 1], t[i], t[i + 1]),
     )
-    return docs.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
+    return toks.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "sh"
     )
 
@@ -123,10 +127,13 @@ register(
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).select("doc_id", "sh").distinct()
-    h = _hash28(F.col("sh"))
+    # No distinct on shingles: MIN is duplicate-insensitive, so deduping
+    # first would only add a full shuffle of the exploded shingle rows.
+    # The md5 is hoisted into a pre-aggregate projection — inside the
+    # agg each of the 16 min() expressions would recompute it per row.
+    sh = _shingles(spark, sf_dir).select("doc_id", _hash28(F.col("sh")).alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % P_MINHASH).alias(f"m{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P_MINHASH).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -140,33 +147,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature agreement >= 4/16.
     """
     sig = _signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *cols).alias("bkey"),
-        )
-        bands = one if bands is None else bands.unionAll(one)
-    a, bb = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # One pass over the signatures: band keys via posexplode (no 8-way
+    # union re-running the signature aggregate per branch), signature
+    # carried along as an array so candidate pairs never join back.
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    eq = sum(
-        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
+    sig_arr = F.array(*[f"m{i}" for i in range(NUM_HASHES)])
+    bands = sig.select(
+        "doc_id", sig_arr.alias("sig"), F.posexplode(band_keys).alias("band", "bkey")
+    )
+    # Candidate pairs WITHIN each bucket via collect_list — the signature
+    # pipeline runs once (a self-join would compute it for both sides).
+    # Buckets are tiny unless docs truly collide, so the in-bucket pair
+    # expansion is the standard O(sum bucket^2) LSH cost, never O(n^2).
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    p = F.col("p")
+    eq = F.size(
+        F.filter(F.zip_with(p["a"]["sig"], p["b"]["sig"], lambda x, y: x == y), lambda v: v)
     )
     return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", (eq / F.lit(float(NUM_HASHES))).alias("est_jaccard"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            p["a"]["doc_id"].alias("doc_a"),
+            p["b"]["doc_id"].alias("doc_b"),
+            (eq / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= 4.0 / NUM_HASHES)
+        .distinct()
     )
 
 

@@ -14,9 +14,11 @@ import os
 import time
 from collections.abc import Iterable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .estep import compute_point_stats
+from .estep import compute_point_stats, estep_local
 from .gstream_model import GStreamModel
 from .params import GStreamParams
 
@@ -59,6 +61,7 @@ class GStreamTrainer:
         params: GStreamParams | None = None,
         out_dir: str | None = None,
         nb_wind: int = 91,
+        small_batch_rows: int = 5000,
     ):
         self.spark = spark
         self.params = params or GStreamParams()
@@ -67,6 +70,10 @@ class GStreamTrainer:
         self.nb_wind = nb_wind
         self.kk = 1
         self.time_updates: list[int] = [0]  # cumulative ms, B11
+        # Batches at or below this row count run the E-step driver-local
+        # (estep_local, zero Spark jobs); above it, distributed
+        # compute_point_stats.  Probing costs one cheap limit() job.
+        self.small_batch_rows = small_batch_rows
 
     def init_from_seed(self, seed_df: DataFrame) -> "GStreamTrainer":
         """initModelObj: seed the graph with the first 2 points
@@ -75,12 +82,34 @@ class GStreamTrainer:
         self.model.init_two_nodes(first_two[0][0], first_two[1][0], id_point=1)
         return self
 
-    def step(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        """One micro-batch: the foreachRDD body (batchStream.scala:86-116)."""
-        if batch_df.isEmpty():  # cheaper than the reference's count()>0
-            return
+    def step(self, batch: DataFrame | pd.DataFrame, batch_id: int | None = None) -> None:
+        """One micro-batch: the foreachRDD body (batchStream.scala:86-116).
+
+        Accepts a Spark DataFrame (columns features array<double>, id
+        long) or an in-memory pandas batch with the same columns.  Spark
+        input is probed with ``limit(small_batch_rows+1)`` — this doubles
+        as the reference's ``count()>0`` empty guard — and small batches
+        take the driver-local E-step; only genuinely large batches pay a
+        distributed pass.
+        """
         t0 = time.monotonic()
-        stats = compute_point_stats(batch_df, self.model.nodes)
+        pdf: pd.DataFrame | None
+        if isinstance(batch, pd.DataFrame):
+            pdf, big_df = batch, None
+        else:
+            probe = batch.select("features", "id").limit(self.small_batch_rows + 1).toPandas()
+            if len(probe) <= self.small_batch_rows:
+                pdf, big_df = probe, None
+            else:
+                pdf, big_df = None, batch
+        if pdf is not None:
+            if len(pdf) == 0:
+                return
+            x = np.stack(pdf["features"].to_numpy())
+            ids = np.asarray(pdf["id"].to_numpy(), dtype=np.int64)
+            stats = estep_local(x, ids, self.model.nodes)
+        else:
+            stats = compute_point_stats(big_df, self.model.nodes)
         self.model.update(stats, self.kk)
         elapsed_ms = int((time.monotonic() - t0) * 1000)
         self.time_updates.append(self.time_updates[-1] + elapsed_ms)
