@@ -24,17 +24,26 @@ from .registry import register
 
 def _point_batches(spark: SparkSession, sf_dir: str, n_batches: int = 10):
     """Deterministic micro-batches from the embeddings table: vec_id
-    ranges of ~equal size, features = the 64-d embedding."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
-        F.col("label"),
-        F.col("vec_id").alias("id"),
+    ranges of ~equal size, features = the 64-d embedding.
+
+    One Spark scan total; the slices are yielded as pandas batches and
+    take the trainer's driver-local E-step (a per-batch filter would pay
+    a ~200 ms probe job each and never amortize at this batch size).
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+            F.col("vec_id").alias("id"),
+        )
+        .orderBy("id")
+        .toPandas()
     )
-    n = emb.count()
-    per = max(n // n_batches, 2)
+    per = max(len(emb) // n_batches, 2)
     for b in range(n_batches):
-        lo, hi = b * per, (b + 1) * per
-        yield emb.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        chunk = emb.iloc[b * per : (b + 1) * per]
+        if not chunk.empty:
+            yield chunk.reset_index(drop=True)
 
 
 def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,11 +75,14 @@ class GStreamTrainer:
         # compute_point_stats.  Probing costs one cheap limit() job.
         self.small_batch_rows = small_batch_rows
 
-    def init_from_seed(self, seed_df: DataFrame) -> "GStreamTrainer":
+    def init_from_seed(self, seed: DataFrame | pd.DataFrame) -> "GStreamTrainer":
         """initModelObj: seed the graph with the first 2 points
-        (batchStream.scala:72-78)."""
-        first_two = seed_df.select("features").limit(2).collect()
-        self.model.init_two_nodes(first_two[0][0], first_two[1][0], id_point=1)
+        (batchStream.scala:72-78).  Accepts Spark or pandas input."""
+        if isinstance(seed, pd.DataFrame):
+            first_two = [seed["features"].iloc[0], seed["features"].iloc[1]]
+        else:
+            first_two = [r[0] for r in seed.select("features").limit(2).collect()]
+        self.model.init_two_nodes(first_two[0], first_two[1], id_point=1)
         return self
 
     def step(self, batch: DataFrame | pd.DataFrame, batch_id: int | None = None) -> None:

@@ -133,3 +133,54 @@ def test_streaming_smoke(spark, sf_dir, tmp_path):
     assert tr.model.n_nodes >= 2
     assert len(tr.time_updates) == 4
     assert (tmp_path / "ckpt" / "offsets").exists()
+
+
+def test_estep_local_matches_distributed(spark, sf_dir):
+    """The driver-local fast path and the mapInPandas path are the same
+    kernel; a full batch through each must produce identical stats."""
+    from spark_streaming_clustering_spark.streaming.estep import (
+        compute_point_stats,
+        estep_local,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("vec_id").alias("id"),
+    ).limit(300)
+    centroids = np.stack(
+        [np.asarray(r.features) for r in emb.limit(5).collect()]
+    )
+    dist = compute_point_stats(emb, centroids)
+    pdf = emb.toPandas()
+    loc = estep_local(
+        np.stack(pdf["features"].to_numpy()),
+        pdf["id"].to_numpy(),
+        centroids,
+    )
+    assert set(dist) == set(loc)
+    for k in dist:
+        a, b = dist[k], loc[k]
+        assert a.count == b.count
+        assert a.ids == b.ids
+        assert dict(a.bmu2_counts) == dict(b.bmu2_counts)
+        np.testing.assert_allclose(a.sum_vec, b.sum_vec, rtol=1e-9)
+        assert abs(a.sum_d2 - b.sum_d2) <= 1e-6 * max(abs(a.sum_d2), 1.0)
+
+
+def test_step_paths_equivalent(spark, sf_dir):
+    """Feeding the same batches as Spark DataFrames (adaptive probe) and
+    as pandas frames must leave the model in the same state."""
+    batches = _batches(spark, sf_dir, n_batches=4)
+    tr_df = GStreamTrainer(spark, GStreamParams(), nb_wind=4)
+    tr_df.init_from_seed(batches[0])
+    tr_df.fit_batches(batches)
+
+    pdfs = [b.toPandas() for b in batches]
+    tr_pd = GStreamTrainer(spark, GStreamParams(), nb_wind=4)
+    tr_pd.init_from_seed(batches[0])
+    tr_pd.fit_batches(pdfs)
+
+    np.testing.assert_allclose(tr_df.model.nodes, tr_pd.model.nodes, rtol=1e-12)
+    np.testing.assert_array_equal(tr_df.model.edges, tr_pd.model.edges)
+    np.testing.assert_allclose(tr_df.model.weights, tr_pd.model.weights, rtol=1e-12)
+    assert tr_df.model.node_ids == tr_pd.model.node_ids
