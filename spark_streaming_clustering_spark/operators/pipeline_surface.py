@@ -447,6 +447,78 @@ def _lsh_oracle() -> str:
 register("ann_lsh_bucketed", ann_lsh_bucketed, _lsh_oracle())
 
 
+N_CELLS, N_PROBE = 8, 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantize -> probe nearest cells.
+
+    The other scale path next to LSH: every vector is assigned to its
+    nearest of N_CELLS coarse centroids (deterministic: the first
+    N_CELLS vectors by vec_id), queries probe their N_PROBE nearest
+    cells, and the search is an equi-join on cell_id — candidate count
+    is sum over probed cells of |cell|, never O(n^2).  At cluster scale
+    the data side would be written bucketed/partitioned BY cell_id so
+    the probe join is co-located and cells prune at scan time; the
+    centroid table stays broadcast-size by construction (k ~ sqrt(n)).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    cells = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    d2 = vec.squared_distance("v", "cv")
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+    asn = (
+        emb.crossJoin(F.broadcast(cells))
+        .select("vec_id", "v", "cell_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_cell))
+    )
+    data_cells = asn.filter(F.col("rk") == 1).select("vec_id", "v", "cell_id")
+    q_probes = asn.filter((F.col("vec_id") < 10) & (F.col("rk") <= N_PROBE)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell_id"
+    )
+    cos = vec.cosine("qv", "v")
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        data_cells.join(F.broadcast(q_probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings),
+    cells AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    asn AS (
+      SELECT vec_id, v, cell_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(list_zip(v, cv), p -> (p[1]-p[2])*(p[1]-p[2]))),
+                        cell_id) AS rk
+      FROM e, cells),
+    data_cells AS (SELECT vec_id, v, cell_id FROM asn WHERE rk = 1),
+    q_probes AS (SELECT vec_id AS q_id, v AS qv, cell_id
+                 FROM asn WHERE vec_id < 10 AND rk <= {N_PROBE}),
+    d AS (SELECT q_id, dc.vec_id AS n_id,
+                 round({_DK_DOT.format(a='qv', b='dc.v')}
+                       / ({_DK_NORM.format(a='qv')} * {_DK_NORM.format(a='dc.v')}), 6) AS cos
+          FROM data_cells dc JOIN q_probes USING (cell_id)
+          WHERE dc.vec_id <> q_id),
+    r AS (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM d)
+    SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 5
+    """
+
+
+register("ann_ivf_topk", ann_ivf_topk, _ivf_oracle())
+
+
 # ==========================================================================
 # Text analysis
 # ==========================================================================

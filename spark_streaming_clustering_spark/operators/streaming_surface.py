@@ -102,3 +102,56 @@ def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("streaming_file_source", streaming_file_source, None)
+
+
+def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window + watermark through a REAL
+    Structured Streaming query (the batch-mode window queries cover the
+    oracle check; this one proves the streaming plan runs: file source
+    -> withWatermark -> windowed agg -> memory sink, availableNow).
+
+    Late data older than the 10-minute watermark would be dropped by
+    the stateful operator — the upgrade over the reference, which has
+    no event-time semantics at all (batchStreamRun.scala:32-34 is its
+    entire time model).
+    """
+    tmp = tempfile.mkdtemp(prefix="gstream_winagg_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    n = ev.count()
+    per = max(n // 4, 1)
+    for b in range(4):  # 4 files -> 4 micro-batches (maxFilesPerTrigger=1)
+        (
+            ev.filter(
+                (F.col("event_id") >= b * per)
+                & (F.col("event_id") < ((b + 1) * per if b < 3 else n + 1))
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_win_agg")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_win_agg").select(
+        F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
+    )
+
+
+register("streaming_window_agg", streaming_window_agg, None)
