@@ -104,6 +104,29 @@ def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("streaming_file_source", streaming_file_source, None)
 
 
+def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4):
+    """Split the events table into n parquet files in a temp dir so a
+    file-source stream replays it as n micro-batches."""
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    per = max(n // n_files, 1)
+    for b in range(n_files):
+        (
+            ev.filter(
+                (F.col("event_id") >= b * per)
+                & (F.col("event_id") < ((b + 1) * per if b < n_files - 1 else n + 1))
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+    return in_dir, ckpt
+
+
 def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window + watermark through a REAL
     Structured Streaming query (the batch-mode window queries cover the
@@ -115,23 +138,11 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     no event-time semantics at all (batchStreamRun.scala:32-34 is its
     entire time model).
     """
-    tmp = tempfile.mkdtemp(prefix="gstream_winagg_")
-    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    n = ev.count()
-    per = max(n // 4, 1)
-    for b in range(4):  # 4 files -> 4 micro-batches (maxFilesPerTrigger=1)
-        (
-            ev.filter(
-                (F.col("event_id") >= b * per)
-                & (F.col("event_id") < ((b + 1) * per if b < 3 else n + 1))
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(in_dir)
-        )
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_winagg_")
     stream = (
-        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
@@ -155,3 +166,73 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("streaming_window_agg", streaming_window_agg, None)
+
+
+def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Per-user running (count, sum) maintained in group state across
+    micro-batches — the mechanism a sharded G-Stream model would use if
+    the prototype graph ever outgrew the driver (SURVEY.md section 4.2).
+    State per key is two scalars, so memory is O(#users) spread across
+    executors; the final answer equals the batch groupBy, which is the
+    DuckDB oracle for this key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_stateful_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def update_fn(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_value": [s]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id long, n long, sum_value double",
+        stateStructType="n long, sum_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_running_agg")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (user, batch-seen); final totals =
+    # the row with the largest running n per user.
+    return (
+        spark.table("stateful_running_agg")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n").alias("n"),
+            (F.round("m.sum_value", 6) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+register(
+    "stateful_running_agg",
+    stateful_running_agg,
+    """
+    SELECT user_id, COUNT(*) AS n, round(SUM(value), 6) + 0.0 AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
