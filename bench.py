@@ -100,6 +100,29 @@ def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 
     return total_ms / max(batches_run, 1)
 
 
+def bench_estep_distributed(spark, sf_dir: str, n_nodes: int = 50):
+    """Distributed E-step throughput on one LARGE batch (the 100 TB
+    path): all lineitem rows as 4-d points against a 50-node model via
+    mapInPandas + broadcast.  Returns (seconds, points/sec)."""
+    import numpy as np
+
+    from spark_streaming_clustering_spark.streaming.estep import compute_point_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.array("l_quantity", "l_extendedprice", "l_discount", "l_tax").alias("features"),
+        F.monotonically_increasing_id().alias("id"),
+    )
+    n_points = li.count()
+    # deterministic centroid grid spanning the data ranges (no RNG)
+    grid = np.linspace(0.0, 1.0, n_nodes)
+    cent = np.stack([grid * 50, grid * 100_000, grid, grid * 0.08], axis=1)
+    t0 = time.monotonic()
+    stats = compute_point_stats(li, cent)
+    dt = time.monotonic() - t0
+    assert sum(s.count for s in stats.values()) == n_points
+    return dt, n_points / dt
+
+
 def main() -> None:
     spark = get_spark("bench")
     try:
@@ -119,6 +142,9 @@ def main() -> None:
     gstream_ms = bench_gstream(spark, SF_DIR)
     times["gstream_epoch_20x100"] = round(gstream_ms * 20 / 1000.0, 3)
 
+    estep_sec, estep_pps = bench_estep_distributed(spark, SF_DIR)
+    times["gstream_estep_distributed"] = round(estep_sec, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -129,6 +155,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "gstream_ms_per_batch": round(gstream_ms, 1),
+                "estep_points_per_sec": int(estep_pps),
             }
         )
     )

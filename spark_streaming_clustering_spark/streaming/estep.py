@@ -60,26 +60,55 @@ def _assign_top2(x: np.ndarray, cent: np.ndarray):
     return bmu1, bmu2, d2_min
 
 
+def _group_partials(x, ids, bmu1, bmu2, d2_min, n_cent):
+    """Vectorized per-(bmu1, bmu2) partial aggregation — no per-row
+    Python loop.  Yields (b1, b2, cnt, sum_d2, sum_vec, id_list)."""
+    key = bmu1.astype(np.int64) * n_cent + bmu2
+    uniq, inv = np.unique(key, return_inverse=True)
+    k = len(uniq)
+    cnt = np.bincount(inv, minlength=k)
+    sum_d2 = np.bincount(inv, weights=d2_min, minlength=k)
+    sum_vec = np.stack(
+        [np.bincount(inv, weights=x[:, d], minlength=k) for d in range(x.shape[1])],
+        axis=1,
+    )
+    order = np.argsort(inv, kind="stable")
+    id_groups = np.split(np.asarray(ids)[order], np.cumsum(cnt)[:-1])
+    for g in range(k):
+        yield (
+            int(uniq[g] // n_cent),
+            int(uniq[g] % n_cent),
+            int(cnt[g]),
+            float(sum_d2[g]),
+            sum_vec[g],
+            id_groups[g],
+        )
+
+
 def estep_local(x: np.ndarray, ids: np.ndarray, centroids: np.ndarray) -> dict[int, PointStats]:
     """Driver-local E-step over an in-memory batch — zero Spark jobs.
 
-    Identical math to the distributed path (same ``_assign_top2``
-    kernel), used for micro-batches below the trainer's small-batch
-    threshold where job-scheduling latency would dominate.
+    Identical math to the distributed path (same ``_assign_top2`` and
+    ``_group_partials`` kernels), used for micro-batches below the
+    trainer's small-batch threshold where job-scheduling latency would
+    dominate.
     """
     x = np.ascontiguousarray(x, dtype=np.float64)
     bmu1, bmu2, d2_min = _assign_top2(x, centroids)
     out: dict[int, PointStats] = {}
-    for b1 in np.unique(bmu1):
-        mask = bmu1 == b1
-        counts = np.bincount(bmu2[mask])
-        out[int(b1)] = PointStats(
-            defaultdict(int, {int(k): int(v) for k, v in enumerate(counts) if v}),
-            float(d2_min[mask].sum()),
-            x[mask].sum(axis=0),
-            int(mask.sum()),
-            set(int(i) for i in ids[mask]),
-        )
+    for b1, b2, cnt, sum_d2, sum_vec, id_grp in _group_partials(
+        x, ids, bmu1, bmu2, d2_min, len(centroids)
+    ):
+        st = out.get(b1)
+        if st is None:
+            st = out[b1] = PointStats(
+                defaultdict(int), 0.0, np.zeros(x.shape[1]), 0, set()
+            )
+        st.bmu2_counts[b2] += cnt
+        st.sum_d2 += sum_d2
+        st.sum_vec = st.sum_vec + sum_vec
+        st.count += cnt
+        st.ids.update(int(i) for i in id_grp)
     return out
 
 
@@ -92,26 +121,15 @@ def _partial_stats(pdf_iter, centroids_bc):
         x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
         bmu1, bmu2, d2_min = _assign_top2(x, cent)
-
-        acc: dict[tuple[int, int], list] = {}
-        for i in range(len(x)):
-            key = (int(bmu1[i]), int(bmu2[i]))
-            slot = acc.get(key)
-            if slot is None:
-                acc[key] = [1, d2_min[i], x[i].copy(), [int(ids[i])]]
-            else:
-                slot[0] += 1
-                slot[1] += d2_min[i]
-                slot[2] += x[i]
-                slot[3].append(int(ids[i]))
+        parts = list(_group_partials(x, ids, bmu1, bmu2, d2_min, len(cent)))
         yield pd.DataFrame(
             {
-                "bmu1": [k[0] for k in acc],
-                "bmu2": [k[1] for k in acc],
-                "cnt": [v[0] for v in acc.values()],
-                "sum_d2": [v[1] for v in acc.values()],
-                "sum_vec": [v[2].tolist() for v in acc.values()],
-                "ids": [v[3] for v in acc.values()],
+                "bmu1": [p[0] for p in parts],
+                "bmu2": [p[1] for p in parts],
+                "cnt": [p[2] for p in parts],
+                "sum_d2": [p[3] for p in parts],
+                "sum_vec": [p[4].tolist() for p in parts],
+                "ids": [[int(i) for i in p[5]] for p in parts],
             }
         )
 
