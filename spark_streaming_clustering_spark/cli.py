@@ -1,0 +1,92 @@
+"""Reference-compatible CLI entry point.
+
+Mirrors ``batchStreamRun.main`` (batchStreamRun.scala:11-67) argument
+for argument, so a user of the reference can run the same command
+against this engine::
+
+    python -m spark_streaming_clustering_spark.cli \
+        local[2] ./data ./out DS1-200 "," 0.9 1.2 3 91
+
+args (positional, reference order, batchStreamRun.scala:18-26):
+    master dirData dirSortie DSname separator decayFactor lambdaAge
+    nbNodesToAdd nbWind
+
+Behavior parity:
+* init points read from ``dirData/nodes2.txt`` (batchStreamRun.scala:37),
+  dim inferred from its first line minus 2 trailing cols (:44-45);
+* the stream watches ``dirData`` for new CSV files (textFileStream, :40) —
+  here a Structured Streaming file source with a ``*.csv``/``*.txt``-
+  excluding glob so the init file is not re-ingested (textFileStream only
+  saw files created after start);
+* model seeded from the first two init points (batchStream.scala:72-78);
+* 100 ms processing-time trigger (batchStreamRun.scala:32-34);
+* snapshots written in the reference's own text formats at the B10
+  milestone schedule under ``dirSortie`` (batchStream.scala:95-101);
+* the run stops once ``nbWind`` non-empty micro-batches are processed
+  (the reference's JUnit test passes nbWind and kills the context).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from .session import get_spark
+from .sources.points import infer_dim, read_points, stream_points
+from .streaming.params import GStreamParams
+from .streaming.train import GStreamTrainer
+
+
+def run(argv: list[str]) -> GStreamTrainer:
+    if len(argv) != 9:
+        raise SystemExit(
+            "usage: cli master dirData dirSortie DSname separator "
+            "decayFactor lambdaAge nbNodesToAdd nbWind"
+        )
+    (master, dir_data, dir_sortie, ds_name, separator,
+     decay_factor, lambda_age, nb_nodes_to_add, nb_wind) = argv
+    decay_factor, lambda_age = float(decay_factor), float(lambda_age)
+    nb_nodes_to_add, nb_wind = int(nb_nodes_to_add), int(nb_wind)
+
+    cpus = master[master.index("[") + 1 : -1] if "[" in master else None
+    spark = get_spark(
+        f"gstream-{ds_name}", cpus=None if cpus in (None, "*") else int(cpus)
+    )
+
+    init_path = f"{dir_data}/nodes2.txt"
+    dim = infer_dim(spark, init_path, sep=separator)
+    init_points = read_points(spark, init_path, dim=dim, sep=separator)
+
+    params = GStreamParams(
+        decay_factor=decay_factor,
+        lambda_age=lambda_age,
+        nb_nodes_to_add=nb_nodes_to_add,
+    )
+    trainer = GStreamTrainer(
+        spark,
+        params,
+        out_dir=f"{dir_sortie}/{ds_name}-{nb_nodes_to_add}",
+        nb_wind=nb_wind,
+        snapshot_format="text",
+    )
+    trainer.init_from_seed(init_points)
+
+    stream = stream_points(
+        spark, dir_data, dim=dim, max_files_per_trigger=1, sep=separator,
+        glob="*.csv",
+    )
+    query = trainer.fit_stream(stream, checkpoint_dir=f"{dir_sortie}/.ckpt-{ds_name}")
+    try:
+        while query.isActive and trainer.kk <= nb_wind:
+            time.sleep(0.1)
+    finally:
+        query.stop()
+    return trainer
+
+
+def main() -> None:
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -32,29 +32,47 @@ def _project(df: DataFrame, dim: int) -> DataFrame:
     )
 
 
-def infer_dim(spark: SparkSession, path: str, lab_id: int = 2) -> int:
+def infer_dim(spark: SparkSession, path: str, lab_id: int = 2, sep: str = ",") -> int:
     """dim = width of the first line minus trailing label/id columns
     (batchStreamRun.scala:44-45)."""
     first = spark.read.text(path).limit(1).collect()
     if not first:
         raise ValueError(f"empty init file: {path}")
-    return len(first[0][0].split(",")) - lab_id
+    return len(first[0][0].split(sep)) - lab_id
 
 
-def read_points(spark: SparkSession, path: str, dim: int | None = None) -> DataFrame:
+def read_points(
+    spark: SparkSession, path: str, dim: int | None = None, sep: str = ","
+) -> DataFrame:
     """Batch read (A1 + A4 + A5)."""
-    dim = dim if dim is not None else infer_dim(spark, path)
-    return _project(spark.read.schema(point_csv_schema(dim)).csv(path), dim)
+    dim = dim if dim is not None else infer_dim(spark, path, sep=sep)
+    return _project(
+        spark.read.schema(point_csv_schema(dim)).option("sep", sep).csv(path), dim
+    )
 
 
 def stream_points(
-    spark: SparkSession, dir_path: str, dim: int, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    dir_path: str,
+    dim: int,
+    max_files_per_trigger: int = 1,
+    sep: str = ",",
+    glob: str | None = None,
 ) -> DataFrame:
     """Streaming file source (A2): new files in dir become micro-batches,
-    like the reference's ``ssc.textFileStream`` (batchStreamRun.scala:40)."""
-    return _project(
+    like the reference's ``ssc.textFileStream`` (batchStreamRun.scala:40).
+
+    ``glob`` (pathGlobFilter) lets a CLI run watch the same directory
+    the init file lives in without re-ingesting it — textFileStream
+    only saw files created after start; the Structured Streaming file
+    source processes pre-existing files too, so the caller excludes
+    them by pattern.
+    """
+    reader = (
         spark.readStream.schema(point_csv_schema(dim))
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .csv(dir_path),
-        dim,
+        .option("sep", sep)
     )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return _project(reader.csv(dir_path), dim)

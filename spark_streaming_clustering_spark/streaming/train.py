@@ -34,6 +34,34 @@ def snapshot_due(kk: int, nb_wind: int) -> bool:
     )
 
 
+def write_snapshot_text(model: GStreamModel, out_dir: str, kk: int,
+                        time_updates: list[int]) -> None:
+    """Snapshot families in the reference's own text formats
+    (batchStream.scala:97-101; golden files under
+    conf/test/results/DS1-200-3/): Prototypes/OutdatedProtos = vector
+    components joined ', ' per line; Edges = adjacency rows printed as
+    ``ArrayBuffer(...)``; Weights/timeUpdates = one number per line.
+    Driver-side plain files (bounded by model size, <= ~300 rows)."""
+    protos = model.to_string_proto()
+    outdated = [", ".join(repr(v) for v in p.vector.tolist()) for p in model.outdated_nodes]
+    edges = [
+        "ArrayBuffer(" + ", ".join(str(int(v)) for v in row) + ")" for row in model.edges
+    ]
+    weights = [repr(float(w)) for w in model.weights]
+    times = [str(int(t)) for t in time_updates]
+    for family, lines in {
+        "Prototypes": protos,
+        "OutdatedProtos": outdated,
+        "Edges": edges,
+        "Weights": weights,
+        "timeUpdates": times,
+    }.items():
+        d = os.path.join(out_dir, f"{family}-{kk}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-00000"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
 def write_snapshot(spark: SparkSession, model: GStreamModel, out_dir: str, kk: int,
                    time_updates: list[int]) -> None:
     """Snapshot families as parquet (reference writes text, batchStream.scala:97-101)."""
@@ -62,12 +90,14 @@ class GStreamTrainer:
         out_dir: str | None = None,
         nb_wind: int = 91,
         small_batch_rows: int = 5000,
+        snapshot_format: str = "parquet",
     ):
         self.spark = spark
         self.params = params or GStreamParams()
         self.model = GStreamModel(self.params)
         self.out_dir = out_dir
         self.nb_wind = nb_wind
+        self.snapshot_format = snapshot_format
         self.kk = 1
         self.time_updates: list[int] = [0]  # cumulative ms, B11
         # Batches at or below this row count run the E-step driver-local
@@ -119,7 +149,12 @@ class GStreamTrainer:
         if len(self.time_updates) > 100:
             self.time_updates.pop(0)
         if self.out_dir and snapshot_due(self.kk, self.nb_wind):
-            write_snapshot(self.spark, self.model, self.out_dir, self.kk, self.time_updates)
+            if self.snapshot_format == "text":
+                write_snapshot_text(self.model, self.out_dir, self.kk, self.time_updates)
+            else:
+                write_snapshot(
+                    self.spark, self.model, self.out_dir, self.kk, self.time_updates
+                )
         self.kk += 1
 
     # --- batch replay (M5) ------------------------------------------------

@@ -1,0 +1,41 @@
+"""End-to-end CLI test mirroring the reference's JUnit test shape
+(batchStreamTest.scala:10-17: run main() on a dir of stream files with
+an init file, then inspect text snapshots)."""
+
+from __future__ import annotations
+
+import os
+
+from spark_streaming_clustering_spark import cli
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    # init file: the reference's own two seed points (conf/test/resources)
+    (data / "nodes2.txt").write_text("122,199,1,1\n243,434,2,2\n")
+    # three stream files of 2-D points
+    for b in range(3):
+        lines = [
+            f"{100 + 10 * b + i},{200 + 5 * i},{1 + i % 2},{b * 20 + i}"
+            for i in range(20)
+        ]
+        (data / f"batch-{b}.csv").write_text("\n".join(lines) + "\n")
+
+    trainer = cli.run(
+        ["local[8]", str(data), str(out), "DS-test", ",", "0.9", "1.2", "3", "3"]
+    )
+
+    assert trainer.kk > 3  # processed nbWind batches
+    snap = out / "DS-test-3"
+    # B10: kk==1 always snapshots; nbWind=3 -> kk>=1 also hits kk>=nbWind-2
+    protos = snap / "Prototypes-1" / "part-00000"
+    assert protos.exists()
+    first = protos.read_text().strip().splitlines()[0]
+    assert len(first.split(", ")) == 2  # 2-D vectors, reference format
+    edges = (snap / "Edges-1" / "part-00000").read_text().strip().splitlines()
+    assert edges[0].startswith("ArrayBuffer(")
+    weights = (snap / "Weights-1" / "part-00000").read_text().strip().splitlines()
+    assert all(float(w) > 0 for w in weights)
+    assert os.path.exists(snap / "timeUpdates-1" / "part-00000")
