@@ -50,7 +50,13 @@ HEADLINE = [
     "window_frame_range",
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_simhash",
+    "dedup_embed_cosine",
     "ann_bruteforce_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "lang_id_ngram",
+    "json_funcs",
     "token_count",
     "topk_q",
     "vector_sum_agg",

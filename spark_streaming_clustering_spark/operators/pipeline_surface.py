@@ -315,21 +315,48 @@ register(
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.35 over vec_id pairs.
 
-    Brute-force within the bounded embeddings table; the scale path is
-    ann_lsh_bucketed (bucketed equi-join) below.
+    All-pairs scoring via broadcast blocked matmul (the estep.py
+    pattern): the normalized corpus matrix rides to executors once,
+    each partition scores its rows against it with one BLAS product
+    and emits only above-threshold pairs.  A crossJoin with
+    per-element higher-order cosine would evaluate ~dim lambda calls
+    per pair — interpreted, ~50x slower.  Brute force inherently needs
+    one side in memory (n x dim doubles); past that, the scale paths
+    are ann_lsh_bucketed / ann_ivf_topk.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.to_double_array("embedding").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = vec.cosine("va", "vb")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
-        .filter(F.col("cos") >= 0.35)
-    )
+    pdf_all = emb.toPandas()
+    ids_all = pdf_all["vec_id"].to_numpy().astype(np.int64)
+    x_all = np.stack(pdf_all["v"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((x_all * x_all).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_all, x_all, norms))
+
+    def score(pdf_iter):
+        ids_all, x_all, norms = bc.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            y = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            y_norms = np.sqrt((y * y).sum(axis=1))
+            nn = y_norms[:, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(nn == 0, 0.0, (y @ x_all.T) / nn)
+            # Spark/DuckDB round() is half-up; np.round is half-even.
+            # Kept values are all >= 0.35 > 0 so floor(x*1e6+0.5) matches.
+            c = np.floor(c * 1e6 + 0.5) / 1e6
+            keep = (c >= 0.35) & (ids[:, None] < ids_all[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids_all[bj], "cos": c[ai, bj]}
+            )
+
+    return emb.mapInPandas(score, "id_a long, id_b long, cos double")
 
 
 register(
@@ -408,12 +435,22 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.to_double_array("embedding").alias("v")
     )
-    bucketed = emb.withColumn("bucket", _bucket_expr_spark())
-    a = bucketed.select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    # Norms are per-vector, so hoist them BEFORE the pair join: each
+    # candidate pair then costs one dot() higher-order eval instead of
+    # three (dot + 2 norms), and the norm work is O(n) not O(pairs).
+    bucketed = emb.select(
+        "vec_id", "v", vec.norm2("v").alias("nrm"), _bucket_expr_spark().alias("bucket")
     )
-    b = bucketed.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv"), "bucket")
-    cos = vec.cosine("qv", "nv")
+    a = bucketed.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"), "bucket",
+    )
+    nn = F.col("qn") * F.col("nn")
+    cos = F.when(nn == 0, F.lit(0.0)).otherwise(vec.dot("qv", "nv") / nn)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         a.join(b, "bucket")
