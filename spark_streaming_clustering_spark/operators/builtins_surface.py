@@ -448,3 +448,90 @@ register(
     FROM sess GROUP BY user_id, sid
     """,
 )
+
+
+# --- lag/lead window navigation -------------------------------------------
+def lag_lead_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-to-order deltas via lag/lead navigation."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    nxt = F.lead("o_orderkey").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") - prev, 4) + F.lit(0.0)).alias("delta_prev"),
+        nxt.alias("next_orderkey"),
+    )
+
+
+register(
+    "lag_lead_q",
+    lag_lead_q,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4)
+             + 0.0 AS delta_prev,
+           lead(o_orderkey) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS next_orderkey
+    FROM orders
+    """,
+)
+
+
+# --- pivot (wide aggregation) ----------------------------------------------
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority pivoted by status (fixed column set, so
+    the plan is a single hash aggregate — same shape as CASE-sums)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+register(
+    "pivot_q",
+    pivot_q,
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+
+# --- ordered string aggregation --------------------------------------------
+def string_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string_agg: nation names per region, sorted."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+register(
+    "string_agg_q",
+    string_agg_q,
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
