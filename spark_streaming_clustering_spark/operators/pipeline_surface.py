@@ -228,6 +228,101 @@ def _minhash_oracle() -> str:
 register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
 
 
+MAX_BUCKET = 20
+
+
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-guarded LSH variant (SCALE.md): buckets are capped at
+    MAX_BUCKET members (kept deterministically by lowest doc_id), so a
+    pathological bucket — boilerplate text colliding everything at
+    100 TB — bounds in-bucket pair expansion at MAX_BUCKET^2 instead
+    of |bucket|^2.  Semantics: recall-bounded candidate generation; the
+    oracle applies the identical cap, so results stay exact.
+    """
+    sig = _signatures(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    sig_arr = F.array(*[f"m{i}" for i in range(NUM_HASHES)])
+    bands = sig.select(
+        "doc_id", sig_arr.alias("sig"), F.posexplode(band_keys).alias("band", "bkey")
+    )
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    capped = bands.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= MAX_BUCKET
+    )
+    buckets = (
+        capped.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    p = F.col("p")
+    eq = F.size(
+        F.filter(F.zip_with(p["a"]["sig"], p["b"]["sig"], lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            p["a"]["doc_id"].alias("doc_a"),
+            p["b"]["doc_id"].alias("doc_b"),
+            (eq / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 4.0 / NUM_HASHES)
+        .distinct()
+    )
+
+
+def _minhash_capped_oracle() -> str:
+    h = _DK_HASH.format(c="sh")
+    mins = ",\n           ".join(
+        f"MIN(({a} * {h} + {b}) % {P_MINHASH}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1}) AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_selects}),
+    capped AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+        FROM bands) WHERE rk <= {MAX_BUCKET}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, ({eq}) / {float(NUM_HASHES)} AS est_jaccard
+    FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+    WHERE ({eq}) / {float(NUM_HASHES)} >= {4.0 / NUM_HASHES}
+    """
+
+
+register("dedup_minhash_lsh_capped", dedup_minhash_lsh_capped, _minhash_capped_oracle())
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from token hashes (with multiplicity)."""
     tok = _tokens(spark, sf_dir)
