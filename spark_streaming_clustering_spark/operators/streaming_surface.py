@@ -236,3 +236,31 @@ register(
     FROM events GROUP BY user_id
     """,
 )
+
+
+def mllib_kmeans_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop: batch KMeans over the same embedding points the
+    G-Stream trainer consumes (k=8, fixed seed).  Demonstrates the
+    array<float> -> VectorUDT bridge (ml.functions.array_to_vector) and
+    gives a centroid-quality baseline to compare prototype graphs
+    against; rows-only (iterative algorithm, not SQL-expressible).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=8, seed=42, maxIter=20).fit(emb)
+    pred = model.transform(emb).select("vec_id", F.col("prediction").alias("cluster"))
+    return (
+        pred.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cluster")
+    )
+
+
+register("mllib_kmeans_baseline", mllib_kmeans_baseline, None)
