@@ -434,3 +434,29 @@ register(
       ('alphaErr', 0.5), ('d', 0.99)) AS t(param, value)
     """,
 )
+
+
+# --- SQL API surface: the same engine through spark.sql ---------------------
+_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 4) + 0.0 AS sum_qty,
+           round(SUM(l_extendedprice), 4) + 0.0 AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS sum_disc_price,
+           round(AVG(l_quantity), 6) + 0.0 AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape submitted through ``spark.sql`` over registered
+    views — the declarative SQL front door (parser -> Catalyst ->
+    same physical plan as the DataFrame build).  The oracle is the
+    IDENTICAL SQL text run by DuckDB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q1)
+
+
+register("sql_tpch_q1", sql_tpch_q1, _TPCH_Q1)

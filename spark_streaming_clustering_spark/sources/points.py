@@ -76,3 +76,31 @@ def stream_points(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return _project(reader.csv(dir_path), dim)
+
+
+def stream_points_socket(
+    spark: SparkSession, host: str, port: int, dim: int, sep: str = ","
+) -> DataFrame:
+    """Socket text source (A3 — present but commented out in the
+    reference, batchStreamRun.scala:42: ``ssc.socketTextStream``).
+
+    Lines arrive as separator-joined doubles in the reference's
+    positional layout; parsed with split + element casts (A4/A5).
+    Socket offsets are not replayable, so this source is for demos and
+    tests — production ingestion should use the file source (A2) or a
+    replayable bus behind the same (features, label, id) schema.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parts = F.split(F.col("value"), sep)
+    return raw.select(
+        F.transform(F.slice(parts, 1, dim), lambda x: x.cast("double")).alias(
+            "features"
+        ),
+        parts[dim].cast("int").alias("label"),
+        parts[dim + 1].cast("long").alias("id"),
+    )

@@ -184,3 +184,47 @@ def test_step_paths_equivalent(spark, sf_dir):
     np.testing.assert_array_equal(tr_df.model.edges, tr_pd.model.edges)
     np.testing.assert_allclose(tr_df.model.weights, tr_pd.model.weights, rtol=1e-12)
     assert tr_df.model.node_ids == tr_pd.model.node_ids
+
+
+def test_socket_source_smoke(spark, tmp_path):
+    """A3: socket text source parses the reference's positional CSV
+    layout into (features, label, id) micro-batches."""
+    import socket
+    import threading
+    import time as _time
+
+    from spark_streaming_clustering_spark.sources.points import stream_points_socket
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for i in range(30):
+                conn.sendall(f"{1.5 * i},{2.5 * i},{i % 3},{i}\n".encode())
+            _time.sleep(3)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    got = []
+    stream = stream_points_socket(spark, "127.0.0.1", port, dim=2)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _time.monotonic() + 60
+    while _time.monotonic() < deadline and len(got) < 30:
+        _time.sleep(0.5)
+    q.stop()
+    srv.close()
+    assert len(got) == 30
+    by_id = {r.id: r for r in got}
+    assert by_id[4].features == [6.0, 10.0]
+    assert by_id[4].label == 1
