@@ -228,3 +228,22 @@ def test_socket_source_smoke(spark, tmp_path):
     by_id = {r.id: r for r in got}
     assert by_id[4].features == [6.0, 10.0]
     assert by_id[4].label == 1
+
+
+def test_replay_matches_committed_golden(spark, sf_dir):
+    """Committed golden snapshot of the deterministic 8-batch replay —
+    catches silent semantic drift across refactors (SURVEY section 5.3).
+    Regenerate ONLY for intentional semantic changes:
+    see tests/goldens/replay_sf0001.json."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "goldens", "replay_sf0001.json")) as f:
+        g = json.load(f)
+    m = _run(spark, sf_dir).model
+    assert m.node_ids == g["node_ids"]
+    np.testing.assert_allclose(m.nodes, np.array(g["nodes"]), rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(m.weights, np.array(g["weights"]), rtol=1e-7)
+    np.testing.assert_allclose(m.errors, np.array(g["errors"]), rtol=1e-7, atol=1e-7)
+    assert sorted(map(list, m.edge_list())) == g["edges"]
+    assert len(m.outdated_nodes) == g["n_outdated"]
+    assert len(m.isolated_nodes) == g["n_isolated"]
