@@ -1,0 +1,87 @@
+"""Physical-plan quality guards (the 100 TB story in SCALE.md, enforced).
+
+A correctness-green query can still be a scale regression — e.g. a
+dropped broadcast hint turning a bounded cross join into a cartesian
+product, or a filter no longer reaching the parquet scan.  These tests
+pin the plan features that matter."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from spark_streaming_clustering_spark.operators.registry import QUERIES
+from tests.conftest import SF_ORACLE
+
+# keys whose builders execute work eagerly (streaming queries, trainers,
+# ML fits) — not explainable as a single lazy plan
+EAGER = {
+    "gstream_epoch",
+    "streaming_file_source",
+    "streaming_window_agg",
+    "stateful_running_agg",
+    "mllib_kmeans_baseline",
+}
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """No query in the surface may plan an unbroadcast cartesian
+    product; bounded cross joins must broadcast the small side
+    (BroadcastNestedLoopJoin is the intended shape)."""
+    offenders = []
+    for k in QUERIES:
+        if k in EAGER:
+            continue
+        if "CartesianProduct" in _plan(spark, k):
+            offenders.append(k)
+    assert offenders == []
+
+
+def test_flagship_plan_shape(spark):
+    plan = _plan(spark, "flagship_revenue")
+    # all four dimension joins broadcast; no sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # the shipdate filter reaches the parquet scan
+    assert "LessThan(l_shipdate" in plan
+    # lineitem scan is column-pruned (no l_comment-ish full reads)
+    assert "l_orderkey:bigint,l_extendedprice:double,l_discount:double" in plan
+
+
+def test_minhash_lsh_single_pipeline(spark):
+    import re
+
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # "(n) Node" detail headers count each physical node exactly once
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    # the signature aggregate + bucket aggregate + distinct: at most 3
+    # shuffle exchanges, and the corpus is scanned exactly once
+    assert len(scans) == 1
+    assert len(exchanges) <= 3
+    # md5 hoisted below the aggregate: the hash appears in a Project
+    assert "md5" in plan
+
+
+def test_ann_queries_broadcast_the_small_side(spark):
+    for k in ("ann_bruteforce_topk", "ann_ivf_topk"):
+        plan = _plan(spark, k)
+        assert "BroadcastExchange" in plan, k
+
+
+def test_groupby_partial_aggregation(spark):
+    """Catalyst plans partial->final hash aggregation (map-side combine,
+    the optimization the reference hand-codes with aggregateByKey)."""
+    plan = _plan(spark, "groupby_agg_sums")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
