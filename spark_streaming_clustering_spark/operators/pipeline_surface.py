@@ -906,3 +906,55 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_decode_stub", multimodal_decode_stub, None)
+
+
+FRAME_BYTES, FRAME_STRIDE = 16, 4
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads via mapInPandas.
+
+    Treats each payload as a sequence of FRAME_BYTES-byte frames and
+    emits every FRAME_STRIDE-th frame — the video-frame-sampling shape
+    (1 input row -> k output rows, Arrow-batched, bounded memory per
+    task).  Deterministic byte math, so unlike the decode stub this one
+    is oracle-checked: DuckDB reproduces it with substring arithmetic.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, hexes = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hexes.append(raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES].hex())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hex": hexes})
+
+    return docs.mapInPandas(batches, "doc_id long, frame_idx int, frame_hex string")
+
+
+register(
+    "multimodal_frame_sample",
+    multimodal_frame_sample,
+    f"""
+    -- documents.text is pure ASCII (checked for all SFs), so VARCHAR
+    -- slicing is byte slicing; DuckDB substring() has no BLOB overload.
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+    f AS (SELECT doc_id, text,
+                 unnest(generate_series(0, ((nb + {FRAME_BYTES - 1}) // {FRAME_BYTES}) - 1,
+                                        {FRAME_STRIDE})) AS frame_idx
+          FROM b)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           lower(hex(encode(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))))
+             AS frame_hex
+    FROM f
+    """,
+)
