@@ -460,3 +460,50 @@ def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sql_tpch_q1", sql_tpch_q1, _TPCH_Q1)
+
+
+_TPCH_Q6 = """
+    SELECT round(SUM(l_extendedprice * l_discount), 4) + 0.0 AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter+agg — the
+    predicate-pushdown showcase; all four filters reach the scan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q6)
+
+
+register("sql_tpch_q6", sql_tpch_q6, _TPCH_Q6)
+
+
+_TPCH_Q3 = """
+    SELECT o_orderkey,
+           round(SUM(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dims + fact join +
+    agg + top-k; Catalyst broadcasts the filtered customer side."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3)
+
+
+register("sql_tpch_q3", sql_tpch_q3, _TPCH_Q3)

@@ -112,13 +112,23 @@ def estep_local(x: np.ndarray, ids: np.ndarray, centroids: np.ndarray) -> dict[i
     return out
 
 
-def _partial_stats(pdf_iter, centroids_bc):
-    """Executor side: vectorized top-2 assignment + partial aggregation."""
+def _partial_stats(pdf_iter, centroids_bc, feature_cols=None):
+    """Executor side: vectorized top-2 assignment + partial aggregation.
+
+    ``feature_cols``: when the features arrive as separate scalar
+    columns (the columnar fast path), build the matrix with a cheap
+    2-D ``to_numpy`` instead of np.stack over per-row Python lists —
+    Arrow hands scalar columns over as contiguous buffers, while an
+    array<double> column materializes one object per row.
+    """
     cent = centroids_bc.value  # (n, dim) float64
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
+        if feature_cols is not None:
+            x = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
+        else:
+            x = np.stack(pdf["features"].to_numpy()).astype(np.float64)
         ids = pdf["id"].to_numpy()
         bmu1, bmu2, d2_min = _assign_top2(x, cent)
         parts = list(_group_partials(x, ids, bmu1, bmu2, d2_min, len(cent)))
@@ -134,16 +144,24 @@ def _partial_stats(pdf_iter, centroids_bc):
         )
 
 
-def compute_point_stats(batch_df: DataFrame, centroids: np.ndarray) -> dict[int, PointStats]:
+def compute_point_stats(
+    batch_df: DataFrame,
+    centroids: np.ndarray,
+    feature_cols: list[str] | None = None,
+) -> dict[int, PointStats]:
     """Run the E-step for one micro-batch.
 
-    ``batch_df`` needs columns (features array<double>, id long);
-    returns the reference's pointStats keyed by winner position.
+    ``batch_df`` needs columns (features array<double>, id long) — or,
+    with ``feature_cols``, one scalar double column per dimension plus
+    ``id`` (the columnar fast path: Arrow ships contiguous buffers
+    instead of per-row lists).  Returns the reference's pointStats
+    keyed by winner position.
     """
     spark = batch_df.sparkSession
     centroids_bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids))
-    partials = batch_df.select("features", "id").mapInPandas(
-        lambda it: _partial_stats(it, centroids_bc), PARTIAL_SCHEMA
+    cols = ["features", "id"] if feature_cols is None else [*feature_cols, "id"]
+    partials = batch_df.select(*cols).mapInPandas(
+        lambda it: _partial_stats(it, centroids_bc, feature_cols), PARTIAL_SCHEMA
     )
     rows = partials.collect()
     centroids_bc.unpersist()

@@ -247,3 +247,83 @@ def test_replay_matches_committed_golden(spark, sf_dir):
     assert sorted(map(list, m.edge_list())) == g["edges"]
     assert len(m.outdated_nodes) == g["n_outdated"]
     assert len(m.isolated_nodes) == g["n_isolated"]
+
+
+def test_estep_columnar_matches_array_path(spark, sf_dir):
+    """feature_cols (scalar columns) and the array<double> column must
+    produce identical stats — same kernel, different Arrow layout."""
+    from spark_streaming_clustering_spark.streaming.estep import compute_point_stats
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    arr = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("vec_id").alias("id"),
+    )
+    dim = len(emb.select("embedding").first()[0])
+    cols = [f"c{i}" for i in range(dim)]
+    scal = emb.select(
+        *[F.col("embedding")[i].cast("double").alias(c) for i, c in enumerate(cols)],
+        F.col("vec_id").alias("id"),
+    )
+    cent = np.stack([np.asarray(r.features) for r in arr.limit(4).collect()])
+    a = compute_point_stats(arr, cent)
+    b = compute_point_stats(scal, cent, feature_cols=cols)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].count == b[k].count and a[k].ids == b[k].ids
+        assert dict(a[k].bmu2_counts) == dict(b[k].bmu2_counts)
+        np.testing.assert_allclose(a[k].sum_vec, b[k].sum_vec, rtol=1e-12)
+        np.testing.assert_allclose(a[k].sum_d2, b[k].sum_d2, rtol=1e-9)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time semantics the reference lacks entirely: once the
+    watermark has advanced past a window and the window was emitted
+    (append mode), later rows for it are dropped — the window is never
+    re-emitted or updated."""
+    import pandas as pd
+    import time as _t
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # b0: rows up to 10:59
+    pd.DataFrame(
+        {"ts": [base + pd.Timedelta(minutes=m) for m in (0, 30, 59)], "v": [1.0, 2.0, 3.0]}
+    ).to_parquet(in_dir / "b0.parquet", coerce_timestamps="us")
+    # b1: fresh row 11:10 -> watermark reaches 10:49; 10:00 window emits with 1.0
+    pd.DataFrame(
+        {"ts": [base + pd.Timedelta(minutes=70)], "v": [4.0]}
+    ).to_parquet(in_dir / "b1.parquet", coerce_timestamps="us")
+    # b2: a VERY late row for the already-emitted 10:00 window
+    pd.DataFrame(
+        {"ts": [base + pd.Timedelta(minutes=5)], "v": [100.0]}
+    ).to_parquet(in_dir / "b2.parquet", coerce_timestamps="us")
+    now = _t.time()
+    for i, f in enumerate(["b0.parquet", "b1.parquet", "b2.parquet"]):
+        os.utime(in_dir / f, (now - 60 + 20 * i, now - 60 + 20 * i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("late_drop_test").collect()
+    ten_oclock = [r for r in out if r.w.start.hour == 10 and r.w.start.minute == 0]
+    # emitted exactly once, with only the on-time 1.0 — the 100.0 arriving
+    # after eviction was dropped
+    assert [r.s for r in ten_oclock] == [1.0]
