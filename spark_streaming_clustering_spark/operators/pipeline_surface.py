@@ -958,3 +958,52 @@ register(
     FROM f
     """,
 )
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline as ONE Catalyst plan:
+    exact-dedup (keep lowest doc_id per text hash) -> quality filter
+    (quality >= 0.5) -> per-language corpus stats.  Demonstrates that
+    the engine's operators compose declaratively — dedup, scoring, and
+    reporting fuse into a single optimized job, no intermediate
+    materialization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    q = text_quality_score(spark, sf_dir)
+    kept = (
+        docs.join(keepers, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+    )
+    # quality is pre-rounded to 6 decimals, so summing micro-units is
+    # integer-exact in both engines; an avg of rounded values would sit
+    # on round-half boundaries and flip between summation orders.
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("quality_micros"),
+    )
+
+
+_Q_ORACLE_BODY = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_uniq,
+             SUM(length(tok)) AS sum_len,
+             SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY doc_id),
+    quality AS (
+      SELECT doc_id, n_tok,
+             round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
+                   + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+      FROM stats),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+           SUM(CAST(round(quality * 1000000) AS BIGINT)) AS quality_micros
+    FROM documents JOIN keepers USING (doc_id) JOIN quality USING (doc_id)
+    WHERE quality >= 0.5
+    GROUP BY lang
+"""
+
+register("pipeline_clean_corpus", pipeline_clean_corpus, _Q_ORACLE_BODY)
