@@ -39,3 +39,22 @@ def test_cli_end_to_end(spark, tmp_path):
     weights = (snap / "Weights-1" / "part-00000").read_text().strip().splitlines()
     assert all(float(w) > 0 for w in weights)
     assert os.path.exists(snap / "timeUpdates-1" / "part-00000")
+
+
+def test_cli_custom_separator(spark, tmp_path):
+    """The separator arg flows through init read, dim inference, and the
+    stream parse (the reference's args(4), batchStreamRun.scala:22)."""
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    (data / "nodes2.txt").write_text("122;199;1;1\n243;434;2;2\n")
+    lines = [f"{100 + i};{200 + i};{i % 2};{i}" for i in range(20)]
+    (data / "batch-0.csv").write_text("\n".join(lines) + "\n")
+
+    trainer = cli.run(
+        ["local[8]", str(data), str(out), "DS-sep", ";", "0.9", "1.2", "3", "1"]
+    )
+    assert trainer.kk > 1
+    assert trainer.model.nodes.shape[1] == 2  # dim inferred with ';'
+    # the batch was consumed: total weight grew beyond the 2 seed nodes
+    assert trainer.model.weights.sum() > 2.0
