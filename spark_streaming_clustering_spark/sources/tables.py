@@ -37,6 +37,16 @@ ALWAYS_BROADCAST = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); a session without this
+        # conf fails the scan outright ([PARQUET_TYPE_ILLEGAL]).  It is a
+        # runtime SQL conf, so set it defensively — the driver harness
+        # builds its own session and may not have it.  Same for the UTC
+        # session timezone: the ts column is rebuilt with
+        # timestamp_micros() (TIMESTAMP_LTZ), so collect()ed values must
+        # render in UTC to match the tz-naive DuckDB oracle.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong);
