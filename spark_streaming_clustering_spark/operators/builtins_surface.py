@@ -535,3 +535,107 @@ register(
     GROUP BY r_name
     """,
 )
+
+
+# --- as-of join (operator Spark lacks; composed from union + window) -------
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order at
+    or before the event time.
+
+    Spark has no ASOF JOIN; the scalable composition is the classic
+    union-tag-window: tag both streams, sort within key by (ts, tag),
+    and carry the last non-null order key forward.  One shuffle on the
+    join key, no range explosion — at 100 TB this beats an inequality
+    join (which would be a broadcast-nested-loop or range-bucketed
+    explosion).  Ties: an order exactly at the event ts counts
+    (tag 0 < 1); among same-ts orders the largest o_orderkey wins.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey"),
+    )
+    tagged = orders.select(
+        "user_id", "ts", "o_orderkey", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("tag"),
+    ).unionAll(
+        ev.select(
+            "user_id", "ts", F.lit(None).cast("long").alias("o_orderkey"), "event_id",
+            F.lit(1).alias("tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "asof_orderkey")
+    )
+
+
+register(
+    "join_asof",
+    join_asof,
+    """
+    WITH tagged AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ts, o_orderkey,
+             CAST(NULL AS BIGINT) AS event_id, 0 AS tag FROM orders
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, 1 FROM events),
+    w AS (
+      SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+      FROM tagged)
+    SELECT event_id, user_id, ts, asof_orderkey FROM w WHERE tag = 1
+    """,
+)
+
+
+# --- range join (band/inequality join) -------------------------------------
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: parts priced into literal price bands.
+
+    The band table is tiny and broadcast, so the inequality join is a
+    BroadcastNestedLoopJoin over 4 band rows — the correct plan for
+    dim-side ranges; large-large range joins would bucket the range
+    dimension first (the ann_ivf cell pattern).
+    """
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1000.0),
+         ("premium", 1000.0, 1500.0), ("luxury", 1500.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.round(F.sum("p_retailprice"), 4) + F.lit(0.0)).alias("total_price"),
+        )
+    )
+
+
+register(
+    "join_range",
+    join_range,
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('budget', 0.0, 500.0), ('mid', 500.0, 1000.0),
+      ('premium', 1000.0, 1500.0), ('luxury', 1500.0, 1e9))
+    SELECT band, COUNT(*) AS n_parts,
+           round(SUM(p_retailprice), 4) + 0.0 AS total_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
