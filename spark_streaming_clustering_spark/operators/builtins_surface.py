@@ -639,3 +639,46 @@ register(
     GROUP BY band
     """,
 )
+
+
+# --- hypertable-style hierarchical rollup ----------------------------------
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape (TimescaleDB hypertable rollup): the
+    daily level re-aggregates the HOURLY aggregate, not the raw rows —
+    at 100 TB the hourly materialization is what a streaming job keeps
+    up-to-date, and coarser granularities derive from it at 1/3600th
+    the input size.  Hourly sums are fixed to micro-units (bigint)
+    before re-aggregation so the two-level arithmetic is integer-exact
+    and engine-order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") * 1e6).cast("bigint").alias("v_micros"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("v_micros").alias("value_micros"),
+    )
+
+
+register(
+    "hypertable_rollup",
+    hypertable_rollup,
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             CAST(round(SUM(value) * 1000000) AS BIGINT) AS v_micros
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+           SUM(n) AS n_events, COUNT(*) AS n_hours,
+           SUM(v_micros) AS value_micros
+    FROM hourly GROUP BY 1, 2
+    """,
+)
