@@ -682,3 +682,29 @@ register(
     FROM hourly GROUP BY 1, 2
     """,
 )
+
+
+# --- exact percentiles ------------------------------------------------------
+def percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of extended price per return flag (linear
+    interpolation in both engines: Spark `percentile`, DuckDB
+    `quantile_cont`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6) + F.lit(0.0)).alias("p25"),
+        (F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6) + F.lit(0.0)).alias("p50"),
+        (F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6) + F.lit(0.0)).alias("p75"),
+    )
+
+
+register(
+    "percentile_q",
+    percentile_q,
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) + 0.0 AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) + 0.0 AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) + 0.0 AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
