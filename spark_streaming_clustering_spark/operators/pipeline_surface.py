@@ -1007,3 +1007,46 @@ _Q_ORACLE_BODY = f"""
 """
 
 register("pipeline_clean_corpus", pipeline_clean_corpus, _Q_ORACLE_BODY)
+
+
+GRID_W, GRID_H, RESIZE_STRIDE = 16, 8, 2
+
+
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing via mapInPandas (rows-only).
+
+    Interprets each payload's first GRID_W x GRID_H bytes as a
+    grayscale image and 2x-downsamples by striding rows and columns —
+    the real memory/batch shape of a thumbnailing stage (per-task peak
+    = one Arrow batch of blobs).  Swap the numpy stride for
+    PIL.Image.resize to productionize; schema and partitioning stay.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    need = GRID_W * GRID_H
+
+    def batches(it):
+        for pdf in it:
+            ids, ow, oh, px = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)[:need]
+                if len(raw) < need:
+                    raw = raw + b"\0" * (need - len(raw))
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(GRID_H, GRID_W)
+                small = img[::RESIZE_STRIDE, ::RESIZE_STRIDE]
+                ids.append(doc_id)
+                oh.append(small.shape[0])
+                ow.append(small.shape[1])
+                px.append([int(v) for v in small.ravel()])
+            yield pd.DataFrame({"doc_id": ids, "out_h": oh, "out_w": ow, "pixels": px})
+
+    return docs.mapInPandas(
+        batches, "doc_id long, out_h int, out_w int, pixels array<int>"
+    )
+
+
+register("multimodal_resize_stub", multimodal_resize_stub, None)

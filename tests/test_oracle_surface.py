@@ -30,3 +30,28 @@ def test_query_vs_oracle(key, spark, sf_dir, con):
         assert len(df.collect()) >= 0  # rows-only contract
         return
     compare(df, con, sql, key)
+
+
+def test_multimodal_resize_stub_math(spark):
+    """Downsample math vs hand computation on one payload."""
+    from spark_streaming_clustering_spark.operators.pipeline_surface import (
+        GRID_H,
+        GRID_W,
+        RESIZE_STRIDE,
+        multimodal_resize_stub,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    out = {r.doc_id: r for r in multimodal_resize_stub(spark, SF_ORACLE).collect()}
+    doc = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").first()
+    raw = doc.text.encode()[: GRID_W * GRID_H]
+    raw = raw + b"\0" * (GRID_W * GRID_H - len(raw))
+    expect = [
+        raw[r * GRID_W + c]
+        for r in range(0, GRID_H, RESIZE_STRIDE)
+        for c in range(0, GRID_W, RESIZE_STRIDE)
+    ]
+    got = out[doc.doc_id]
+    assert (got.out_h, got.out_w) == (GRID_H // RESIZE_STRIDE, GRID_W // RESIZE_STRIDE)
+    assert got.pixels == expect

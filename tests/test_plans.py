@@ -85,3 +85,16 @@ def test_groupby_partial_aggregation(spark):
     plan = _plan(spark, "groupby_agg_sums")
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must stay a union + one window shuffle — not an
+    inequality join (BroadcastNestedLoop/range explosion)."""
+    import re
+
+    plan = _plan(spark, "join_asof")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 1
+    assert "Window" in plan
