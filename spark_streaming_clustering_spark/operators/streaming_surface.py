@@ -174,6 +174,9 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-user running (count, sum) maintained in group state across
     micro-batches — the mechanism a sharded G-Stream model would use if
     the prototype graph ever outgrew the driver (SURVEY.md section 4.2).
+    (Spark 4's newer transformWithStateInPandas API is the successor;
+    its driver worker crashes at init in this container — a /opt/spark
+    vs pip-pyspark worker mismatch — so the stable API is used.)
     State per key is two scalars, so memory is O(#users) spread across
     executors; the final answer equals the batch groupBy, which is the
     DuckDB oracle for this key.
