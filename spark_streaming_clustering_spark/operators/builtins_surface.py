@@ -708,3 +708,81 @@ register(
     FROM lineitem GROUP BY l_returnflag
     """,
 )
+
+
+# --- statistical aggregates -------------------------------------------------
+def stats_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance, correlation and covariance per flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_extendedprice"), 4) + F.lit(0.0)).alias("sd_price"),
+        (F.round(F.var_samp("l_quantity"), 6) + F.lit(0.0)).alias("var_qty"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qp"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 9) + F.lit(0.0)).alias("cov_dt"),
+    )
+
+
+register(
+    "stats_agg_q",
+    stats_agg_q,
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) + 0.0 AS sd_price,
+           round(var_samp(l_quantity), 6) + 0.0 AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+           round(covar_samp(l_discount, l_tax), 9) + 0.0 AS cov_dt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# --- regexp scalar functions ------------------------------------------------
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike over part names."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-n]").alias("starts_early"),
+    )
+
+
+register(
+    "regexp_funcs",
+    regexp_funcs,
+    """
+    SELECT p_partkey,
+           coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^[a-n]') AS starts_early
+    FROM part
+    """,
+)
+
+
+# --- conditional aggregation ------------------------------------------------
+def conditional_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregates in one pass per flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+        F.count(F.when(F.col("l_quantity") < 10, 1)).alias("n_small_qty"),
+        (
+            F.round(F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4)
+            + F.lit(0.0)
+        ).alias("taxed_price"),
+    )
+
+
+register(
+    "conditional_agg_q",
+    conditional_agg_q,
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (l_discount > 0.05) AS n_high_disc,
+           COUNT(*) FILTER (l_quantity < 10) AS n_small_qty,
+           round(SUM(l_extendedprice) FILTER (l_tax > 0.04), 4) + 0.0 AS taxed_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
