@@ -786,3 +786,42 @@ register(
     FROM lineitem GROUP BY l_returnflag
     """,
 )
+
+
+# --- array set functions ----------------------------------------------------
+def array_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra between each document's first/second half token
+    sets (sorted+deduped in both engines for deterministic hashing)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.split("text", " ")
+    docs = docs.select(
+        "doc_id",
+        F.slice(t, 1, 10).alias("h1"),
+        F.slice(t, 11, 10).alias("h2"),
+    )
+    def norm(c):
+        return F.array_sort(F.array_distinct(c))
+    return docs.select(
+        "doc_id",
+        norm(F.array_intersect("h1", "h2")).alias("common"),
+        norm(F.array_union("h1", "h2")).alias("both"),
+        norm(F.array_except("h1", "h2")).alias("only_first"),
+        F.size(F.array_distinct("h1")).alias("n1"),
+    )
+
+
+register(
+    "array_funcs_q",
+    array_funcs_q,
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+    h AS (SELECT doc_id, toks[1:10] AS h1, toks[11:20] AS h2 FROM t)
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(h1, h2))) AS common,
+           list_sort(list_distinct(list_concat(h1, h2))) AS both,
+           list_sort(list_distinct(list_filter(h1, x -> NOT list_contains(h2, x)))) AS only_first,
+           len(list_distinct(h1)) AS n1
+    FROM h
+    """,
+)
