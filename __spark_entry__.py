@@ -7,9 +7,17 @@ SURVEY.md section 2 for the sf0.01 DuckDB-oracle correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may import this file by path (importlib / runpy) from any
+# cwd; make the sibling package importable regardless.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from spark_streaming_clustering_spark.operators.registry import ORACLES, QUERIES
 from spark_streaming_clustering_spark.operators.flagship import flagship_revenue
