@@ -103,6 +103,23 @@ def quasi_equal(u: ColumnOrName, v: ColumnOrName, eps: float = 1e-10) -> Column:
     )
 
 
+def fmt_vec(col: ColumnOrName) -> Column:
+    """Deterministic scalar encoding of an array<double>: ','-joined %.6f.
+
+    The driver's correctness canonicalizer hashes result cells with
+    pandas, which cannot hash Python lists — so every oracle-checked
+    query encodes vector outputs through this helper (and the oracle
+    mirrors it with DuckDB ``printf('%.6f', ...)``).  Verified
+    byte-identical across both engines including ``-0.000000``: Java's
+    ``%.6f`` (Locale.US) and C printf agree for every double because no
+    double sits exactly on a 6-decimal half-way boundary
+    ((2m+1)/2e6 is never a dyadic rational).
+    """
+    return F.array_join(
+        F.transform(_c(col), lambda x: F.format_string("%.6f", x)), ","
+    )
+
+
 def exp_kernel(temperature: float = 0.3) -> Column:
     """Constant neighborhood kernel exp(-1/T) (reference kNeighbor)."""
     return F.exp(F.lit(-1.0) / F.lit(temperature))

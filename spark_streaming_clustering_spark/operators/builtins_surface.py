@@ -801,11 +801,13 @@ def array_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def norm(c):
         return F.array_sort(F.array_distinct(c))
+    # ','-joined (sorted, deduped) so the driver canonicalizer gets scalar
+    # string cells — list cells are unhashable in its pandas sort/hash step.
     return docs.select(
         "doc_id",
-        norm(F.array_intersect("h1", "h2")).alias("common"),
-        norm(F.array_union("h1", "h2")).alias("both"),
-        norm(F.array_except("h1", "h2")).alias("only_first"),
+        F.array_join(norm(F.array_intersect("h1", "h2")), ",").alias("common"),
+        F.array_join(norm(F.array_union("h1", "h2")), ",").alias("both"),
+        F.array_join(norm(F.array_except("h1", "h2")), ",").alias("only_first"),
         F.size(F.array_distinct("h1")).alias("n1"),
     )
 
@@ -818,9 +820,9 @@ register(
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
     h AS (SELECT doc_id, toks[1:10] AS h1, toks[11:20] AS h2 FROM t)
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(h1, h2))) AS common,
-           list_sort(list_distinct(list_concat(h1, h2))) AS both,
-           list_sort(list_distinct(list_filter(h1, x -> NOT list_contains(h2, x)))) AS only_first,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(h1, h2))), ','), '') AS common,
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(h1, h2))), ','), '') AS both,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(h1, x -> NOT list_contains(h2, x)))), ','), '') AS only_first,
            len(list_distinct(h1)) AS n1
     FROM h
     """,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import vec
 from ..sources.tables import load_table
 from .registry import register
 
@@ -41,6 +42,9 @@ register(
 
 # --- A4: CSV-style parse: string -> array<double> ------------------------
 # ref: batchStreamRun.scala:37,40 (split(separator).map(_.toDouble))
+# Output encoding: the parsed vector is emitted via vec.fmt_vec (','-joined
+# %.6f) so the driver's pandas canonicalizer can hash it — list cells are
+# unhashable there.  The split/cast array machinery is still exercised.
 def csv_parse_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     line = F.concat_ws(
@@ -49,10 +53,11 @@ def csv_parse_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("string"),
         F.col("l_partkey").cast("string"),
     )
+    parsed = F.transform(F.split(line, ","), lambda x: x.cast("double"))
     return li.select(
         F.col("l_orderkey"),
         F.col("l_linenumber"),
-        F.transform(F.split(line, ","), lambda x: x.cast("double")).alias("parsed"),
+        vec.fmt_vec(parsed).alias("parsed"),
     )
 
 
@@ -61,11 +66,11 @@ register(
     csv_parse_cast,
     """
     SELECT l_orderkey, l_linenumber,
-           list_transform(
+           array_to_string(list_transform(
              string_split(concat_ws(',', CAST(l_orderkey AS VARCHAR),
                                          CAST(l_linenumber AS VARCHAR),
                                          CAST(l_partkey AS VARCHAR)), ','),
-             x -> CAST(x AS DOUBLE)) AS parsed
+             x -> printf('%.6f', CAST(x AS DOUBLE))), ',') AS parsed
     FROM lineitem
     """,
 )
@@ -83,7 +88,7 @@ def project_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("double"),
     )
     return li.select(
-        F.slice(arr, 1, 3).alias("features"),
+        vec.fmt_vec(F.slice(arr, 1, 3)).alias("features"),
         arr[3].cast("int").alias("label"),
         arr[4].cast("bigint").alias("id"),
     )
@@ -97,7 +102,8 @@ register(
       SELECT [l_quantity, l_discount, l_tax,
               CAST(l_linenumber AS DOUBLE), CAST(l_orderkey AS DOUBLE)] AS a
       FROM lineitem)
-    SELECT a[1:3] AS features, CAST(a[4] AS INT) AS label, CAST(a[5] AS BIGINT) AS id
+    SELECT array_to_string(list_transform(a[1:3], x -> printf('%.6f', x)), ',') AS features,
+           CAST(a[4] AS INT) AS label, CAST(a[5] AS BIGINT) AS id
     FROM arr
     """,
 )

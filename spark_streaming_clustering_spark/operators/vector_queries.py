@@ -38,6 +38,16 @@ _PAIRS = (
 )
 
 
+def _fmt_sql(expr: str) -> str:
+    """DuckDB mirror of vec.fmt_vec: ','-joined %.6f scalar encoding.
+
+    Vector-valued result columns must be scalars for the driver's pandas
+    canonicalizer (list cells are unhashable).  ``fv`` avoids shadowing
+    lambda vars inside ``expr``.
+    """
+    return f"array_to_string(list_transform({expr}, fv -> printf('%.6f', fv)), ',')"
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", vec.to_double_array("embedding").alias("pvec"))
@@ -141,8 +151,10 @@ def vector_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("v"), 6) + F.lit(0.0)).alias("s")
     )
     return per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+        vec.fmt_vec(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+            )
         ).alias("vec_sum")
     )
 
@@ -150,7 +162,7 @@ def vector_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "vector_sum_agg",
     vector_sum_agg,
-    """
+    f"""
     WITH expl AS (
       SELECT label,
              unnest(generate_series(1, len(embedding))) AS pos,
@@ -158,7 +170,8 @@ register(
       FROM embeddings),
     per_pos AS (SELECT label, pos, round(SUM(v), 6) + 0.0 AS s
                 FROM expl GROUP BY label, pos)
-    SELECT label, list(s ORDER BY pos) AS vec_sum FROM per_pos GROUP BY label
+    SELECT label, {_fmt_sql("list(s ORDER BY pos)")} AS vec_sum
+    FROM per_pos GROUP BY label
     """,
 )
 
@@ -166,13 +179,16 @@ register(
 # --- A16: scalar x vector --------------------------------------------------
 # ref: batchStreamModel.scala:384-392 (scal)
 def scal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _points(spark, sf_dir).select("vec_id", vec.scal(2.5, "pvec").alias("scaled"))
+    return _points(spark, sf_dir).select(
+        "vec_id", vec.fmt_vec(vec.scal(2.5, "pvec")).alias("scaled")
+    )
 
 
 register(
     "scal_transform",
     scal_transform,
-    f"SELECT vec_id, list_transform({_DVEC}, x -> CAST(2.5 AS DOUBLE) * x) AS scaled "
+    f"SELECT vec_id, "
+    f"{_fmt_sql(f'list_transform({_DVEC}, x -> CAST(2.5 AS DOUBLE) * x)')} AS scaled "
     "FROM embeddings",
 )
 
@@ -181,14 +197,15 @@ register(
 # ref: batchStreamModel.scala:395-403 (addPairwise)
 def zip_with_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
-        "id_a", "id_b", vec.vadd("va", "vb").alias("vsum")
+        "id_a", "id_b", vec.fmt_vec(vec.vadd("va", "vb")).alias("vsum")
     )
 
 
 register(
     "zip_with_add",
     zip_with_add,
-    f"SELECT id_a, id_b, list_transform(list_zip(va, vb), p -> p[1] + p[2]) AS vsum "
+    f"SELECT id_a, id_b, "
+    f"{_fmt_sql('list_transform(list_zip(va, vb), p -> p[1] + p[2])')} AS vsum "
     f"FROM ({_PAIRS})",
 )
 
@@ -197,7 +214,7 @@ register(
 # ref: batchStreamModel.scala:406-416
 def axpy_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
-        "id_a", "id_b", vec.axpy(3.0, "va", "vb").alias("axpy")
+        "id_a", "id_b", vec.fmt_vec(vec.axpy(3.0, "va", "vb")).alias("axpy")
     )
 
 
@@ -205,7 +222,7 @@ register(
     "axpy_expr",
     axpy_expr,
     f"SELECT id_a, id_b, "
-    f"list_transform(list_zip(va, vb), p -> CAST(3.0 AS DOUBLE) * p[1] + p[2]) AS axpy "
+    f"{_fmt_sql('list_transform(list_zip(va, vb), p -> CAST(3.0 AS DOUBLE) * p[1] + p[2])')} AS axpy "
     f"FROM ({_PAIRS})",
 )
 
@@ -214,7 +231,7 @@ register(
 # ref: batchStreamModel.scala:275-276 (new-node position)
 def vector_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(spark, sf_dir).select(
-        "id_a", "id_b", vec.midpoint("va", "vb").alias("mid")
+        "id_a", "id_b", vec.fmt_vec(vec.midpoint("va", "vb")).alias("mid")
     )
 
 
@@ -222,7 +239,7 @@ register(
     "vector_midpoint",
     vector_midpoint,
     f"SELECT id_a, id_b, "
-    f"list_transform(list_zip(va, vb), p -> (p[1] + p[2]) / CAST(2.0 AS DOUBLE)) AS mid "
+    f"{_fmt_sql('list_transform(list_zip(va, vb), p -> (p[1] + p[2]) / CAST(2.0 AS DOUBLE))')} AS mid "
     f"FROM ({_PAIRS})",
 )
 
@@ -330,8 +347,10 @@ def weighted_mean_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nc"),
     )
     return joined.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "nc"))), lambda x: x["nc"]
+        vec.fmt_vec(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "nc"))), lambda x: x["nc"]
+            )
         ).alias("new_center")
     )
 
@@ -355,7 +374,7 @@ register(
     j AS (SELECT cid, cent.pos AS pos,
                  round((w * c + s) / greatest(w + cnt_pos, 1e-16), 6) + 0.0 AS nc
           FROM cent JOIN stats ON cent.cid = stats.bmu AND cent.pos = stats.pos)
-    SELECT cid, list(nc ORDER BY pos) AS new_center FROM j GROUP BY cid
+    SELECT cid, {_fmt_sql("list(nc ORDER BY pos)")} AS new_center FROM j GROUP BY cid
     """,
 )
 

@@ -41,7 +41,15 @@ def _norm(v):
             return "NaN"
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        # The driver's canonicalizer (pandas sort_values + hash) throws
+        # "unhashable type: 'list'" on array cells — round 1 lost 8 keys
+        # to exactly this because the mirror silently tuple-ized.  Fail
+        # loudly instead: oracle-checked queries must encode vectors as
+        # scalars (vec.fmt_vec / _fmt_sql).
+        raise AssertionError(
+            "array-valued result cell: driver canonicalizer cannot hash "
+            "lists — encode with vec.fmt_vec (Spark) + printf join (DuckDB)"
+        )
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if hasattr(v, "item") and not isinstance(v, (str, bytes)):  # numpy scalar
