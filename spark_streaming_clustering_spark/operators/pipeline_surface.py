@@ -44,7 +44,16 @@ NUM_HASHES = 16
 MINHASH_AB = [(1 + next(_g) % (P_MINHASH - 1), next(_g) % P_MINHASH) for _ in range(NUM_HASHES)]
 N_BANDS, ROWS_PER_BAND = 8, 2  # 8 bands x 2 rows over the 16-component signature
 
-N_PLANES = 4
+# Multi-table random-hyperplane LSH: N_LSH_TABLES independent tables of
+# N_PLANES_PER_TABLE sign bits each (32 hyperplane bits total).  One
+# 4-bit table (round 1) meant 16 unbounded buckets -> Theta(n^2/16) pair
+# expansion at scale; 8-bit buckets x 4 tables gives 256 buckets per
+# table for recall via table union, and LSH_MAX_BUCKET caps any
+# boilerplate-heavy bucket deterministically (lowest vec_id kept).
+N_LSH_TABLES = 4
+N_PLANES_PER_TABLE = 8
+N_PLANES = N_LSH_TABLES * N_PLANES_PER_TABLE
+LSH_MAX_BUCKET = 20
 PLANES = [
     [
         ((1_103_515_245 * (p * 64 + d) + 12_345) % 2_147_483_648) / 2_147_483_648.0 - 0.5
@@ -407,17 +416,29 @@ register(
 )
 
 
+N_EMB_BLOCKS = 8
+
+
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.35 over vec_id pairs.
 
-    All-pairs scoring via broadcast blocked matmul (the estep.py
-    pattern): the normalized corpus matrix rides to executors once,
-    each partition scores its rows against it with one BLAS product
-    and emits only above-threshold pairs.  A crossJoin with
-    per-element higher-order cosine would evaluate ~dim lambda calls
-    per pair — interpreted, ~50x slower.  Brute force inherently needs
-    one side in memory (n x dim doubles); past that, the scale paths
-    are ann_lsh_bucketed / ann_ivf_topk.
+    All-pairs scoring via a DISTRIBUTED blocked matmul: vectors are
+    assigned to B = N_EMB_BLOCKS blocks (vec_id % B), the B*(B+1)/2
+    block-pair grid is broadcast, each vector is fanned out to every
+    block pair it participates in (tagged with its side), and one
+    ``applyInPandas`` per (ba, bb) group runs a single BLAS product over
+    the two sub-matrices.  Nothing is ever collected to the driver —
+    the reference's own discipline (its only collect is <= N aggregate
+    rows, batchStreamModel.scala:78).
+
+    Scale accounting: shuffle volume is O(n * (B+1)) vector copies and
+    per-task memory is O((n/B) * dim * 8) bytes, so B is the knob that
+    trades shuffle for task memory — at 100 TB pick
+    B ~ corpus_bytes / executor_budget and every task still holds two
+    bounded sub-matrices.  A crossJoin with per-element higher-order
+    cosine would evaluate ~dim lambda calls per pair — interpreted,
+    ~50x slower than one BLAS call per block pair.  Past brute force,
+    the scale paths are ann_lsh_bucketed / ann_ivf_topk.
     """
     import numpy as np
     import pandas as pd
@@ -425,33 +446,58 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.to_double_array("embedding").alias("v")
     )
-    pdf_all = emb.toPandas()
-    ids_all = pdf_all["vec_id"].to_numpy().astype(np.int64)
-    x_all = np.stack(pdf_all["v"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((x_all * x_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, x_all, norms))
+    emb_b = emb.withColumn(
+        "blk", (F.col("vec_id") % N_EMB_BLOCKS).cast("int")
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(N_EMB_BLOCKS) for j in range(i, N_EMB_BLOCKS)],
+        "ba int, bb int",
+    )
+    side_a = emb_b.join(F.broadcast(grid), F.col("blk") == F.col("ba")).select(
+        "ba", "bb", F.lit(0).alias("side"), "vec_id", "v"
+    )
+    side_b = emb_b.join(F.broadcast(grid), F.col("blk") == F.col("bb")).select(
+        "ba", "bb", F.lit(1).alias("side"), "vec_id", "v"
+    )
+    both = side_a.unionByName(side_b)
 
-    def score(pdf_iter):
-        ids_all, x_all, norms = bc.value
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            y = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            y_norms = np.sqrt((y * y).sum(axis=1))
-            nn = y_norms[:, None] * norms[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                c = np.where(nn == 0, 0.0, (y @ x_all.T) / nn)
-            # Spark/DuckDB round() is half-up; np.round is half-even.
-            # Kept values are all >= 0.35 > 0 so floor(x*1e6+0.5) matches.
-            c = np.floor(c * 1e6 + 0.5) / 1e6
-            keep = (c >= 0.35) & (ids[:, None] < ids_all[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": ids[ai], "id_b": ids_all[bj], "cos": c[ai, bj]}
+    def score(key, pdf):
+        ba, bb = key
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
             )
+        ids_a = a["vec_id"].to_numpy().astype(np.int64)
+        ids_b = b["vec_id"].to_numpy().astype(np.int64)
+        x = np.stack(a["v"].to_numpy()).astype(np.float64)
+        y = np.stack(b["v"].to_numpy()).astype(np.float64)
+        nx = np.sqrt((x * x).sum(axis=1))
+        ny = np.sqrt((y * y).sum(axis=1))
+        nn = nx[:, None] * ny[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(nn == 0, 0.0, (x @ y.T) / nn)
+        # Spark/DuckDB round() is half-up; np.round is half-even.
+        # Kept values are all >= 0.35 > 0 so floor(x*1e6+0.5) matches.
+        c = np.floor(c * 1e6 + 0.5) / 1e6
+        if ba == bb:
+            # diagonal block: both sides are the same set; id< orders+dedups
+            keep = (c >= 0.35) & (ids_a[:, None] < ids_b[None, :])
+            ai, bj = np.nonzero(keep)
+            lo, hi = ids_a[ai], ids_b[bj]
+        else:
+            # off-diagonal: each unordered pair appears exactly once in
+            # the cross; ids interleave across blocks so order by value
+            keep = c >= 0.35
+            ai, bj = np.nonzero(keep)
+            lo = np.minimum(ids_a[ai], ids_b[bj])
+            hi = np.maximum(ids_a[ai], ids_b[bj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": c[ai, bj]})
 
-    return emb.mapInPandas(score, "id_a long, id_b long, cos double")
+    return both.groupBy("ba", "bb").applyInPandas(
+        score, "id_a long, id_b long, cos double"
+    )
 
 
 register(
@@ -512,20 +558,27 @@ register(
 )
 
 
-def _bucket_expr_spark():
+def _table_bucket_expr(t: int):
+    """8-bit sign-pattern bucket id for LSH table ``t``."""
     terms = []
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in PLANES[p]])
+    for p in range(N_PLANES_PER_TABLE):
+        plane = F.array(*[F.lit(v) for v in PLANES[t * N_PLANES_PER_TABLE + p]])
         terms.append(F.when(vec.dot("v", plane) > 0, F.lit(1 << p)).otherwise(0))
     return sum(terms).cast("int")
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket equi-join then top-3 per query.
+    """Multi-table random-hyperplane LSH ANN: candidates = same 8-bit
+    sign-pattern bucket in ANY of the 4 tables, each (table, bucket)
+    capped at LSH_MAX_BUCKET members (kept deterministically by lowest
+    vec_id), then exact cosine rescoring and top-3 per query.
 
-    The scale path: candidates = same sign-pattern bucket (equi-join on
-    bucket id), so the pair count is sum over buckets of |bucket|^2
-    instead of n^2.  Planes are LCG literals shared with the oracle.
+    Scale shape: pair expansion is bounded by
+    tables * buckets * LSH_MAX_BUCKET^2 regardless of skew — the same
+    guard dedup_minhash_lsh_capped uses — while the table union keeps
+    recall (a near neighbor only needs to agree on all 8 bits of ONE
+    table).  Planes are LCG literals shared with the oracle; duplicate
+    candidates across tables collapse via groupBy before ranking.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.to_double_array("embedding").alias("v")
@@ -533,46 +586,70 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are per-vector, so hoist them BEFORE the pair join: each
     # candidate pair then costs one dot() higher-order eval instead of
     # three (dot + 2 norms), and the norm work is O(n) not O(pairs).
-    bucketed = emb.select(
-        "vec_id", "v", vec.norm2("v").alias("nrm"), _bucket_expr_spark().alias("bucket")
+    buckets_arr = F.array(*[_table_bucket_expr(t) for t in range(N_LSH_TABLES)])
+    banded = emb.select(
+        "vec_id", "v", vec.norm2("v").alias("nrm"),
+        F.posexplode(buckets_arr).alias("tbl", "bkt"),
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "bucket",
+    w_cap = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
+    capped = banded.withColumn("rk", F.row_number().over(w_cap)).filter(
+        F.col("rk") <= LSH_MAX_BUCKET
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"),
-        F.col("nrm").alias("nn"), "bucket",
+    a = capped.select(
+        "tbl", "bkt", F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    b = capped.select(
+        "tbl", "bkt", F.col("vec_id").alias("n_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
     )
     nn = F.col("qn") * F.col("nn")
     cos = F.when(nn == 0, F.lit(0.0)).otherwise(vec.dot("qv", "nv") / nn)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bkt"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "bucket", F.round(cos, 6).alias("cos"))
+        .select("q_id", "n_id", F.round(cos, 6).alias("cos"))
+        # same pair can collide in several tables; cos is identical, so
+        # max() is a pure dedup (cheaper than distinct on double cols)
+        .groupBy("q_id", "n_id")
+        .agg(F.max("cos").alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
 
 
 def _lsh_oracle() -> str:
-    bucket = " + ".join(
-        f"CASE WHEN {_DK_DOT.format(a='v', b=_duck_plane(p))} > 0 THEN {1 << p} ELSE 0 END"
-        for p in range(N_PLANES)
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {_DK_DOT.format(a='v', b=_duck_plane(t * N_PLANES_PER_TABLE + p))}"
+            f" > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(N_PLANES_PER_TABLE)
+        )
+
+    tables = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, v, {t} AS tbl, CAST({bucket(t)} AS INT) AS bkt FROM e"
+        for t in range(N_LSH_TABLES)
     )
     return f"""
     WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings),
-    bkt AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e),
-    d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, a.bucket,
-                 round({_DK_DOT.format(a='a.v', b='b.v')}
-                       / ({_DK_NORM.format(a='a.v')} * {_DK_NORM.format(a='b.v')}), 6) AS cos
-          FROM bkt a JOIN bkt b ON a.bucket = b.bucket
-          WHERE a.vec_id <> b.vec_id),
-    r AS (SELECT q_id, n_id, bucket, cos,
+    banded AS (
+{tables}),
+    capped AS (
+      SELECT vec_id, v, tbl, bkt FROM (
+        SELECT vec_id, v, tbl, bkt,
+               row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rk
+        FROM banded) WHERE rk <= {LSH_MAX_BUCKET}),
+    d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 max(round({_DK_DOT.format(a='a.v', b='b.v')}
+                       / ({_DK_NORM.format(a='a.v')} * {_DK_NORM.format(a='b.v')}), 6)) AS cos
+          FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bkt = b.bkt
+          WHERE a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+    r AS (SELECT q_id, n_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
           FROM d)
-    SELECT q_id, n_id, bucket, cos, rank FROM r WHERE rank <= 3
+    SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 3
     """
 
 
