@@ -261,13 +261,30 @@ register(
 )
 
 
-# HLL sketches differ between engines by design -> rows-only check.
+# HLL sketch values differ between engines by design, so the raw
+# estimate cannot be hash-compared — but the accuracy CONTRACT can:
+# emit the exact count plus a bool asserting the estimate sits within
+# 3x the requested rsd, and let the oracle pin (exact, TRUE).
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+    )
+    within = (
+        F.abs(F.col("ap") - F.col("exact_parts")) / F.col("exact_parts") <= 0.06
+    )
+    return agg.select("exact_parts", within.alias("approx_within_3rsd"))
 
 
-register("approx_count_distinct_q", approx_count_distinct_q, None)
+register(
+    "approx_count_distinct_q",
+    approx_count_distinct_q,
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_3rsd
+    FROM lineitem
+    """,
+)
 
 
 # --- scalar function families --------------------------------------------

@@ -247,15 +247,27 @@ def mllib_kmeans_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<float> -> VectorUDT bridge (ml.functions.array_to_vector) and
     gives a centroid-quality baseline to compare prototype graphs
     against; rows-only (iterative algorithm, not SQL-expressible).
+
+    Determinism: a fixed seed pins kmeans|| initialization only for a
+    fixed input partitioning/order, so the input is forced to one
+    sorted partition before fit — repeated runs are byte-identical
+    across core counts (the driver's rows-only check re-runs this).
+    The pin is test-scale-only; a cluster-scale baseline would keep the
+    natural partitioning and accept init variance.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("features"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
     )
     model = KMeans(k=8, seed=42, maxIter=20).fit(emb)
     pred = model.transform(emb).select("vec_id", F.col("prediction").alias("cluster"))
