@@ -14,10 +14,12 @@ args (positional, reference order, batchStreamRun.scala:18-26):
 Behavior parity:
 * init points read from ``dirData/nodes2.txt`` (batchStreamRun.scala:37),
   dim inferred from its first line minus 2 trailing cols (:44-45);
-* the stream watches ``dirData`` for new CSV files (textFileStream, :40) —
-  here a Structured Streaming file source with a ``*.csv``/``*.txt``-
-  excluding glob so the init file is not re-ingested (textFileStream only
-  saw files created after start);
+* the stream watches ``dirData`` for new batch files (textFileStream,
+  :40) — here a Structured Streaming file source matching ``*.csv`` and
+  ``*.txt`` (the reference's datasets are .txt) with the ``nodes2.txt``
+  init file excluded by name, since textFileStream only saw files
+  created after start; a warning is printed if nothing is ingested
+  after 30 s;
 * model seeded from the first two init points (batchStream.scala:72-78);
 * 100 ms processing-time trigger (batchStreamRun.scala:32-34);
 * snapshots written in the reference's own text formats at the B10
@@ -48,10 +50,9 @@ def run(argv: list[str]) -> GStreamTrainer:
     decay_factor, lambda_age = float(decay_factor), float(lambda_age)
     nb_nodes_to_add, nb_wind = int(nb_nodes_to_add), int(nb_wind)
 
-    cpus = master[master.index("[") + 1 : -1] if "[" in master else None
-    spark = get_spark(
-        f"gstream-{ds_name}", cpus=None if cpus in (None, "*") else int(cpus)
-    )
+    # master passes through verbatim (spark://, yarn, local[n] all work;
+    # batchStreamRun.scala:29 hands its arg to SparkConf.setMaster too)
+    spark = get_spark(f"gstream-{ds_name}", master=master)
 
     init_path = f"{dir_data}/nodes2.txt"
     dim = infer_dim(spark, init_path, sep=separator)
@@ -71,14 +72,30 @@ def run(argv: list[str]) -> GStreamTrainer:
     )
     trainer.init_from_seed(init_points)
 
+    # The reference's datasets are .txt batch files living next to the
+    # nodes2.txt init file; watch both extensions and exclude the init
+    # file specifically (ADVICE r1: a *.csv-only glob made reference
+    # replays produce zero micro-batches and spin forever).
     stream = stream_points(
         spark, dir_data, dim=dim, max_files_per_trigger=1, sep=separator,
-        glob="*.csv",
+        glob="*.{csv,txt}", exclude_file="nodes2.txt",
     )
     query = trainer.fit_stream(stream, checkpoint_dir=f"{dir_sortie}/.ckpt-{ds_name}")
     try:
+        waited = 0.0
+        warned = False
         while query.isActive and trainer.kk <= nb_wind:
             time.sleep(0.1)
+            waited += 0.1
+            if not warned and trainer.kk == 1 and waited >= 30.0:
+                warned = True
+                print(
+                    f"warning: no micro-batches ingested after {waited:.0f}s; "
+                    f"watching {dir_data}/*.{{csv,txt}} (nodes2.txt excluded) — "
+                    "check that batch files appear there with the expected "
+                    "extension",
+                    file=sys.stderr,
+                )
     finally:
         query.stop()
     return trainer

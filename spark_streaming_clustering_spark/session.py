@@ -29,11 +29,27 @@ def get_spark(
     app_name: str = "spark-streaming-clustering-spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the tuned SparkSession."""
-    cpus = cpus or DEFAULT_CPUS
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` (when given) is passed through verbatim — a CLI user
+    handing us ``spark://...`` or ``yarn`` gets exactly that cluster,
+    not a silent local fallback.  For ``local[n]`` masters the thread
+    count also sizes ``spark.sql.shuffle.partitions``.
+    """
+    if master is not None:
+        if master.startswith("local") and "[" in master:
+            inner = master[master.index("[") + 1 : -1]
+            if cpus is None and inner not in ("*", ""):
+                cpus = int(inner)
+        master_url = master
+        cpus = cpus or DEFAULT_CPUS
+    else:
+        cpus = cpus or DEFAULT_CPUS
+        master_url = f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master_url)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

@@ -58,15 +58,20 @@ def stream_points(
     max_files_per_trigger: int = 1,
     sep: str = ",",
     glob: str | None = None,
+    exclude_file: str | None = None,
 ) -> DataFrame:
     """Streaming file source (A2): new files in dir become micro-batches,
     like the reference's ``ssc.textFileStream`` (batchStreamRun.scala:40).
 
-    ``glob`` (pathGlobFilter) lets a CLI run watch the same directory
-    the init file lives in without re-ingesting it — textFileStream
-    only saw files created after start; the Structured Streaming file
-    source processes pre-existing files too, so the caller excludes
-    them by pattern.
+    ``glob`` (pathGlobFilter; Hadoop glob syntax incl. ``{csv,txt}``
+    alternation) plus ``exclude_file`` (a basename filtered out via the
+    ``_metadata.file_path`` column) let a CLI run watch the same
+    directory the init file lives in without re-ingesting it —
+    textFileStream only saw files created after start; the Structured
+    Streaming file source processes pre-existing files too.  The
+    reference's datasets are ``.txt`` batch files next to ``nodes2.txt``
+    (README.md:4), so an extension-only glob cannot express the
+    exclusion by itself.
     """
     reader = (
         spark.readStream.schema(point_csv_schema(dim))
@@ -75,7 +80,12 @@ def stream_points(
     )
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
-    return _project(reader.csv(dir_path), dim)
+    df = reader.csv(dir_path)
+    if exclude_file is not None:
+        df = df.select("*", F.col("_metadata.file_path").alias("_src")).filter(
+            ~F.col("_src").endswith("/" + exclude_file)
+        )
+    return _project(df, dim)
 
 
 def stream_points_socket(

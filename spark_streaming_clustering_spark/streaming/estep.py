@@ -47,7 +47,17 @@ PARTIAL_SCHEMA = (
 
 def _assign_top2(x: np.ndarray, cent: np.ndarray):
     """Vectorized nearest-2 assignment (findTwoNearestPointDist1L,
-    batchStreamModel.scala:111-125).  Returns (bmu1, bmu2, d2_min)."""
+    batchStreamModel.scala:111-125).  Returns (bmu1, bmu2, d2_min).
+
+    Deliberate deviation: the reference computes squaredDistance
+    directly as sum((x-c)^2); we use the expanded BLAS form below,
+    whose floating-point rounding can differ in the last ulp and flip a
+    near-exact-tie bmu1/bmu2 pick relative to a reference trace.  Both
+    internal paths (local + distributed) share this kernel, so the
+    committed goldens are self-consistent; trace-level parity with the
+    reference would require the direct form (and the reference's
+    partition-dependent collect() order anyway makes its own traces
+    non-deterministic)."""
     c_sq = (cent * cent).sum(axis=1)
     # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (BLAS); clamp fp negatives
     d2 = np.maximum(

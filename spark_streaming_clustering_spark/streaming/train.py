@@ -41,7 +41,14 @@ def write_snapshot_text(model: GStreamModel, out_dir: str, kk: int,
     conf/test/results/DS1-200-3/): Prototypes/OutdatedProtos = vector
     components joined ', ' per line; Edges = adjacency rows printed as
     ``ArrayBuffer(...)``; Weights/timeUpdates = one number per line.
-    Driver-side plain files (bounded by model size, <= ~300 rows)."""
+    Driver-side plain files (bounded by model size, <= ~300 rows).
+
+    Format note: doubles are written with Python ``repr``, which agrees
+    with Scala's ``Double.toString`` for ordinary magnitudes but not in
+    the exponent-notation range (Python ``1e-05`` vs Scala ``1.0E-5``),
+    so byte parity with the reference's goldens holds only for values
+    outside that range — semantic parity is what the replay tests
+    assert."""
     protos = model.to_string_proto()
     outdated = [", ".join(repr(v) for v in p.vector.tolist()) for p in model.outdated_nodes]
     edges = [
@@ -63,15 +70,23 @@ def write_snapshot_text(model: GStreamModel, out_dir: str, kk: int,
 
 
 def write_snapshot(spark: SparkSession, model: GStreamModel, out_dir: str, kk: int,
-                   time_updates: list[int]) -> None:
-    """Snapshot families as parquet (reference writes text, batchStream.scala:97-101)."""
+                   time_updates: list[int], first_batch: int = 0) -> None:
+    """Snapshot families as parquet (reference writes text, batchStream.scala:97-101).
+
+    ``first_batch`` is the absolute batch index of the capped timing
+    buffer's head, so the ``batch`` column stays truthful after the
+    B11 ring buffer starts dropping its front (the reference writes
+    raw values with no index at all)."""
     tables = model.snapshot_tables()
     specs = {
         "Prototypes": (tables["prototypes"], "node_id long, vector array<double>"),
         "OutdatedProtos": (tables["outdated_protos"], "node_id long, vector array<double>"),
         "Edges": (tables["edges"], "src long, dst long"),
         "Weights": (tables["weights"], "node_id long, weight double"),
-        "timeUpdates": (list(enumerate(time_updates)), "batch int, cum_ms long"),
+        "timeUpdates": (
+            list(enumerate(time_updates, start=first_batch)),
+            "batch int, cum_ms long",
+        ),
     }
     for family, (rows, schema) in specs.items():
         df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
@@ -100,6 +115,7 @@ class GStreamTrainer:
         self.snapshot_format = snapshot_format
         self.kk = 1
         self.time_updates: list[int] = [0]  # cumulative ms, B11
+        self.time_updates_base = 0  # absolute batch index of the buffer head
         # Batches at or below this row count run the E-step driver-local
         # (estep_local, zero Spark jobs); above it, distributed
         # compute_point_stats.  Probing costs one cheap limit() job.
@@ -148,12 +164,14 @@ class GStreamTrainer:
         self.time_updates.append(self.time_updates[-1] + elapsed_ms)
         if len(self.time_updates) > 100:
             self.time_updates.pop(0)
+            self.time_updates_base += 1
         if self.out_dir and snapshot_due(self.kk, self.nb_wind):
             if self.snapshot_format == "text":
                 write_snapshot_text(self.model, self.out_dir, self.kk, self.time_updates)
             else:
                 write_snapshot(
-                    self.spark, self.model, self.out_dir, self.kk, self.time_updates
+                    self.spark, self.model, self.out_dir, self.kk,
+                    self.time_updates, self.time_updates_base,
                 )
         self.kk += 1
 

@@ -41,6 +41,27 @@ def test_cli_end_to_end(spark, tmp_path):
     assert os.path.exists(snap / "timeUpdates-1" / "part-00000")
 
 
+def test_cli_txt_batch_files(spark, tmp_path):
+    """The reference's datasets are .txt batch files next to nodes2.txt
+    (README.md:4) — they must be ingested, while the init file itself is
+    excluded by name (ADVICE r1: a *.csv-only glob replayed zero
+    batches)."""
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    (data / "nodes2.txt").write_text("122,199,1,1\n243,434,2,2\n")
+    lines = [f"{100 + i},{200 + i},{i % 2},{i}" for i in range(20)]
+    (data / "DS1-batch0.txt").write_text("\n".join(lines) + "\n")
+
+    trainer = cli.run(
+        ["local[8]", str(data), str(out), "DS-txt", ",", "0.9", "1.2", "3", "1"]
+    )
+    assert trainer.kk > 1  # the .txt batch was consumed
+    # init file excluded: ids 1,2 from nodes2.txt never entered the
+    # stream, so total weight = 2 seeds + exactly the 20 batch points
+    assert trainer.model.weights.sum() <= 2.0 + 20.0 + 1e-9
+
+
 def test_cli_custom_separator(spark, tmp_path):
     """The separator arg flows through init read, dim inference, and the
     stream parse (the reference's args(4), batchStreamRun.scala:22)."""
