@@ -196,6 +196,88 @@ def test_update_gates_use_pre_update_count():
     assert m.errors[0] != 0.0
 
 
+def _ring_model(n: int, **param_overrides) -> GStreamModel:
+    """n-node ring graph (every node has 2 neighbors, none isolated):
+    deterministic scaffolding for the structural-gate boundary tests."""
+    from spark_streaming_clustering_spark.streaming.params import GStreamParams
+
+    m = GStreamModel(GStreamParams(**param_overrides))
+    m.nodes = np.array([[float(i), float(i)] for i in range(n)])
+    m.node_ids = list(range(1, n + 1))
+    m.point_ids = [set() for _ in range(n)]
+    m.edges = np.zeros((n, n), dtype=np.int64)
+    m.ages = np.full((n, n), np.nan)
+    for i in range(n):
+        j = (i + 1) % n
+        m.edges[i, j] = m.edges[j, i] = 1
+        m.ages[i, j] = m.ages[j, i] = 0.0
+    m.weights = np.full(n, 5.0)
+    m.errors = np.zeros(n)
+    return m
+
+
+def test_fading_gate_boundary_100_vs_101():
+    """fading fires iff the PRE-update count exceeds 100
+    (batchStreamModel.scala:93: nbNodes > 100 && kk % 3 == 0)."""
+    # exactly 100 nodes: gate closed even at kk%3==0
+    m = _ring_model(100)
+    m.weights[50] = 0.5  # < min_weight, would fade if the gate opened
+    m.update({}, kk=3)
+    assert m.n_nodes == 100 and len(m.outdated_nodes) == 0
+
+    # 101 nodes: gate open at kk%3==0
+    m = _ring_model(101)
+    m.weights[50] = 0.5
+    m.update({}, kk=3)
+    assert len(m.outdated_nodes) == 1 and m.outdated_nodes[0].node_id == 51
+    assert m.n_nodes == 100
+
+    # 101 nodes but kk%3!=0: schedule closed
+    m = _ring_model(101)
+    m.weights[50] = 0.5
+    m.update({}, kk=4)
+    assert m.n_nodes == 101 and len(m.outdated_nodes) == 0
+
+
+def test_growth_gate_boundary_300_vs_301():
+    """growth fires iff the PRE-update count is <= 300
+    (batchStreamModel.scala:100) — and may overshoot the cap, since the
+    gate checks before adding nbNodesToAdd nodes."""
+    m = _ring_model(300)
+    m.errors[7] = 9.0  # argmax target with ring neighbors
+    m.update({}, kk=5)
+    assert m.n_nodes == 303  # overshoots the cap: quirk preserved
+
+    m = _ring_model(301)
+    m.errors[7] = 9.0
+    m.update({}, kk=5)
+    assert m.n_nodes == 301  # 301 > 300: no growth
+
+    # at 303, the next kk%3==0 window can fade (303 > 100)
+    m = _ring_model(303)
+    m.weights[0] = 0.25
+    m.update({}, kk=6)
+    assert m.n_nodes == 302 and len(m.outdated_nodes) == 1
+
+
+def test_fading_gate_uses_count_captured_before_deletions():
+    """The quirk the gates preserve: nbNodes is captured BEFORE
+    update_rule/removals run (batchStreamModel.scala:73), so a batch
+    that starts at 101 nodes still fades even if an isolated-node
+    removal drops it to 100 first."""
+    m = _ring_model(101, max_age=250)
+    # node 100's ring edges are over-age -> remove_old_edges cuts both,
+    # remove_isolated_nodes archives it -> 100 nodes before the gate
+    m.ages[100, 0] = m.ages[0, 100] = 251.0
+    m.ages[100, 99] = m.ages[99, 100] = 251.0
+    m.weights[50] = 0.5
+    m.update({}, kk=3)
+    assert len(m.isolated_nodes) == 1 and m.isolated_nodes[0].node_id == 101
+    # fading still fired although only 100 nodes remained at gate time
+    assert len(m.outdated_nodes) == 1 and m.outdated_nodes[0].node_id == 51
+    assert m.n_nodes == 99
+
+
 def test_snapshot_tables_shapes():
     m = fresh_model()
     t = m.snapshot_tables()
