@@ -241,6 +241,117 @@ register(
 )
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over a watermarked
+    file-source replay of the events table (4 micro-batches).
+
+    State is one entry per distinct (user_id, event_type) key, hashed
+    across executors by the implicit shuffle on the dedup keys — O(#keys)
+    memory, no driver involvement.  At 100 TB the unbounded variant
+    would retain every key forever; production would bound it with
+    ``dropDuplicatesWithinWatermark`` (same plan plus state TTL at the
+    watermark).  Here the watermark lag exceeds the replayed span, so
+    nothing is evicted mid-replay and the emitted key set equals the
+    batch DISTINCT — which is the DuckDB oracle.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_dedup_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "60 days")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_dedup")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("streaming_dedup").select("user_id", "event_type")
+
+
+register(
+    "streaming_dedup",
+    streaming_dedup,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: click events joined to the
+    purchases the same user makes within the next 4 hours, both sides
+    replayed as independent file-source streams.
+
+    The time-range predicate plus per-side watermarks is what makes
+    this scale: Spark keeps only rows younger than
+    (watermark - range) in the join state store, so state is bounded by
+    event-time skew, not stream length.  Both sides shuffle on the
+    equality key (user_id) for co-located matching — the same plan a
+    1000-executor cluster would run.  The replay watermark lag exceeds
+    the dataset's 30-day span, so no row is evicted before its matches
+    arrive and the append-mode result equals the batch join — the
+    DuckDB oracle.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_ssjoin_")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def _side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "60 days")
+        )
+
+    joined = _side("click", "l").join(
+        _side("purchase", "r"),
+        F.expr(
+            "l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 4 HOURS"
+        ),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_join")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_stream_join").select(
+        "l_id", "r_id", F.col("l_user").alias("user_id")
+    )
+
+
+register(
+    "stream_stream_join",
+    stream_stream_join,
+    """
+    SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id AS user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+    """,
+)
+
+
 def mllib_kmeans_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib interop: batch KMeans over the same embedding points the
     G-Stream trainer consumes (k=8, fixed seed).  Demonstrates the
