@@ -36,3 +36,4 @@ from . import vector_queries  # noqa: E402,F401
 from . import builtins_surface  # noqa: E402,F401
 from . import pipeline_surface  # noqa: E402,F401
 from . import streaming_surface  # noqa: E402,F401
+from . import scale_surface  # noqa: E402,F401

@@ -1,0 +1,220 @@
+"""Cluster-scale physical techniques as oracle-checked query keys.
+
+The rest of the surface trusts Catalyst to pick physical plans; these
+keys exercise the three techniques a 100 TB deployment reaches for
+explicitly — storage-bucketed co-located joins, salting for skewed
+join keys, and partition-pruned scans — and prove with a DuckDB oracle
+that each physical rewrite preserves the logical result.  Plan-shape
+assertions (no Exchange on bucketed sides, PartitionFilters on pruned
+scans) live in tests/test_plans.py.
+
+The reference hand-schedules its one physical choice (broadcast model,
+driver merge — batchStreamModel.scala:78); this module is the same idea
+applied to Spark's storage layer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+lineitem bucketed/sorted by the join key into the
+    session catalog (once per session+sf; reused after).
+
+    At 100 TB this is the write-side investment that removes the join
+    shuffle from every downstream query: both tables hash-bucketed into
+    the same number of buckets on the same key, so the sort-merge join
+    reads co-located buckets with NO Exchange on either side (Spark
+    bucketing survives restarts via the table catalog; the analogous
+    cluster asset is a bucketed warehouse table).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _ensure(table: str, source: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # the in-memory catalog forgets tables across sessions while the
+        # warehouse directory persists; clear a stale location so
+        # saveAsTable doesn't refuse ([LOCATION_ALREADY_EXISTS])
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, source)
+            .select(*cols)
+            .write.bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+    _ensure(t_orders, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"], "o_orderkey")
+    _ensure(t_lineitem, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey")
+    return t_orders, t_lineitem
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on storage-bucketed tables: revenue per order
+    priority over lineitem ⋈ orders with ZERO join-side shuffles.
+
+    Both sides are bucketed+sorted by the join key into the same bucket
+    count, so the sort-merge join consumes matching buckets in place —
+    the only Exchange left in the plan is the final low-cardinality
+    aggregate.  This is the canonical big-big join strategy at 100 TB,
+    where shuffling the fact table is the cost that kills the naive
+    plan.  (Plan asserted Exchange-free on the join in
+    tests/test_plans.py.)
+    """
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    # merge hint: at test SF AQE would broadcast the small side, hiding
+    # the co-located plan; at 100 TB neither side is broadcastable and
+    # SMJ-over-buckets is the only shuffle-free strategy — pin it so the
+    # plan under test is the plan that ships.
+    orders = spark.table(t_orders).hint("merge")
+    li = spark.table(t_lineitem)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "join_bucketed",
+    join_bucketed,
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: events ⋈ customer attributes on a deliberately
+    skewed key, rewritten so no single reducer owns the hot key.
+
+    ``skew_key`` funnels ~20% of events onto one value (user_id%5==0 →
+    key 0) — the shape that stalls a plain hash join at scale, where
+    one straggler task gets the whole hot partition.  The rewrite:
+    the big side adds ``salt = pmod(hash(event_id), S)``; the small
+    side is exploded ×S (one copy per salt); the join key becomes
+    (skew_key, salt), splitting the hot key across S reducers.  The
+    oracle proves the rewrite preserves the plain-join result exactly.
+    AQE's skew-join handles moderate skew automatically; explicit
+    salting is the deterministic fallback for pathological keys known
+    in advance.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        F.pmod(F.hash("event_id"), F.lit(_N_SALTS)).alias("salt"),
+    )
+    # small side: one attribute row per possible skew_key, exploded x S
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("skew_key"), "c_mktsegment")
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALTS)])))
+    )
+    return (
+        ev.join(cust, ["skew_key", "salt"])
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "join_salted_skew",
+    join_salted_skew,
+    """
+    SELECT event_type, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_id, event_type, value,
+                 CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END AS skew_key
+          FROM events) e
+    JOIN customer ON skew_key = c_custkey
+    GROUP BY event_type, c_mktsegment
+    """,
+)
+
+
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events written partitioned by event date,
+    then read back with a date predicate that prunes at the DIRECTORY
+    level — the filter never touches data files outside the window.
+
+    At 100 TB date-partitioned layout is table stakes: a 7-day query
+    against a 3-year table reads 0.6% of the files.  The written layout
+    is cached per session+sf; the read plan carries PartitionFilters
+    (asserted in tests/test_plans.py) so pruning happens in the file
+    index, not per-row.
+    """
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"events_by_day_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    got = spark.read.parquet(out).filter(
+        (F.col("event_date") >= "2024-01-08") & (F.col("event_date") <= "2024-01-14")
+    )
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "partitioned_write_prune",
+    partitioned_write_prune,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)

@@ -87,6 +87,37 @@ def test_groupby_partial_aggregation(spark):
     assert "partial_" in plan
 
 
+def test_bucketed_join_has_no_join_side_shuffle(spark):
+    """join_bucketed: both sides read storage buckets in place — the
+    sort-merge join gets its partitioning from the table layout, so no
+    Exchange on either join key; the only shuffles belong to the final
+    aggregate/sort on o_orderpriority."""
+    import re
+
+    plan = _plan(spark, "join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert not re.search(r"hashpartitioning\((l_orderkey|o_orderkey)", plan)
+
+
+def test_salted_join_key_includes_salt(spark):
+    """join_salted_skew: the physical join key must be the composite
+    (skew_key, salt) — that's what splits the hot key across reducers."""
+    import re
+
+    plan = _plan(spark, "join_salted_skew")
+    assert re.search(r"keys \[2\]: \[skew_key#\d+L?, salt#\d+", plan)
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """partitioned_write_prune: the date predicate must land in
+    PartitionFilters (directory-level pruning), not in a post-scan
+    Filter over all files."""
+    plan = _plan(spark, "partitioned_write_prune")
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_asof_join_single_shuffle(spark):
     """The as-of join must stay a union + one window shuffle — not an
     inequality join (BroadcastNestedLoop/range explosion)."""
