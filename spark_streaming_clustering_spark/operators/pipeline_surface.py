@@ -605,17 +605,31 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = F.col("qn") * F.col("nn")
     cos = F.when(nn == 0, F.lit(0.0)).otherwise(vec.dot("qv", "nv") / nn)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    # ONE shuffle from candidates to answer: per-query the candidate set
+    # is bounded (N_LSH_TABLES * LSH_MAX_BUCKET entries), so dedup +
+    # rank collapse into a single groupBy(q_id) array aggregate —
+    # array_distinct removes cross-table pair collisions (cos is
+    # computed identically in every table, so duplicates are bitwise
+    # equal), sort_array on struct(-cos, n_id) gives (cos DESC, n_id
+    # ASC), slice takes the top 3.  The previous groupBy(q_id,n_id) +
+    # row_number window cost two differently-keyed exchanges for the
+    # same bounded result.
+    cand = F.array_distinct(
+        F.collect_list(F.struct((-F.col("cos")).alias("nc"), F.col("n_id").alias("n_id")))
+    )
     return (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", F.round(cos, 6).alias("cos"))
-        # same pair can collide in several tables; cos is identical, so
-        # max() is a pure dedup (cheaper than distinct on double cols)
-        .groupBy("q_id", "n_id")
-        .agg(F.max("cos").alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .groupBy("q_id")
+        .agg(F.slice(F.sort_array(cand), 1, 3).alias("top"))
+        .select("q_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "q_id",
+            F.col("s.n_id").alias("n_id"),
+            (-F.col("s.nc")).alias("cos"),
+            (F.col("pos") + 1).alias("rank"),
+        )
     )
 
 
