@@ -287,6 +287,97 @@ register(
 )
 
 
+def hll_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    ``hll_sketch_agg``): per-returnflag sketches of l_partkey, plus an
+    ALL row whose estimate comes from ``hll_union_agg`` over the
+    per-group sketches — NOT from re-scanning the data.
+
+    Mergeability is the scale property: at 100 TB you sketch once per
+    partition/day and answer any rollup by unioning binary sketches
+    (bytes, not rows).  The estimate itself can't be hash-compared, so
+    the oracle pins the accuracy CONTRACT: exact distinct count plus a
+    bool that the estimate sits within 5% (lgConfigK=12 gives ~1.6%
+    rsd; 3x margin).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count_distinct("l_partkey").alias("exact_nd"),
+    )
+    grp = per.select(
+        F.col("l_returnflag").alias("flag"),
+        "exact_nd",
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    # ALL = union of the 3 group sketches; exact companion recomputed
+    # from the base table (the one thing the sketch path avoids at scale)
+    total = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(li.agg(F.count_distinct("l_partkey").alias("exact_nd")))
+        .select(F.lit("ALL").alias("flag"), "exact_nd", "est")
+    )
+    both = grp.unionByName(total)
+    within = F.abs(F.col("est") - F.col("exact_nd")) / F.col("exact_nd") <= 0.05
+    return both.select("flag", "exact_nd", within.alias("est_within_5pct"))
+
+
+register(
+    "hll_sketch_q",
+    hll_sketch_q,
+    """
+    SELECT l_returnflag AS flag, COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS est_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
+    """,
+)
+
+
+def approx_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles with a rank-accuracy certificate.
+
+    ``percentile_approx`` (Greenwald-Khanna, accuracy=10000 => rank
+    error <= 1e-4) computes quartiles of l_extendedprice per returnflag
+    in one mergeable pass — the sketch answer at 100 TB where exact
+    percentiles need a full sort.  The approximate VALUES aren't
+    hash-stable, so the emitted columns are the certificate: for each
+    quartile, the value's true rank fraction (count(x <= v)/n, one
+    broadcast join back against the data) must sit within q +/- 0.005.
+    The oracle pins (flag, n, TRUE x3).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("qv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    le = [
+        F.sum((F.col("l_extendedprice") <= F.col("qv")[i]).cast("long")).alias(f"le{i}")
+        for i in range(3)
+    ]
+    ranks = j.groupBy("l_returnflag").agg(F.first("n").alias("n"), *le)
+    ok = [
+        (
+            F.abs(F.col(f"le{i}") / F.col("n") - F.lit(q)) <= 0.005
+        ).alias(f"q{int(q * 100)}_rank_ok")
+        for i, q in enumerate((0.25, 0.5, 0.75))
+    ]
+    return ranks.select(F.col("l_returnflag").alias("flag"), "n", *ok).orderBy("flag")
+
+
+register(
+    "approx_percentile_q",
+    approx_percentile_q,
+    """
+    SELECT l_returnflag AS flag, COUNT(*) AS n,
+           TRUE AS q25_rank_ok, TRUE AS q50_rank_ok, TRUE AS q75_rank_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+
+
 # --- scalar function families --------------------------------------------
 def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
