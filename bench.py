@@ -40,7 +40,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative headline subset: every execution shape the engine has
 # (multi-join star query, hash aggregate, window, cross-join top-k,
-# LSH self-join dedup, ANN, text pipeline, event-time window).
+# LSH self-join dedup, iterative connected components, bucketed
+# co-located join, ANN, text pipeline incl. TF-IDF, event-time window).
 HEADLINE = [
     "flagship_revenue",
     "groupby_agg_sums",
@@ -55,9 +56,12 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "dedup_connected_components",
+    "join_bucketed",
     "lang_id_ngram",
     "json_funcs",
     "token_count",
+    "tf_idf_topk",
     "topk_q",
     "vector_sum_agg",
     "gstream_epoch",

@@ -295,7 +295,10 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_capped_oracle() -> str:
+def _minhash_pairs_cte_body() -> str:
+    """Shared CTE chain ending in ``scored`` (doc_a, doc_b, est_jaccard
+    >= threshold) — used by the capped-LSH oracle and composed into the
+    connected-components oracle."""
     h = _DK_HASH.format(c="sh")
     mins = ",\n           ".join(
         f"MIN(({a} * {h} + {b}) % {P_MINHASH}) AS m{i}"
@@ -309,8 +312,7 @@ def _minhash_capped_oracle() -> str:
     eq = " + ".join(
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
-    return f"""
-    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    return f"""sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands AS (
 {band_selects}),
@@ -322,14 +324,84 @@ def _minhash_capped_oracle() -> str:
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
-      WHERE a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, ({eq}) / {float(NUM_HASHES)} AS est_jaccard
-    FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
-    WHERE ({eq}) / {float(NUM_HASHES)} >= {4.0 / NUM_HASHES}
+      WHERE a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b, ({eq}) / {float(NUM_HASHES)} AS est_jaccard
+      FROM pairs JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+      WHERE ({eq}) / {float(NUM_HASHES)} >= {4.0 / NUM_HASHES})"""
+
+
+def _minhash_capped_oracle() -> str:
+    return f"""
+    WITH {_minhash_pairs_cte_body()}
+    SELECT doc_a, doc_b, est_jaccard FROM scored
     """
 
 
 register("dedup_minhash_lsh_capped", dedup_minhash_lsh_capped, _minhash_capped_oracle())
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the near-dup pair graph: iterative
+    min-label propagation over the capped-LSH pairs until fixpoint,
+    emitting (doc_id, component) with component = lowest doc_id in the
+    cluster — what a dedup pipeline actually keys its keep/drop
+    decision on (pairs alone can't tell A~B~C is one group).
+
+    The loop is the standard distributed CC recipe (GraphX/Pregel
+    semantics on plain DataFrames): labels start as own id, each
+    iteration takes min(own, neighbors') with one join + one groupBy,
+    and ``localCheckpoint`` truncates the growing lineage so iteration
+    N doesn't replan iterations 1..N-1.  Iterations are bounded by
+    graph diameter, which the LSH bucket cap keeps small; each step is
+    a pair of shuffles on doc_id — no driver-side graph state at any
+    scale.  Oracle: DuckDB recursive-CTE transitive closure over the
+    identical pair CTEs, min label per node.
+    """
+    pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; bucket cap keeps clusters shallow
+        prop = edges.join(
+            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.select("node", F.col("lbl").alias("new_lbl"))
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component")
+    )
+
+
+def _cc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte_body()},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+              UNION ALL SELECT doc_b, doc_a FROM scored),
+    reach AS (SELECT a AS n, a AS m FROM edges
+              UNION SELECT e.b AS n, r.m AS m FROM reach r JOIN edges e ON e.a = r.n)
+    SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    """
+
+
+register("dedup_connected_components", dedup_connected_components, _cc_oracle())
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,6 +948,69 @@ register(
            length(text) AS n_chars,
            CAST(ceil(length(text) / 3.5) AS BIGINT) AS est_bpe_tokens
     FROM documents
+    """,
+)
+
+
+def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1), the classic relevance/keyword extraction
+    pass of a text pipeline.
+
+    Plan shape: tokenize map-side (regexp + explode inline with the
+    scan), tf = one S(doc_id, term) aggregate, df = one S(term)
+    re-aggregate of the already-distinct tf rows (never re-touching the
+    corpus), then a term equi-join back and a per-doc top-3 window.
+    The df side is vocabulary-sized — Zipf-bounded far below corpus
+    size, and AQE broadcasts it when it fits.  Ranking uses the ROUNDED
+    score in both engines so tie-breaking (term ASC) agrees exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log(
+                (F.col("n").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0)
+            )
+            + 1.0
+        ),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+register(
+    "tf_idf_topk",
+    tf_idf_topk,
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
     """,
 )
 

@@ -22,28 +22,53 @@ from ..streaming.train import GStreamTrainer
 from .registry import register
 
 
+def _await_finished(q, timeout: int = 480) -> None:
+    """Block until the availableNow query terminates; raise on timeout.
+
+    A plain ``awaitTermination(t)`` returns ``False`` on timeout and the
+    caller would silently read a PARTIAL memory-sink table — an
+    intermittent wrong-answer, far worse than a loud failure.  Seen in
+    practice: a loaded session returned 110/148 stream-stream join rows
+    at the 120 s mark."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after {timeout}s"
+        )
+
+
 def _point_batches(spark: SparkSession, sf_dir: str, n_batches: int = 10):
     """Deterministic micro-batches from the embeddings table: vec_id
     ranges of ~equal size, features = the 64-d embedding.
 
-    One Spark scan total; the slices are yielded as pandas batches and
-    take the trainer's driver-local E-step (a per-batch filter would pay
-    a ~200 ms probe job each and never amortize at this batch size).
+    Streamed to the driver via ``toLocalIterator`` over a globally
+    sorted plan — the driver holds at most one partition plus the
+    current chunk, never the full table (the reference's own collect
+    discipline: bounded driver state, batchStreamModel.scala:78).  One
+    count job sizes the chunks; the slices are yielded as pandas
+    batches and take the trainer's driver-local E-step (a per-batch
+    filter would pay a ~200 ms probe job each and never amortize at
+    this batch size).
     """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            F.transform("embedding", lambda x: x.cast("double")).alias("features"),
-            F.col("vec_id").alias("id"),
-        )
-        .orderBy("id")
-        .toPandas()
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("vec_id").alias("id"),
     )
-    per = max(len(emb) // n_batches, 2)
-    for b in range(n_batches):
-        chunk = emb.iloc[b * per : (b + 1) * per]
-        if not chunk.empty:
-            yield chunk.reset_index(drop=True)
+    n = emb.count()
+    per = max(n // n_batches, 2)
+    rows_iter = emb.orderBy("id").toLocalIterator(prefetchPartitions=True)
+    buf: list[tuple] = []
+    yielded = 0
+    for r in rows_iter:
+        buf.append((list(r.features), r.id))
+        if len(buf) == per:
+            yield pd.DataFrame(buf, columns=["features", "id"])
+            buf = []
+            yielded += 1
+            if yielded == n_batches:  # tail beyond n_batches*per dropped,
+                break  # exactly like the previous slice semantics
 
 
 def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +121,7 @@ def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_finished(q)
     rows = trainer.model.snapshot_tables()["prototypes"]
     return spark.createDataFrame(rows, "node_id long, vector array<double>")
 
@@ -159,7 +184,7 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_finished(q)
     return spark.table("stream_win_agg").select(
         F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
     )
@@ -216,7 +241,7 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_finished(q)
     # update mode emits one row per (user, batch-seen); final totals =
     # the row with the largest running n per user.
     return (
@@ -275,7 +300,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_finished(q)
     return spark.table("streaming_dedup").select("user_id", "event_type")
 
 
@@ -333,7 +358,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_finished(q)
     return spark.table("stream_stream_join").select(
         "l_id", "r_id", F.col("l_user").alias("user_id")
     )
