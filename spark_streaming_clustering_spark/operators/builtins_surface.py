@@ -935,3 +935,77 @@ register(
     FROM h
     """,
 )
+
+
+# --- fixed-width histogram --------------------------------------------------
+def histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of line-item extended price (width 5000):
+    bucket id, row count, decimal-exact bucket sum.  One partial+final
+    hash aggregate over ~20 buckets — the profiling pass every data
+    audit starts with, and the cheapest possible shuffle (bucket
+    cardinality, not data cardinality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bucket_sum"),
+    )
+
+
+register(
+    "histogram_q",
+    histogram_q,
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+
+# --- Python UDTF (table function) -------------------------------------------
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: a table function exploding each document
+    into (word, char length) rows via LATERAL join, bounded to
+    doc_id < 50.
+
+    This is the one row-at-a-time Python operator in the engine, kept
+    deliberately: it demonstrates the UDTF API (SQL-registered, LATERAL
+    composition) exactly like ``pandas_udf_distance`` demonstrates the
+    UDF API.  The hot-path equivalent is the built-in explode/split one
+    line below in the oracle — docstring over deletion so the plan
+    choice is explicit.  UDTF worker transfer is row-oriented pickle;
+    for bulk work use mapInPandas (see multimodal_* keys).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                yield w, len(w)
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.wlen
+        FROM docs_udtf d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+register(
+    "udtf_split_words",
+    udtf_split_words,
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           len(unnest(string_split(text, ' '))) AS wlen
+    FROM documents WHERE doc_id < 50
+    """,
+)

@@ -1276,3 +1276,119 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_resize_stub", multimodal_resize_stub, None)
+
+
+# ==========================================================================
+# Corpus shaping: stratified sampling, inverted index, quantization
+# ==========================================================================
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling — the standard rebalance
+    step of a training-data pipeline (keep 25% of over-represented
+    English, more of the rarer languages).
+
+    The keep decision is a pure function of doc_id (md5-prefix hash mod
+    100 against a per-lang rate), so it is reproducible across runs,
+    engines and cluster sizes — no RNG, no sampleBy seed drift.  Plan:
+    a single scan with the filter fully pushed into it; no shuffle at
+    all.  At 100 TB this is the shape you want: sampling decisions made
+    map-side, re-runnable with a changed rate table without re-shuffling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang") == "es", 50)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(100)
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+    return docs.filter((h % 100) < rate).select("doc_id", "lang")
+
+
+register(
+    "sample_stratified",
+    sample_stratified,
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DK_HASH.format(c="CAST(doc_id AS VARCHAR)")} % 100 <
+          CASE lang WHEN 'en' THEN 25 WHEN 'es' THEN 50 WHEN 'zh' THEN 50
+               ELSE 100 END
+    """,
+)
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> doc-frequency + head of the sorted
+    postings list (first 20 doc_ids).
+
+    One distinct + one groupBy on term.  The head cap is the scale
+    discipline: full postings for a stopword at 100 TB are a single
+    giant row (memory hazard per executor); real systems shard postings
+    into fixed-size blocks, and the cap models the first block while
+    n_docs carries the true frequency.  Deterministic: postings sorted
+    ascending in both engines before truncation.
+    """
+    tok = _tokens(spark, sf_dir).select("doc_id", F.col("tok").alias("term")).distinct()
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )
+
+
+register(
+    "inverted_index",
+    inverted_index,
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+    SELECT term, COUNT(*) AS n_docs,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS postings_head
+    FROM tok GROUP BY term
+    """,
+)
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage/
+    bandwidth step before ANN serving (4x smaller vectors, ~1e-2 recall
+    cost).  Per-vector symmetric scale = max|x| / 127; codes emitted as
+    a ','-joined string so the driver canonicalizer gets scalar cells.
+
+    Cross-engine determinism: floor(x/scale + 0.5) instead of round()
+    (whose half-case tie rule differs between engines), identical
+    float64 expression order on both sides.  Pure projection — no
+    shuffle, fully map-side at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    emb = emb.withColumn("scale", scale)
+    codes = F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+    return emb.select(
+        "vec_id",
+        (F.round("scale", 6) + F.lit(0.0)).alias("scale_r"),
+        F.array_join(codes, ",").alias("q8"),
+    )
+
+
+register(
+    "embed_quantize_int8",
+    embed_quantize_int8,
+    f"""
+    WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e)
+    SELECT vec_id, round(scale, 6) + 0.0 AS scale_r,
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)), ',') AS q8
+    FROM s
+    """,
+)
