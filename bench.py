@@ -100,12 +100,16 @@ def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 
     # In-memory micro-batches: the reference's measured regime is ~100
     # points arriving per 100 ms window, already materialized by the
     # streaming receiver when its timed updateObj starts.
+    # Timed externally: the trainer's B11 buffer keeps reference parity
+    # (whole-ms ints, batchStream.scala:92) but a sub-ms step truncates
+    # to 0 there; float wall-clock over the same loop measures honestly.
+    t0 = time.monotonic()
     for b in range(n_batches):
         chunk = emb.iloc[b * batch_points : (b + 1) * batch_points]
         if chunk.empty:
             break
         trainer.step(pd.DataFrame(chunk))
-    total_ms = trainer.time_updates[-1]
+    total_ms = (time.monotonic() - t0) * 1000.0
     batches_run = trainer.kk - 1
     return total_ms / max(batches_run, 1)
 
@@ -160,17 +164,21 @@ def main() -> None:
     # Best-of-3 per query: the container's host occasionally steals CPU
     # mid-burst (observed: a 3-expression JSON projection ranging 2.8 s to
     # 49 s across identical runs), so a single sample conflates operator
-    # cost with host noise.  Three full passes, min per query — standard
-    # noisy-host benchmarking practice; plans and data are identical
-    # across passes.
+    # cost with host noise.  Adaptive early-exit keeps total wall-clock
+    # bounded: once a query's best run is under FAST_SEC it is already at
+    # its steady-state floor (further runs can only shave fractions), so
+    # only slow-or-steal-hit queries pay the full three runs.
+    fast_sec = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_SEC", "2.0"))
     times: dict[str, float] = {}
-    for _pass in range(3):
-        for key in HEADLINE:
+    for key in HEADLINE:
+        best = float("inf")
+        for _run in range(3):
             t0 = time.monotonic()
             _force(QUERIES[key](spark, SF_DIR))
-            dt = round(time.monotonic() - t0, 3)
-            if key not in times or dt < times[key]:
-                times[key] = dt
+            best = min(best, round(time.monotonic() - t0, 3))
+            if best <= fast_sec:
+                break
+        times[key] = best
 
     gstream_ms = bench_gstream(spark, SF_DIR)
     times["gstream_epoch_20x100"] = round(gstream_ms * 20 / 1000.0, 3)

@@ -1009,3 +1009,119 @@ register(
     FROM documents WHERE doc_id < 50
     """,
 )
+
+
+# --- grouping sets (identical SQL both engines) -----------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup_q/cube_q are
+    shorthands of: two independent single-column margins plus the grand
+    total in ONE pass over the fact table (Catalyst expands to a single
+    Expand + hash aggregate, so the scan is not repeated per set)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+register("grouping_sets_q", grouping_sets_q, _GROUPING_SETS_SQL)
+
+
+# --- correlated EXISTS subquery ---------------------------------------------
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+def subquery_exists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it into a left
+    semi hash join on the correlation key (no per-row re-execution, the
+    classic subquery scale trap).  Identical SQL runs on DuckDB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+register("subquery_exists_q", subquery_exists_q, _EXISTS_SQL)
+
+
+# --- full outer join ---------------------------------------------------------
+def join_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (customers and
+    suppliers per nation) with COALESCE null-filling — the outer-join
+    surface the inner/anti/semi keys don't cover.  Aggregating BEFORE
+    the join keeps both sides nation-cardinality, so the outer join
+    itself is a bounded-size merge at any corpus scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+register(
+    "join_outer_q",
+    join_outer_q,
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nk,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+
+
+# --- distribution windows: ntile / percent_rank / cume_dist ------------------
+def ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per order priority: quartile
+    (ntile), percent_rank and cume_dist over total price, ties broken
+    by orderkey for cross-engine determinism.  Partitioned by priority
+    — one S(priority) shuffle, never a global single-partition sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
+    )
+
+
+register(
+    "ntile_q",
+    ntile_q,
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+           round(cume_dist() OVER w, 6) + 0.0 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)

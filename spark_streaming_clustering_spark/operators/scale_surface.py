@@ -218,3 +218,70 @@ register(
     GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# --- sink/source format roundtrips ------------------------------------------
+# The connector surface: prove each sink writes losslessly by reading
+# the files back and checking content-sensitive aggregates against the
+# DuckDB oracle computed on the ORIGINAL table.  Roundtrip corruption
+# (encoding, quoting, schema drift) changes sum_hash and fails the gate.
+_ROUNDTRIP_ORACLE = """
+    SELECT lang, COUNT(*) AS n, SUM(len(text)) AS sum_chars,
+           SUM(CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT)) AS sum_hash
+    FROM documents GROUP BY lang
+"""
+
+
+def _roundtrip_check(back: DataFrame) -> DataFrame:
+    h = F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(h).alias("sum_hash"),
+    )
+
+
+def _docs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip.  JSONL is the interchange
+    format of LLM corpus tooling; one file per task on write, splittable
+    line-oriented reads at any scale."""
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "docs")
+    _docs_subset(spark, sf_dir).write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id long, lang string, text string").json(path)
+    return _roundtrip_check(back)
+
+
+register("sink_json_roundtrip", sink_json_roundtrip, _ROUNDTRIP_ORACLE)
+
+
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip with header and explicit read schema
+    (quoting/escaping handled by the writer; the hash check would catch
+    any mangling)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_csv_"), "docs")
+    _docs_subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("doc_id long, lang string, text string")
+        .option("header", True)
+        .csv(path)
+    )
+    return _roundtrip_check(back)
+
+
+register("sink_csv_roundtrip", sink_csv_roundtrip, _ROUNDTRIP_ORACLE)
+
+
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the columnar alternative to
+    parquet, same pushdown/pruning machinery on read."""
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "docs")
+    _docs_subset(spark, sf_dir).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return _roundtrip_check(back)
+
+
+register("sink_orc_roundtrip", sink_orc_roundtrip, _ROUNDTRIP_ORACLE)
