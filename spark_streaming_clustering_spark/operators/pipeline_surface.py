@@ -959,17 +959,22 @@ def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: tokenize map-side (regexp + explode inline with the
     scan), tf = one S(doc_id, term) aggregate, df = one S(term)
-    re-aggregate of the already-distinct tf rows (never re-touching the
-    corpus), then a term equi-join back and a per-doc top-3 window.
-    The df side is vocabulary-sized — Zipf-bounded far below corpus
-    size, and AQE broadcasts it when it fits.  Ranking uses the ROUNDED
-    score in both engines so tie-breaking (term ASC) agrees exactly.
+    re-aggregate of the already-distinct tf rows, then a term equi-join
+    back and a per-doc top-3 window.  tf feeds two consumers (df and
+    the join-back), so it is persisted — without it Spark re-scans and
+    re-tokenizes the corpus per consumer (observed: 3 parquet scans in
+    the physical plan; with persist: 1 + the footer-stats count).  At
+    100 TB the same decision is "write tf to a table"; MEMORY_AND_DISK
+    is its session-scale analogue.  The df side is vocabulary-sized —
+    Zipf-bounded far below corpus size, and AQE broadcasts it when it
+    fits.  Ranking uses the ROUNDED score in both engines so
+    tie-breaking (term ASC) agrees exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     score = F.round(

@@ -415,3 +415,60 @@ def mllib_kmeans_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("mllib_kmeans_baseline", mllib_kmeans_baseline, None)
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch to a STATIC broadcast dimension (customer), then
+    aggregated per market segment — the standard streaming-enrich
+    pattern the stream-stream key doesn't cover.
+
+    The static side needs no watermark and holds no state: each
+    micro-batch plans a fresh broadcast hash join against the dimension
+    snapshot, so executor memory is O(|dim|), independent of stream
+    length.  At 100 TB of stream the dimension is re-broadcast per
+    batch (or slow-changing via Delta/refresh patterns); nothing about
+    the stream accumulates.  Oracle: the equivalent batch join +
+    aggregate.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_sstatic_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "c_mktsegment", "value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_static_join")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    return (
+        spark.table("stream_static_join")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "stream_static_join",
+    stream_static_join,
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)

@@ -129,3 +129,51 @@ def test_asof_join_single_shuffle(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) <= 1
     assert "Window" in plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must become a semi join, not per-row
+    re-execution of the subquery."""
+    plan = _plan(spark, "subquery_exists_q")
+    assert "LeftSemi" in plan
+
+
+def test_grouping_sets_single_scan_single_expand(spark):
+    """GROUPING SETS is one Expand + one partial/final aggregate over a
+    single scan — the set list must not fan out into per-set scans."""
+    import re
+
+    plan = _plan(spark, "grouping_sets_q")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert plan.count("Expand") >= 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_ntile_single_partition_shuffle(spark):
+    """Distribution windows shuffle once on the partition key — never a
+    global single-partition sort."""
+    import re
+
+    plan = _plan(spark, "ntile_q")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_outer_join_preaggregates_sides(spark):
+    """join_outer_q joins two nation-cardinality aggregates: the
+    FullOuter join must sit above per-side partial/final aggregates."""
+    plan = _plan(spark, "join_outer_q")
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tf_idf_persists_shared_tf(spark):
+    """tf feeds both df and the join-back; the persist must collapse
+    the duplicate corpus scans (3 scans without it)."""
+    import re
+
+    plan = _plan(spark, "tf_idf_topk")
+    assert "InMemoryTableScan" in plan
+    # remaining parquet scans: the persisted tf build + the N count
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
