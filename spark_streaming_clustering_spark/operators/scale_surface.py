@@ -39,25 +39,23 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     bucketing survives restarts via the table catalog; the analogous
     cluster asset is a bucketed warehouse table).
     """
-    import shutil
-    from urllib.parse import urlparse
-
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
 
     def _ensure(table: str, source: str, cols: list[str], key: str) -> None:
         if spark.catalog.tableExists(table):
             return
-        # the in-memory catalog forgets tables across sessions while the
-        # warehouse directory persists; clear a stale location so
-        # saveAsTable doesn't refuse ([LOCATION_ALREADY_EXISTS])
-        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+        # explicit fresh location: independent of the host session's
+        # warehouse dir (cwd-relative by default — may be read-only or
+        # carry a stale table dir from an earlier session, either of
+        # which fails saveAsTable)
+        loc = os.path.join(tempfile.mkdtemp(prefix=f"bkt_{table}_"), "t")
         (
             load_table(spark, sf_dir, source)
             .select(*cols)
             .write.bucketBy(_N_BUCKETS, key)
             .sortBy(key)
+            .option("path", loc)
             .mode("overwrite")
             .saveAsTable(table)
         )
