@@ -1397,3 +1397,127 @@ register(
     FROM s
     """,
 )
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5 by md5-prefix
+    hash of doc_id) + per-split-per-lang counts — the split must be a
+    pure function of the document key so it is stable across runs,
+    engines, repartitions and corpus growth (a doc never migrates
+    between splits when new data arrives).  Zero-shuffle assignment;
+    one bounded aggregate for the audit counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+register(
+    "split_train_test",
+    split_train_test,
+    f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {_DK_HASH.format(c="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                  WHEN {_DK_HASH.format(c="CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n FROM s GROUP BY split, lang
+    """,
+)
+
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to training shards so each
+    shard holds ~SHARD_TOKEN_BUDGET tokens, greedily in doc_id order
+    per language — the batch-construction step before tokenizer/trainer
+    hand-off.  shard = floor(exclusive-running-token-sum / budget).
+
+    The running sum is a per-lang ordered window — inherently
+    sequential per stratum, so one task per language processes that
+    language's rows in order (fine: #langs >> skew here).  The honest
+    100 TB version is two-phase: pack within partitions, then add
+    per-partition token-count offsets (one tiny driver pass) — same
+    outputs, no single-task bottleneck; documented here as the scale
+    path, the one-window form kept for oracle parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        docs.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn(
+            "shard",
+            F.floor((cum - F.col("n_tok")) / F.lit(SHARD_TOKEN_BUDGET)).cast("long"),
+        )
+    )
+
+
+register(
+    "shard_by_token_budget",
+    shard_by_token_budget,
+    f"""
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+           CAST(floor((SUM(len(string_split(text, ' '))) OVER
+                         (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - len(string_split(text, ' '))) / {SHARD_TOKEN_BUDGET})
+                AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: count each corpus document's
+    distinct 3-token shingles that also appear in the "benchmark" set
+    (stand-in: docs with doc_id < 10) — the eval-leakage audit every
+    training corpus needs.
+
+    The benchmark shingle set is tiny by construction, so it
+    broadcasts; the corpus side streams through a map-side
+    broadcast-semi-join + one S(doc_id) count — never a corpus-corpus
+    join.  Benchmark members are excluded from the report.
+    """
+    sh = _shingles(spark, sf_dir).select("doc_id", "sh")
+    bench_sh = (
+        sh.filter(F.col("doc_id") < 10).select("sh").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .dropDuplicates(["doc_id", "sh"])
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+register(
+    "contamination_check",
+    contamination_check,
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+    SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+    FROM sh JOIN bench USING (sh)
+    WHERE doc_id >= 10
+    GROUP BY doc_id
+    """,
+)
