@@ -1125,3 +1125,86 @@ register(
                  ORDER BY o_totalprice DESC, o_orderkey ASC)
     """,
 )
+
+
+# --- time-series gap filling -------------------------------------------------
+def gapfill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts per event type (the TimescaleDB
+    time_bucket_gapfill shape): the calendar is generated with
+    ``sequence()`` over the observed min/max date — one row per
+    (type, day) even when no events landed — and daily counts left-join
+    onto it with zero-fill.
+
+    The dense calendar is |types| x |days| — tiny relative to the event
+    table at any scale — and builds from a 2-row aggregate, so the only
+    data-sized cost is the one S(type, day) count; the join against the
+    calendar broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    rng = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d"),
+        )
+    )
+    return cal.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+register(
+    "gapfill_series",
+    gapfill_series,
+    """
+    WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    daily AS (SELECT event_type, d, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    rng AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+    cal AS (
+      SELECT t.event_type, unnest(generate_series(rng.d0, rng.d1, INTERVAL 1 DAY))::DATE AS d
+      FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN rng)
+    SELECT cal.event_type, cal.d, COALESCE(daily.n, 0) AS n
+    FROM cal LEFT JOIN daily ON cal.event_type = daily.event_type AND cal.d = daily.d
+    """,
+)
+
+
+# --- unpivot (inverse of pivot_q) -------------------------------------------
+def unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long via the DataFrame ``unpivot`` API over a
+    per-returnflag aggregate — the inverse surface of ``pivot_q``.
+    Runs on an aggregate of a handful of rows, so the unpivot itself is
+    a free projection (Expand) at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        (F.round(F.sum("l_quantity"), 4) + F.lit(0.0)).alias("sum_qty"),
+        (F.round(F.sum("l_discount"), 4) + F.lit(0.0)).alias("sum_disc"),
+        (F.round(F.sum("l_tax"), 4) + F.lit(0.0)).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_disc", "sum_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+register(
+    "unpivot_q",
+    unpivot_q,
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(SUM(l_quantity), 4) + 0.0 AS sum_qty,
+             round(SUM(l_discount), 4) + 0.0 AS sum_disc,
+             round(SUM(l_tax), 4) + 0.0 AS sum_tax
+      FROM lineitem GROUP BY l_returnflag)
+    UNPIVOT wide ON sum_qty, sum_disc, sum_tax INTO NAME metric VALUE val
+    """,
+)
