@@ -64,6 +64,7 @@ HEADLINE = [
     "tf_idf_topk",
     "topk_q",
     "vector_sum_agg",
+    "shard_by_token_budget",
     "gstream_epoch",
 ]
 

@@ -1208,3 +1208,39 @@ register(
     UNPIVOT wide ON sum_qty, sum_disc, sum_tax INTO NAME metric VALUE val
     """,
 )
+
+
+# --- linear-regression aggregates -------------------------------------------
+def regression_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in least-squares aggregates per event type: slope /
+    intercept / r2 of event value against hour-of-day, plus the pair
+    count.  One partial+final hash aggregate (the regr_* family ships
+    sufficient statistics, so it map-side combines like any sum) — the
+    grouped-model-fit shape without leaving the JVM.  Rounded to 6
+    places: both engines accumulate the same closed-form moments in
+    float64 but in different orders."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.hour("ts").cast("double").alias("x"),
+    )
+    return ev.groupBy("event_type").agg(
+        (F.round(F.expr("regr_slope(y, x)"), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.expr("regr_intercept(y, x)"), 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.expr("regr_r2(y, x)"), 6) + F.lit(0.0)).alias("r2"),
+        F.expr("regr_count(y, x)").alias("n"),
+    )
+
+
+register(
+    "regression_agg_q",
+    regression_agg_q,
+    """
+    SELECT event_type,
+           round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) + 0.0 AS slope,
+           round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6) + 0.0 AS intercept,
+           round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) + 0.0 AS r2,
+           regr_count(value, CAST(hour(ts) AS DOUBLE)) AS n
+    FROM events GROUP BY event_type
+    """,
+)
