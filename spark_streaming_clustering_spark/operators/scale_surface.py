@@ -283,3 +283,95 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sink_orc_roundtrip", sink_orc_roundtrip, _ROUNDTRIP_ORACLE)
+
+
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: one directory holding an old-schema
+    file (doc_id, lang) and a new-schema file (+ n_chars), read with
+    ``mergeSchema`` so old rows surface NULL for the added column —
+    the append-only evolution every long-lived 100 TB dataset goes
+    through.  Old rows: even doc_ids; new rows: odd.  The aggregate
+    COALESCEs the evolved column, proving null-backfill semantics.
+
+    mergeSchema is a footer-only operation (no data rewrite); at scale
+    you pay one footer read per file at planning time, which is why
+    production datasets keep it off and pin the merged schema in the
+    catalog — both paths produce this exact result.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).coalesce(1).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_new_col"),
+    )
+
+
+register(
+    "schema_evolution_merge",
+    schema_evolution_merge,
+    """
+    SELECT lang, COUNT(*) AS n,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS sum_new_col
+    FROM documents GROUP BY lang
+    """,
+)
+
+
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-input handling: a CSV replay of the
+    first 100 events where every 10th row carries an unparseable value;
+    bad rows land in ``_corrupt_record`` with NULL typed columns
+    instead of failing the job — the contract that keeps a 100 TB
+    ingest running when 0.01% of an upstream feed is garbage.  Emits
+    good/bad counts plus the decimal-exact sum over the rows that DID
+    parse, proving the good path is unaffected.
+    """
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_corrupt_"), "in")
+    os.makedirs(path)
+    with open(os.path.join(path, "feed.csv"), "w") as f:
+        for r in rows:
+            val = "NOT_A_NUMBER" if r.event_id % 10 == 0 else repr(float(r.value))
+            f.write(f"{r.event_id},{r.event_type},{val}\n")
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, _corrupt_record string"
+    ).option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").csv(path)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_bad"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.col("value").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_good"),
+    )
+
+
+register(
+    "csv_corrupt_records",
+    csv_corrupt_records,
+    """
+    SELECT COUNT(*) FILTER (event_id % 10 != 0) AS n_good,
+           COUNT(*) FILTER (event_id % 10 = 0) AS n_bad,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_id % 10 != 0) AS DOUBLE) AS sum_good
+    FROM events WHERE event_id < 100
+    """,
+)
