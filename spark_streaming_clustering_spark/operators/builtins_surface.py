@@ -1275,3 +1275,42 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# --- transpose (Spark 4 DataFrame API) --------------------------------------
+def transpose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (new in Spark 4): flip a per-returnflag
+    aggregate so metrics become rows and flag values become columns —
+    the report-shaping inverse that previously needed pivot gymnastics.
+    Runs on a 3-row aggregate, so the transpose (which must collect the
+    new column names to the driver) is bounded by construction; at any
+    scale this op belongs strictly ABOVE a reducing aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        (F.round(F.sum("l_quantity"), 4) + F.lit(0.0)).alias("sum_qty"),
+        (F.round(F.sum("l_discount"), 4) + F.lit(0.0)).alias("sum_disc"),
+    )
+    return wide.transpose("l_returnflag")
+
+
+register(
+    "transpose_q",
+    transpose_q,
+    """
+    WITH w AS (SELECT l_returnflag,
+                      round(SUM(l_quantity), 4) + 0.0 AS sum_qty,
+                      round(SUM(l_discount), 4) + 0.0 AS sum_disc
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT 'sum_qty' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS "A",
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS "N",
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS "R"
+    FROM w
+    UNION ALL
+    SELECT 'sum_disc',
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_disc END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_disc END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_disc END)
+    FROM w
+    """,
+)

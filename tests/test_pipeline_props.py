@@ -59,3 +59,36 @@ def test_connected_components_is_a_fixpoint(spark):
         members.setdefault(comp, []).append(node)
     for comp, nodes in members.items():
         assert comp == min(nodes)
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """Distributed-correctness property: changing the shuffle partition
+    count must not change any oracle-checked result (catches hidden
+    partition-order dependence — first/collect_list without sort,
+    unstable tie-breaks, float accumulation order)."""
+    from spark_streaming_clustering_spark.operators.registry import QUERIES
+
+    keys = [
+        "flagship_revenue",
+        "groupby_agg_sums",
+        "dedup_minhash_lsh_capped",
+        "dedup_connected_components",
+        "tf_idf_topk",
+        "topk_q",
+        "window_frame_range",
+        "shard_by_token_budget",
+        "string_agg_q",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("5", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                k: sorted(map(tuple, QUERIES[k](spark, SF_SMOKE).collect()))
+                for k in keys
+            }
+        for k in keys:
+            assert results["5"][k] == results["17"][k], k
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
