@@ -92,3 +92,74 @@ def test_results_invariant_to_shuffle_partition_count(spark):
             assert results["5"][k] == results["17"][k], k
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _recall_at_3(spark, ann_fn) -> float:
+    from spark_streaming_clustering_spark.operators.pipeline_surface import (
+        ann_bruteforce_topk,
+    )
+
+    truth: dict[int, set[int]] = {}
+    for r in ann_bruteforce_topk(spark, SF_SMOKE).collect():
+        if r.rank <= 3:
+            truth.setdefault(r.q_id, set()).add(r.n_id)
+    got: dict[int, set[int]] = {}
+    for r in ann_fn(spark, SF_SMOKE).collect():
+        if r.q_id in truth:
+            got.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_ann_recall_against_bruteforce(spark):
+    """Measured recall@3 of both ANN scale paths vs exact brute force
+    (deterministic data + deterministic structures => constants; the
+    floors guard against edits that silently gut recall).
+
+    Measured on the synthetic near-uniform embeddings: IVF 0.90 (probes
+    2/8 cells), LSH 0.17.  Uniform random vectors are random-hyperplane
+    LSH's worst regime — true neighbors sit barely above the bulk
+    cosine, so 8-bit sign patterns rarely collide, and the skew cap
+    (required at scale) trims candidates further; real text embeddings
+    cluster, which raises collision rates exactly where it matters.
+    The engine's guidance (SCALE.md) is IVF for recall on weakly
+    structured data, LSH where its one-pass bucketing and skew bound
+    fit the pipeline."""
+    from spark_streaming_clustering_spark.operators.pipeline_surface import (
+        ann_ivf_topk,
+        ann_lsh_bucketed,
+    )
+
+    ivf = _recall_at_3(spark, ann_ivf_topk)
+    lsh = _recall_at_3(spark, ann_lsh_bucketed)
+    assert ivf >= 0.8, f"IVF recall@3 collapsed: {ivf:.2f}"
+    assert lsh >= 0.15, f"LSH recall@3 collapsed: {lsh:.2f}"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Statistical validity of the 16-hash MinHash estimator: for every
+    emitted candidate pair, |est - true jaccard| <= 0.3 (the 16-hash
+    binomial bound at ~2 sigma), and the mean absolute error is far
+    tighter.  Catches coefficient/banding edits that keep the oracle in
+    lockstep (both engines wrong together) but break the estimator."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.operators.pipeline_surface import (
+        _shingles,
+        dedup_minhash_lsh_capped,
+    )
+
+    pairs = dedup_minhash_lsh_capped(spark, SF_SMOKE)
+    sh = _shingles(spark, SF_SMOKE).select("doc_id", "sh").distinct()
+    sets = {
+        r.doc_id: set(r.s)
+        for r in sh.groupBy("doc_id").agg(F.collect_set("sh").alias("s")).collect()
+    }
+    errs = []
+    for p in pairs.collect():
+        a, b = sets[p.doc_a], sets[p.doc_b]
+        true_j = len(a & b) / len(a | b)
+        errs.append(abs(p.est_jaccard - true_j))
+    assert errs, "capped LSH emitted no pairs at smoke scale"
+    assert max(errs) <= 0.3, f"worst estimate off by {max(errs):.2f}"
+    assert sum(errs) / len(errs) <= 0.12, f"mean error {sum(errs)/len(errs):.3f}"
