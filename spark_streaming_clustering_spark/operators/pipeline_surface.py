@@ -1521,3 +1521,110 @@ register(
     GROUP BY doc_id
     """,
 )
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): each query probes its
+    own bucket PLUS the 8 single-bit-flip neighbor buckets in every
+    table — buckets whose sign pattern differs by one hyperplane are
+    exactly where a near neighbor lands when one marginal dot product
+    flips.  9x probe cost per query for a large recall gain on weakly
+    structured data (measured in tests/test_pipeline_props.py vs the
+    single-probe key), with the same deterministic bucket cap on the
+    data side, so worst-case candidates stay bounded:
+    queries * tables * 9 * LSH_MAX_BUCKET.
+
+    This is the standard alternative to adding tables when memory, not
+    compute, is the binding constraint: probes multiply query work
+    only; tables multiply the stored index.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    buckets_arr = F.array(*[_table_bucket_expr(t) for t in range(N_LSH_TABLES)])
+    banded = emb.select(
+        "vec_id", "v", vec.norm2("v").alias("nrm"),
+        F.posexplode(buckets_arr).alias("tbl", "bkt"),
+    )
+    w_cap = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
+    data = (
+        banded.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= LSH_MAX_BUCKET)
+        .select(
+            "tbl", "bkt", F.col("vec_id").alias("n_id"), F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+        )
+    )
+    probe_set = F.array(
+        F.col("bkt"), *[F.expr(f"bkt ^ {1 << p}") for p in range(N_PLANES_PER_TABLE)]
+    )
+    queries = (
+        banded.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "tbl",
+            F.explode(probe_set).alias("bkt"),
+        )
+    )
+    nn = F.col("qn") * F.col("nn")
+    cos = F.when(nn == 0, F.lit(0.0)).otherwise(vec.dot("qv", "nv") / nn)
+    cand = F.array_distinct(
+        F.collect_list(F.struct((-F.col("cos")).alias("nc"), F.col("n_id").alias("n_id")))
+    )
+    return (
+        data.join(F.broadcast(queries), ["tbl", "bkt"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", F.col("n_id").alias("n_id"), F.round(cos, 6).alias("cos"))
+        .groupBy("q_id")
+        .agg(F.slice(F.sort_array(cand), 1, 3).alias("top"))
+        .select("q_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "q_id",
+            F.col("s.n_id").alias("n_id"),
+            (-F.col("s.nc")).alias("cos"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )
+
+
+def _multiprobe_oracle() -> str:
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {_DK_DOT.format(a='v', b=_duck_plane(t * N_PLANES_PER_TABLE + p))}"
+            f" > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(N_PLANES_PER_TABLE)
+        )
+
+    tables = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, v, {t} AS tbl, CAST({bucket(t)} AS INT) AS bkt FROM e"
+        for t in range(N_LSH_TABLES)
+    )
+    bits = ", ".join(f"({1 << p})" for p in range(N_PLANES_PER_TABLE))
+    return f"""
+    WITH e AS (SELECT vec_id, {_DK_DVEC} AS v FROM embeddings),
+    banded AS (
+{tables}),
+    capped AS (
+      SELECT vec_id, v, tbl, bkt FROM (
+        SELECT vec_id, v, tbl, bkt,
+               row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rk
+        FROM banded) WHERE rk <= {LSH_MAX_BUCKET}),
+    q AS (SELECT vec_id AS q_id, v AS qv, tbl, bkt FROM banded WHERE vec_id < 10),
+    probes AS (
+      SELECT q_id, qv, tbl, bkt FROM q
+      UNION ALL
+      SELECT q_id, qv, tbl, xor(bkt, bit) FROM q CROSS JOIN (VALUES {bits}) AS t(bit)),
+    d AS (SELECT q_id, c.vec_id AS n_id,
+                 max(round({_DK_DOT.format(a='qv', b='c.v')}
+                       / ({_DK_NORM.format(a='qv')} * {_DK_NORM.format(a='c.v')}), 6)) AS cos
+          FROM capped c JOIN probes p ON c.tbl = p.tbl AND c.bkt = p.bkt
+          WHERE c.vec_id <> p.q_id
+          GROUP BY 1, 2),
+    r AS (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+          FROM d)
+    SELECT q_id, n_id, cos, rank FROM r WHERE rank <= 3
+    """
+
+
+register("ann_lsh_multiprobe", ann_lsh_multiprobe, _multiprobe_oracle())

@@ -128,12 +128,18 @@ def test_ann_recall_against_bruteforce(spark):
     from spark_streaming_clustering_spark.operators.pipeline_surface import (
         ann_ivf_topk,
         ann_lsh_bucketed,
+        ann_lsh_multiprobe,
     )
 
     ivf = _recall_at_3(spark, ann_ivf_topk)
     lsh = _recall_at_3(spark, ann_lsh_bucketed)
+    multi = _recall_at_3(spark, ann_lsh_multiprobe)
     assert ivf >= 0.8, f"IVF recall@3 collapsed: {ivf:.2f}"
     assert lsh >= 0.15, f"LSH recall@3 collapsed: {lsh:.2f}"
+    # multi-probe must deliver its reason to exist: a clear lift over
+    # single-probe (measured 0.43 vs 0.17)
+    assert multi >= 0.4, f"multi-probe recall@3 collapsed: {multi:.2f}"
+    assert multi >= lsh + 0.15, f"multi-probe lift gone: {multi:.2f} vs {lsh:.2f}"
 
 
 def test_minhash_estimate_tracks_true_jaccard(spark):
