@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_embed_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "dedup_connected_components",
     "join_bucketed",
