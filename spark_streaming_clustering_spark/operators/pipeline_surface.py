@@ -404,37 +404,9 @@ def _cc_oracle() -> str:
 register("dedup_connected_components", dedup_connected_components, _cc_oracle())
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from token hashes (with multiplicity)."""
-    tok = _tokens(spark, sf_dir)
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-    t = tok.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    sums = t.groupBy("doc_id").agg(*bit_sums)
-    simhash = sum(
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)
-    )
-    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
-
-
-def _simhash_oracle() -> str:
-    h = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)"
-    sums = ",\n           ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
-    )
-    sim = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
-    return f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    t AS (SELECT doc_id, {h} AS h FROM tok),
-    sums AS (SELECT doc_id, {sums} FROM t GROUP BY doc_id)
-    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
-    """
-
+# moved to _simhash.py (leaf module) so quality_surface's banded
+# Hamming variant can share it without a cycle through the registry
+from ._simhash import dedup_simhash, simhash_oracle as _simhash_oracle  # noqa: E402
 
 register("dedup_simhash", dedup_simhash, _simhash_oracle())
 

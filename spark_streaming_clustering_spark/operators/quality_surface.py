@@ -1,0 +1,415 @@
+"""Corpus-quality and join-pruning operators (round 3 additions).
+
+Four first-class training-data-pipeline operators beyond the round-2
+surface, each oracle-checked:
+
+- ``pii_redact``      — regex PII scrubbing (emails / IPv4 / phone) with
+                        per-class hit counts; the pre-tokenization scrub
+                        pass of every corpus pipeline.
+- ``quality_repetition`` — Gopher-style repetition signals: top-2-gram
+                        share and duplicate-3-gram fraction per doc.
+- ``bloom_join_prune`` — explicit Bloom-filter semi-join pruning of a
+                        fact table against a filtered dimension,
+                        result-identical to the exact join (no false
+                        negatives), bloom built executor-side and
+                        broadcast as a 512-word (~4 KB) literal.
+- ``dedup_simhash_hamming`` — banded SimHash near-dup candidates
+                        verified at Hamming distance <= 3.
+
+Cross-engine determinism follows the house rules (pipeline_surface.py):
+all hashing is md5-hex-prefix -> BIGINT, all constants are literals
+shared between the Spark plan and the DuckDB oracle SQL.
+
+Reference parity note: the reference (G-Stream) has no text pipeline —
+these extend the engine surface per SURVEY.md section 2 "LLM-pipeline
+extensions"; the nearest reference op is the quasi-equality scan
+(batchStreamModel.scala:420-431) which dedup generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from ._simhash import dedup_simhash, simhash_oracle as _simhash_oracle
+from .registry import register
+
+# ==========================================================================
+# PII redaction
+# ==========================================================================
+
+# RE2- and Java-regex-compatible (no lookarounds, no backrefs) so Spark
+# and DuckDB see the identical pattern text.
+_RE_EMAIL = r"[a-z0-9]+@[a-z]+\.com"
+_RE_IPV4 = r"\d+\.\d+\.\d+\.\d+"
+_RE_PHONE = r"555-\d{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers, count hits per class.
+
+    The synthetic corpus is lowercase prose with no PII, so each doc is
+    deterministically augmented with one email, one IP and one phone
+    derived from doc_id before scrubbing — the redactor then provably
+    removes them (hash + tail of the redacted text are oracle-checked).
+    Order matters and is fixed: email -> IP -> phone (the email pattern
+    consumes its digits before the IP pattern can see them).
+
+    Scale shape: pure per-row projection (regexp_replace chain inside
+    one whole-stage-codegen projection over the scan) — no shuffle, no
+    UDF; at 100 TB this is scan-bound, exactly what a scrub pass must be.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.com from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _RE_EMAIL, "<EMAIL>"), _RE_IPV4, "<IP>"
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(aug, F.lit(pat), 0))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n(_RE_EMAIL).alias("n_email"),
+        n(_RE_IPV4).alias("n_ip"),
+        n(_RE_PHONE).alias("n_phone"),
+        F.md5(red).alias("redacted_md5"),
+        # negative-start substring == right(str, 40); every augmented doc
+        # exceeds 40 chars by construction
+        F.substring(red, -40, 40).alias("redacted_tail"),
+    )
+
+
+register(
+    "pii_redact",
+    pii_redact,
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.com from 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.9 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+      FROM documents),
+    red AS (
+      SELECT doc_id, a,
+             regexp_replace(regexp_replace(regexp_replace(a,
+                 '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{_RE_IPV4}', '<IP>', 'g'),
+                 '{_RE_PHONE}', '<PHONE>', 'g') AS r
+      FROM aug)
+    SELECT doc_id,
+           len(regexp_extract_all(a, '{_RE_EMAIL}')) AS n_email,
+           len(regexp_extract_all(a, '{_RE_IPV4}')) AS n_ip,
+           len(regexp_extract_all(a, '{_RE_PHONE}')) AS n_phone,
+           md5(r) AS redacted_md5,
+           right(r, 40) AS redacted_tail
+    FROM red
+    """,
+)
+
+
+# ==========================================================================
+# Repetition-based quality signals (Gopher-style)
+# ==========================================================================
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition: top-2-gram share and duplicate-3-gram fraction.
+
+    top2_share = count of the most frequent 2-gram / number of 2-grams;
+    dup3_frac  = 1 - distinct-3-grams / 3-grams.  Both are the standard
+    repetition filters (Gopher / MassiveText rules) that length- and
+    stopword-based scores (text_quality_score) cannot see.
+
+    Scale shape: the 2-gram and 3-gram paths are each one map-side
+    explode + one hash aggregate keyed by doc_id; the final join is
+    doc_id-to-doc_id on two already-aggregated (corpus-cardinality)
+    sides.  No windows over raw grams, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+
+    def grams(k: int):
+        gram_arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+        )
+        return toks.select("doc_id", F.explode(gram_arr).alias("g"))
+
+    g2 = (
+        grams(2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n2"), F.max("c").alias("top2"))
+    )
+    g3 = grams(3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n3"), F.countDistinct("g").alias("n3d")
+    )
+    top2_share = F.when(
+        F.col("n2") > 0, F.round(F.col("top2") / F.col("n2"), 6)
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        F.col("n3") > 0, F.round(1.0 - F.col("n3d") / F.col("n3"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        g2.join(g3, "doc_id")
+        .select(
+            "doc_id",
+            "n2",
+            "top2",
+            top2_share.alias("top2_share"),
+            dup3.alias("dup3_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top2_share") > 0.1) | (F.col("dup3_frac") > 0.4),
+        )
+    )
+
+
+register(
+    "quality_repetition",
+    quality_repetition,
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g2r AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks),
+    g2 AS (
+      SELECT doc_id, SUM(c) AS n2, MAX(c) AS top2
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2r GROUP BY 1, 2)
+      GROUP BY doc_id),
+    g3r AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks),
+    g3 AS (
+      SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS n3d
+      FROM g3r GROUP BY doc_id)
+    SELECT doc_id, n2, top2,
+           CASE WHEN n2 > 0 THEN round(top2 / n2, 6) ELSE 0.0 END AS top2_share,
+           CASE WHEN n3 > 0 THEN round(1.0 - n3d / n3, 6) ELSE 0.0 END AS dup3_frac,
+           (CASE WHEN n2 > 0 THEN round(top2 / n2, 6) ELSE 0.0 END) > 0.1
+             OR (CASE WHEN n3 > 0 THEN round(1.0 - n3d / n3, 6) ELSE 0.0 END) > 0.4
+             AS repetitive
+    FROM g2 JOIN g3 USING (doc_id)
+    """,
+)
+
+
+# ==========================================================================
+# Bloom-filter join pruning
+# ==========================================================================
+
+BLOOM_BITS = 1 << 15  # 32768 bits = 512 long words (~4 KB literal); sized
+# for the sf0.01 build side (~3k keys x 3 hashes -> ~1.4% FPR); at larger
+# builds size m proportionally (m ~ 10 bits/key) — the filter stays
+# kilobytes while the pruned fact side shrinks by (1 - selectivity)
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3
+
+
+def _bloom_positions(key_col, i: int):
+    """i-th bloom bit position of a key: 28-bit md5 slice mod BLOOM_BITS."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(i) + ":"), key_col.cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % BLOOM_BITS).cast("int")
+
+
+def build_bloom(dim: DataFrame, key: str) -> list[int]:
+    """Aggregate the dim keys' bloom bits executor-side; collect only the
+    <= BLOOM_WORDS (word, mask) aggregate rows (~1 KB)."""
+    pos = F.explode(F.array(*[_bloom_positions(F.col(key), i) for i in range(BLOOM_K)]))
+    words = (
+        dim.select(pos.alias("pos"))
+        .select((F.col("pos") / 64).cast("int").alias("w"), (F.col("pos") % 64).alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).alias("m"))
+        .collect()
+    )
+    bitset = [0] * BLOOM_WORDS
+    for r in words:
+        bitset[r["w"]] = r["m"]
+    return bitset
+
+
+def might_contain(bitset: list[int], key: str) -> F.Column:
+    """SQL predicate: all BLOOM_K positions of ``key`` set in ``bitset``.
+
+    Built as expression text because the shift amount is itself an
+    expression (python F.shiftright only accepts a constant shift); the
+    md5-position formula matches _bloom_positions exactly.
+    """
+    arr = "array(" + ",".join(f"{w}L" for w in bitset) + ")"
+    checks = []
+    for i in range(BLOOM_K):
+        p = (
+            f"(cast(conv(substring(md5(concat('{i}:', cast({key} as string))), 1, 7), 16, 10)"
+            f" as bigint) % {BLOOM_BITS})"
+        )
+        checks.append(
+            f"(shiftright(element_at({arr}, cast({p} / 64 as int) + 1),"
+            f" cast({p} % 64 as int)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(checks))
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact/dim join, result-identical to the exact join.
+
+    Build side: urgent orders' o_orderkey hashed to BLOOM_K positions in
+    a BLOOM_BITS bitset.  The bitset is assembled EXECUTOR-side — one
+    hash aggregate `groupBy(word).agg(bit_or(mask))` — and only the <=
+    BLOOM_WORDS aggregated words (128 longs, ~1 KB) are collected and
+    re-broadcast as an array literal: the same bounded-collect
+    discipline as the G-Stream centroid loop (batchStreamModel.scala:78
+    collects <= N aggregate rows, never raw data).
+
+    Probe side: lineitem keeps a row only if all BLOOM_K positions are
+    set, then the exact broadcast join removes bloom false positives.
+    Because a Bloom filter has NO false negatives, the final aggregate
+    equals the plain join byte-for-byte — which is exactly what the
+    DuckDB oracle runs.  tests/test_plans.py asserts the prune is real
+    (survivor fraction well below 1).
+
+    At 100 TB this is Spark's own runtime-filter shape
+    (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) made
+    explicit: the bloom rides the broadcast to every scan task and
+    drops non-joining fact rows before the shuffle/join, the win being
+    proportional to dim selectivity (here ~1/5 of orders are urgent).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    bitset = build_bloom(dim, "o_orderkey")
+    pruned = li.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount").filter(
+        might_contain(bitset, "l_orderkey")
+    )
+    return (
+        pruned.join(F.broadcast(dim), pruned.l_orderkey == dim.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+register(
+    "bloom_join_prune",
+    bloom_join_prune,
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(round(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ==========================================================================
+# SimHash Hamming-band near-duplicate candidates
+# ==========================================================================
+
+SIMHAM_MAX_BUCKET = 50
+SIMHAM_MAX_DIST = 3
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= 3 via byte bands.
+
+    Pigeonhole: two 32-bit SimHashes within Hamming distance 3 agree
+    exactly on at least one of their 4 bytes, so candidates are an
+    equi-join on (band, byte value) — never all-pairs.  Each (band,
+    value) bucket is capped at SIMHAM_MAX_BUCKET members kept
+    deterministically by lowest doc_id (the skew guard every banded
+    join here uses); survivors are verified exactly with
+    bit_count(xor).  Duplicate pairs found by several bands collapse
+    via groupBy min-distance (distance is band-independent, so this is
+    pure dedup).
+
+    Scale shape: signature is one aggregate (dedup_simhash), banding is
+    a 4x map-side explode, candidate generation one equi-join with
+    bounded buckets, verification a per-row bit op.  This is the
+    SimHash complement of dedup_minhash_lsh_capped.
+    """
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    w_cap = Window.partitionBy("band", "val").orderBy("doc_id")
+    capped = bands.withColumn("rk", F.row_number().over(w_cap)).filter(
+        F.col("rk") <= SIMHAM_MAX_BUCKET
+    )
+    a = capped.select("band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = capped.select("band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHAM_MAX_DIST)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def _simham_oracle() -> str:
+    return f"""
+    WITH sim AS ({_simhash_oracle()}),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (8 * b.band)) & 255 AS val
+      FROM sim, (SELECT unnest(generate_series(0, 3)) AS band) b),
+    capped AS (
+      SELECT doc_id, simhash, band, val FROM (
+        SELECT doc_id, simhash, band, val,
+               row_number() OVER (PARTITION BY band, val ORDER BY doc_id) AS rk
+        FROM bands) WHERE rk <= {SIMHAM_MAX_BUCKET})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           MIN(bit_count(xor(a.simhash, b.simhash))) AS hamming
+    FROM capped a JOIN capped b ON a.band = b.band AND a.val = b.val
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHAM_MAX_DIST}
+    GROUP BY 1, 2
+    """
+
+
+register("dedup_simhash_hamming", dedup_simhash_hamming, _simham_oracle())

@@ -169,3 +169,50 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     assert errs, "capped LSH emitted no pairs at smoke scale"
     assert max(errs) <= 0.3, f"worst estimate off by {max(errs):.2f}"
     assert sum(errs) / len(errs) <= 0.12, f"mean error {sum(errs)/len(errs):.3f}"
+
+
+def test_repetition_flags_are_nondegenerate(spark):
+    """The repetition filter must separate the corpus: both flagged and
+    unflagged docs exist, and every flagged doc really exceeds a
+    threshold."""
+    from spark_streaming_clustering_spark.operators.quality_surface import (
+        quality_repetition,
+    )
+
+    rows = quality_repetition(spark, SF_SMOKE).collect()
+    flagged = [r for r in rows if r.repetitive]
+    assert 0 < len(flagged) < len(rows)
+    for r in flagged:
+        assert r.top2_share > 0.1 or r.dup3_frac > 0.4
+
+
+def test_simhash_hamming_matches_sequential_emulation(spark):
+    """The distributed banded+capped+verified pipeline must equal a
+    sequential driver-side emulation of the same algorithm over the same
+    signatures: band by byte, keep the SIMHAM_MAX_BUCKET lowest doc_ids
+    per (band, value), verify survivors at hamming <= SIMHAM_MAX_DIST."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators._simhash import dedup_simhash
+    from spark_streaming_clustering_spark.operators.quality_surface import (
+        SIMHAM_MAX_BUCKET,
+        SIMHAM_MAX_DIST,
+        dedup_simhash_hamming,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF_SMOKE).collect()}
+    buckets = defaultdict(list)
+    for d in sorted(sigs):
+        for band in range(4):
+            buckets[(band, (sigs[d] >> (8 * band)) & 255)].append(d)
+    expect = {}
+    for members in buckets.values():
+        kept = members[:SIMHAM_MAX_BUCKET]  # lowest doc_ids survive the cap
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= SIMHAM_MAX_DIST:
+                    expect[(a, b)] = h
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash_hamming(spark, SF_SMOKE).collect()}
+    assert len(got) > 0
+    assert got == expect

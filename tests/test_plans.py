@@ -177,3 +177,29 @@ def test_tf_idf_persists_shared_tf(spark):
     assert "InMemoryTableScan" in plan
     # remaining parquet scans: the persisted tf build + the N count
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
+
+
+def test_bloom_prune_filters_before_the_join(spark):
+    """The bloom predicate must reach the lineitem scan side and prune a
+    meaningful fraction of fact rows.  No-false-negatives (result equals
+    the exact join) is covered by the oracle; this pins that the prune
+    is real, not a pass-through."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.operators import quality_surface as qs
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    plan = _plan(spark, "bloom_join_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "md5" in plan  # bloom position checks present as a filter
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    dim_frac = dim.count() / orders.count()
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    bitset = qs.build_bloom(dim, "o_orderkey")
+    kept = li.filter(qs.might_contain(bitset, "l_orderkey")).count()
+    # survivors ~ true joining fraction plus small false-positive
+    # overhead — far below 1.0
+    assert kept / li.count() < min(1.0, dim_frac + 0.15)
