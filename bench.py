@@ -66,6 +66,10 @@ HEADLINE = [
     "topk_q",
     "vector_sum_agg",
     "shard_by_token_budget",
+    "pii_redact",
+    "quality_repetition",
+    "bloom_join_prune",
+    "dedup_simhash_hamming",
     "gstream_epoch",
 ]
 

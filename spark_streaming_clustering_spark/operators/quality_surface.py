@@ -226,13 +226,15 @@ BLOOM_K = 3
 
 
 def _bloom_positions(key_col, i: int):
-    """i-th bloom bit position of a key: 28-bit md5 slice mod BLOOM_BITS."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(str(i) + ":"), key_col.cast("string"))), 1, 7),
-        16,
-        10,
-    ).cast("bigint")
-    return (h % BLOOM_BITS).cast("int")
+    """i-th bloom bit position of a key: xxhash64(key, i) mod BLOOM_BITS.
+
+    xxhash64, not the md5-hex house hash: the bloom never crosses to
+    the DuckDB oracle (the oracle runs the plain exact join), so the
+    probe side can use the cheapest JVM hash — one codegen'd long op
+    per row instead of md5 string round-trips (measured ~2x on the
+    fact-scan probe).
+    """
+    return F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(BLOOM_BITS)).cast("int")
 
 
 def build_bloom(dim: DataFrame, key: str) -> list[int]:
@@ -257,15 +259,12 @@ def might_contain(bitset: list[int], key: str) -> F.Column:
 
     Built as expression text because the shift amount is itself an
     expression (python F.shiftright only accepts a constant shift); the
-    md5-position formula matches _bloom_positions exactly.
+    xxhash64 position formula matches _bloom_positions exactly.
     """
     arr = "array(" + ",".join(f"{w}L" for w in bitset) + ")"
     checks = []
     for i in range(BLOOM_K):
-        p = (
-            f"(cast(conv(substring(md5(concat('{i}:', cast({key} as string))), 1, 7), 16, 10)"
-            f" as bigint) % {BLOOM_BITS})"
-        )
+        p = f"pmod(xxhash64({key}, {i}), {BLOOM_BITS})"
         checks.append(
             f"(shiftright(element_at({arr}, cast({p} / 64 as int) + 1),"
             f" cast({p} % 64 as int)) & 1) = 1"

@@ -191,7 +191,7 @@ def test_bloom_prune_filters_before_the_join(spark):
 
     plan = _plan(spark, "bloom_join_prune")
     assert "BroadcastHashJoin" in plan
-    assert "md5" in plan  # bloom position checks present as a filter
+    assert "xxhash64" in plan  # bloom position checks present as a filter
 
     orders = load_table(spark, SF_ORACLE, "orders")
     dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
