@@ -70,6 +70,9 @@ HEADLINE = [
     "quality_repetition",
     "bloom_join_prune",
     "dedup_simhash_hamming",
+    "sessionize_events",
+    "bm25_topk",
+    "cms_sketch_q",
     "gstream_epoch",
 ]
 

@@ -1,0 +1,743 @@
+"""Event-analytics and retrieval-scoring operators (round 3 additions).
+
+Nine oracle-checked operators extending the engine surface along two
+axes the earlier rounds had not covered:
+
+event analytics over ``events`` (the classic clickstream suite):
+- ``sessionize_events`` — gap-based sessionization (6 h inactivity
+  cut) via lag + running-sum window, the canonical "no session id in
+  the data" shape.
+- ``event_funnel``      — ordered 3-step funnel (view -> click ->
+  purchase, each step strictly after the previous) with per-stage
+  distinct-user counts.
+- ``retention_cohort``  — weekly cohort retention matrix
+  (first-activity week x weeks-since-cohort -> active users).
+
+retrieval / corpus statistics over ``documents``:
+- ``bm25_topk``         — Okapi BM25 (k1=1.2, b=0.75) top-3 terms per
+  document; the doc-length-normalized upgrade of ``tf_idf_topk``.
+- ``ngram_counts``      — corpus top-20 bigrams, the n-gram frequency
+  table every tokenizer/LM-data audit starts from.
+- ``chunk_documents``   — fixed-width sliding-window chunking
+  (80 chars, stride 40) with offsets, the context-window shaping step
+  of a training pipeline; pure map-side explode.
+- ``quality_entropy``   — token Shannon entropy + type-token ratio per
+  document (single aggregate via H = log2(n) - sum(tf*log2 tf)/n).
+
+dedup verify stages over ``documents``:
+- ``dedup_lev_verify``  — edit-distance verification of blocked
+  candidate pairs (lang + length-bucket blocking, levenshtein
+  similarity, deterministic top-10).
+- ``dedup_containment`` — shingle containment |A n B| / min(|A|,|B|)
+  for shared-shingle candidate pairs; catches subset-duplicates that
+  symmetric Jaccard under-scores.
+
+House rules (see pipeline_surface.py): every constant is a literal
+shared by the Spark builder and the DuckDB oracle; float outputs are
+rounded in BOTH engines; ranking always breaks ties on a total key.
+
+Reference parity note: the reference (G-Stream, batchStreamModel.scala)
+has no event or text analytics; these extend the engine per SURVEY.md
+section 2. The nearest reference ops are the windowed argmax (A13,
+batchStreamModel.scala:195) which the top-k rankers generalize, and
+the quasi-equality scan (batchStreamModel.scala:420-431) which the
+dedup verify stages generalize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+# ==========================================================================
+# sessionize_events
+# ==========================================================================
+
+SESSION_GAP_S = 21_600  # 6 h inactivity ends a session
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds SESSION_GAP_S.
+
+    Plan shape: one hash-partition by user_id serves BOTH windows (lag
+    and the running sum share the same (user_id | ts, event_id) sort),
+    then the session aggregate re-uses the same partitioning — a
+    single exchange end to end.  At 100 TB this is the shape that
+    matters: everything after the one shuffle is within-partition.
+    Session ids are per-user ordinals (user_id, sess_id) — globally
+    unique without any driver-side counter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may be TIMESTAMP_NTZ (direct parquet read) or TIMESTAMP_LTZ
+    # (the nanosAsLong rebuild path); unix_micros only accepts LTZ, and
+    # the session tz is pinned UTC so the NTZ->LTZ cast is the identity.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "sess_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+register(
+    "sessionize_events",
+    sessionize_events,
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o)
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+
+
+# ==========================================================================
+# event_funnel
+# ==========================================================================
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase; each step must occur
+    strictly after the user's first qualifying previous step.
+
+    Plan shape: three per-user min-aggregates chained by broadcast-able
+    joins (the per-user step tables shrink monotonically, and each is
+    one row per user).  No window over the full event log is needed —
+    the conditional min is an aggregate, so partial aggregation keeps
+    the shuffle at user-cardinality, not event-cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("step"), "users"
+        )
+
+    return (
+        stage(v, 1, "view").unionAll(stage(c, 2, "click")).unionAll(stage(p, 3, "purchase"))
+    )
+
+
+register(
+    "event_funnel",
+    event_funnel,
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT CAST(1 AS INT) AS stage, 'view' AS step, COUNT(*) AS users FROM v
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM p
+    """,
+)
+
+
+# ==========================================================================
+# retention_cohort
+# ==========================================================================
+
+
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted once per (cohort, weeks-since-cohort) they were active in.
+
+    Plan shape: per-user first-activity aggregate (user-cardinality),
+    joined back to the event log (broadcast at dim scale; shuffle-join
+    on user_id at 100 TB where both sides co-partition), then a
+    distinct + count at cohort-matrix cardinality.  Week arithmetic is
+    date_trunc('week') in both engines (ISO Monday truncation), so the
+    day-difference is always an exact multiple of 7.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    week_no = (F.datediff("wk", "cohort") / 7).cast("int")
+    return (
+        active.withColumn("week_no", week_no)
+        .groupBy("cohort", "week_no")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+register(
+    "retention_cohort",
+    retention_cohort,
+    """
+    WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort,
+                 CAST(date_trunc('week', e.ts) AS DATE) AS wk
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_no,
+           COUNT(*) AS users
+    FROM a GROUP BY 1, 2
+    """,
+)
+
+
+# ==========================================================================
+# bm25_topk
+# ==========================================================================
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-3 terms per document (k1=1.2, b=0.75,
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))).
+
+    The doc-length-normalized sibling of ``tf_idf_topk``: same
+    persisted-tf plan shape (tokenize once, tf feeds df AND the
+    join-back), plus a per-doc length aggregate.  avgdl is computed as
+    exact-integer SUM(dl)/N cast to double, so both engines derive the
+    identical scalar regardless of aggregation order.  Ranking uses
+    the ROUNDED score so tie-breaking (term ASC) agrees exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # (n docs, avg doc length) in one row; integer sums -> deterministic.
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "term", "tf", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+register(
+    "bm25_topk",
+    bm25_topk,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    scalars AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)),
+                   6) AS score
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN scalars s),
+    r AS (SELECT doc_id, term, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+    """,
+)
+
+
+# ==========================================================================
+# ngram_counts
+# ==========================================================================
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams by frequency (ties broken bigram ASC).
+
+    Plan shape: bigram construction is a map-side higher-order
+    transform over the token array (no self-join, no window over the
+    corpus), then ONE count aggregate at vocabulary^2-bounded (in
+    practice Zipf-bounded) cardinality, and a final single-partition
+    top-k over the tiny aggregate — the global sort touches counts,
+    never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit("[a-z]+"), 0).alias("t")
+    )
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", t[i - 1], t[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+register(
+    "ngram_counts",
+    ngram_counts,
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    counts AS (SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY 1),
+    r AS (SELECT bigram, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, bigram ASC) AS rank
+          FROM counts)
+    SELECT bigram, cnt, rank FROM r WHERE rank <= 20
+    """,
+)
+
+
+# ==========================================================================
+# chunk_documents
+# ==========================================================================
+
+CHUNK_WIDTH = 80
+CHUNK_STRIDE = 40
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window character chunking: width 80, stride 40, with
+    1-based start offsets — the context-window shaping pass that turns
+    documents into training sequences.
+
+    Plan shape: pure map-side sequence + explode (no shuffle at all);
+    chunk ids are derived from the offset, so the operator is
+    embarrassingly parallel and deterministic under any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            "start",
+            F.substring(F.col("text"), F.col("start"), CHUNK_WIDTH).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+register(
+    "chunk_documents",
+    chunk_documents,
+    f"""
+    SELECT doc_id,
+           CAST((u.start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           u.start AS start,
+           substring(text, u.start, {CHUNK_WIDTH}) AS chunk,
+           length(substring(text, u.start, {CHUNK_WIDTH})) AS chunk_len
+    FROM documents,
+         UNNEST(generate_series(1, greatest(length(text), 1), {CHUNK_STRIDE}))
+           AS u(start)
+    """,
+)
+
+
+# ==========================================================================
+# quality_entropy
+# ==========================================================================
+
+
+def quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token Shannon entropy + type-token ratio per document.
+
+    Uses the single-aggregate identity
+    H = log2(n) - sum(tf * log2(tf)) / n, so the whole signal is one
+    (doc_id, term) count followed by one per-doc aggregate — no
+    join-back of per-doc totals.  Low-entropy documents are the
+    keyboard-mash / template spam that length and stopword filters
+    miss (complements ``quality_repetition``'s n-gram signals).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = F.sum("tf")
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_toks"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(F.col("tf") * F.log2(F.col("tf").cast("double"))) / n,
+            4,
+        ).alias("entropy"),
+        F.round(F.count(F.lit(1)) / n.cast("double"), 4).alias("ttr"),
+    )
+
+
+register(
+    "quality_entropy",
+    quality_entropy,
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT doc_id, SUM(tf) AS n_toks, COUNT(*) AS n_types,
+           round(log2(CAST(SUM(tf) AS DOUBLE))
+                 - SUM(tf * log2(CAST(tf AS DOUBLE))) / SUM(tf), 4) AS entropy,
+           round(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 4) AS ttr
+    FROM tf GROUP BY 1
+    """,
+)
+
+
+# ==========================================================================
+# dedup_lev_verify
+# ==========================================================================
+
+LEV_BOUND = 400  # bounded verify set, same discipline as dedup_ngram_jaccard
+
+
+def dedup_lev_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage: block candidates by (lang,
+    length-bucket), score with levenshtein similarity
+    1 - lev/max(len), return the 10 most similar pairs.
+
+    Blocking keeps the pair expansion at bucket^2, never corpus^2 —
+    the standard verify-stage contract (cf. dedup_ngram_jaccard).  The
+    O(len^2) edit-distance DP runs only on blocked pairs, JVM-side
+    (Spark's levenshtein == DuckDB's levenshtein: unit-cost edits).
+    Bounded to doc_id < LEV_BOUND as an explicitly-bounded verify set.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < LEV_BOUND)
+        # integer floor-division in BOTH engines: DuckDB CAST(x/10 AS INT)
+        # rounds-to-nearest while Spark's cast truncates — use div / //.
+        .select("doc_id", "text", "lang", F.expr("n_chars div 10").alias("lb"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    sim = F.round(
+        1.0
+        - lev
+        / F.greatest(F.length("a.text"), F.length("b.text")).cast("double"),
+        6,
+    )
+    pairs = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.lb") == F.col("b.lb")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("doc_a"), F.asc("doc_b"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+register(
+    "dedup_lev_verify",
+    dedup_lev_verify,
+    f"""
+    WITH d AS (SELECT doc_id, text, lang, n_chars // 10 AS lb
+               FROM documents WHERE doc_id < {LEV_BOUND}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.text, b.text) AS lev,
+             round(1.0 - levenshtein(a.text, b.text)
+                   / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE),
+                   6) AS sim
+      FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb
+      WHERE a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, lev, sim,
+                 row_number() OVER (ORDER BY sim DESC, doc_a ASC, doc_b ASC)
+                   AS rank
+          FROM pairs)
+    SELECT doc_a, doc_b, lev, sim, rank FROM r WHERE rank <= 10
+    """,
+)
+
+
+# ==========================================================================
+# dedup_containment
+# ==========================================================================
+
+CONTAIN_BOUND = 200
+CONTAIN_MIN = 0.2
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A n B| / min(|A|, |B|) for shared-shingle
+    candidate pairs (3-token shingles, doc_id < CONTAIN_BOUND).
+
+    Containment catches subset duplicates (a doc embedded inside a
+    longer one) that symmetric Jaccard under-scores: a 100-shingle doc
+    fully contained in a 1000-shingle doc has Jaccard 0.1 but
+    containment 1.0.  Same bounded-verify-set + shared-shingle
+    equi-join discipline as dedup_ngram_jaccard — never all-pairs.
+    """
+    from ._text import _shingles
+
+    sh = (
+        _shingles(spark, sf_dir)
+        .filter(F.col("doc_id") < CONTAIN_BOUND)
+        .select("doc_id", "sh")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.round(
+        F.col("n_inter") / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_inter", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_MIN)
+    )
+
+
+def _containment_oracle() -> str:
+    from ._text import _DK_SHINGLES
+
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})
+                WHERE doc_id < {CONTAIN_BOUND}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+             AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+          >= {CONTAIN_MIN}
+    """
+
+
+register("dedup_containment", dedup_containment, _containment_oracle())
+
+
+# ==========================================================================
+# window_frame_rows_q
+# ==========================================================================
+
+
+def window_frame_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame sliding window: per event_type, the moving sum and
+    count of the last 3 rows (2 PRECEDING .. CURRENT ROW) ordered by
+    (ts, event_id) — the row-counted sibling of ``window_frame_range``.
+
+    Sums go through decimal(18,2) so the incremental sliding-sum
+    implementation (running add/subtract) is exact — float frames can
+    drift from an engine that recomputes each frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("frame_sum"),
+    )
+
+
+register(
+    "window_frame_rows_q",
+    window_frame_rows_q,
+    """
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS frame_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS frame_sum
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# ==========================================================================
+# cms_sketch_q
+# ==========================================================================
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024) over event user_ids,
+    joined back against exact counts: est = min_i counter[i][h_i(key)],
+    always >= the true count (one-sided error) — the third mergeable
+    sketch in the engine after HLL (distinct) and GK (quantiles),
+    covering frequency estimation.
+
+    Counters are a groupBy over (row, position) — mergeable by + across
+    shards/partitions, which is the whole point at 100 TB: the sketch
+    is a 4x1024 table regardless of key cardinality, and a rollup
+    across time/sources is counter addition.  Hashes are the house
+    md5-prefix construction evaluated identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    rows = []
+    for i in range(CMS_DEPTH):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}|"), F.col("key"))), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        rows.append(
+            ev.select(
+                "key", F.lit(i).alias("row"), (h % CMS_WIDTH).alias("pos")
+            )
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionAll(r)
+    counters = cells.groupBy("row", "pos").agg(F.count(F.lit(1)).alias("c"))
+    keyed = cells.distinct().join(counters, ["row", "pos"])
+    est = keyed.groupBy("key").agg(F.min("c").alias("cms_est"))
+    truth = ev.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
+    return (
+        truth.join(est, "key")
+        .select(F.col("key").cast("bigint").alias("user_id"), "true_n", "cms_est")
+    )
+
+
+def _cms_oracle() -> str:
+    hashes = "\n      UNION ALL\n".join(
+        f"      SELECT key, {i} AS row, "
+        f"CAST(('0x' || substring(md5('cms{i}|' || key), 1, 7)) AS BIGINT) "
+        f"% {CMS_WIDTH} AS pos FROM ev"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    cells AS (
+{hashes}),
+    counters AS (SELECT row, pos, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+    keyed AS (SELECT DISTINCT key, row, pos FROM cells),
+    est AS (SELECT key, MIN(c) AS cms_est
+            FROM keyed JOIN counters USING (row, pos) GROUP BY key),
+    truth AS (SELECT key, COUNT(*) AS true_n FROM ev GROUP BY key)
+    SELECT CAST(truth.key AS BIGINT) AS user_id, true_n, cms_est
+    FROM truth JOIN est ON truth.key = est.key
+    """
+
+
+register("cms_sketch_q", cms_sketch_q, _cms_oracle())

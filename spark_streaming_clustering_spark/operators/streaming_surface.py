@@ -472,3 +472,75 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert: maintain latest-event-per-key
+    (user_id, event_type) state across micro-batches — the
+    materialized-view / CDC-merge pattern (Delta MERGE without Delta).
+
+    Each micro-batch unions into the running state and keeps only the
+    newest row per key (ts DESC, event_id DESC tie-break), then
+    ``localCheckpoint`` truncates the lineage so plan depth stays O(1)
+    in the number of batches — without it the union/window tree grows
+    per batch and planning time diverges.  State size is bounded by
+    key cardinality, never stream length.  At 100 TB the identical
+    foreachBatch body targets a keyed table (MERGE INTO); the
+    window-over-union is the engine-neutral equivalent.  The append
+    result equals the batch argmax per key — the DuckDB oracle.
+    """
+    from pyspark.sql.window import Window
+
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_upsert_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state: dict[str, DataFrame | None] = {"df": None}
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cur = batch_df.select("user_id", "event_type", "ts", "event_id", "value")
+        merged = cur if state["df"] is None else state["df"].unionByName(cur)
+        state["df"] = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    assert state["df"] is not None
+    return state["df"].select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+register(
+    "stream_upsert_sink",
+    stream_upsert_sink,
+    """
+    SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM (SELECT user_id, event_type, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)

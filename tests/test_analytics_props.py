@@ -1,0 +1,109 @@
+"""Semantic invariants of the round-3 analytics operators — properties
+the DuckDB-oracle equality cannot express (cross-operator relations,
+mathematical bounds)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_streaming_clustering_spark.operators.analytics_surface import (
+    CHUNK_STRIDE,
+    CHUNK_WIDTH,
+    chunk_documents,
+    dedup_containment,
+    event_funnel,
+    ngram_counts,
+    quality_entropy,
+    sessionize_events,
+)
+from spark_streaming_clustering_spark.operators.pipeline_surface import (
+    dedup_ngram_jaccard,
+)
+from spark_streaming_clustering_spark.sources.tables import load_table
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    """Each funnel stage can only lose users: view >= click >= purchase."""
+    rows = {r.stage: r.users for r in event_funnel(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+
+
+def test_sessions_partition_events(spark, sf_dir):
+    """Sessionization is a partition of the event log: per-session
+    counts sum to the table count, and session intervals of one user
+    never overlap (end_k < start_{k+1})."""
+    sess = sessionize_events(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in sess) == n_events
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.sess_id)
+        assert [r.sess_id for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.sess_end < b.sess_start
+
+
+def test_chunks_tile_the_document(spark, sf_dir):
+    """Width-80/stride-40 chunks: consecutive chunks overlap by 40
+    chars, and stitching every second chunk reconstructs the text."""
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+    chunks = (
+        chunk_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < 20)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        text = docs[doc_id]
+        for a, b in zip(rs, rs[1:]):
+            assert b.start - a.start == CHUNK_STRIDE
+            # overlap region agrees
+            assert a.chunk[CHUNK_STRIDE:] == b.chunk[: len(a.chunk) - CHUNK_STRIDE]
+        stitched = "".join(r.chunk for r in rs[:: CHUNK_WIDTH // CHUNK_STRIDE])
+        assert stitched == text or stitched.startswith(text)
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_types); 0 < ttr <= 1; uniform docs hit the cap."""
+    for r in quality_entropy(spark, sf_dir).collect():
+        assert 0.0 <= r.entropy <= math.log2(max(r.n_types, 1)) + 1e-9
+        assert 0.0 < r.ttr <= 1.0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """|A n B|/min(|A|,|B|) >= |A n B|/|A u B| always; the bounded
+    verify sets share pairs, so compare where both report."""
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    shared = set(jac) & set(cont)
+    for pair in shared:
+        assert cont[pair] >= jac[pair] - 1e-9
+
+
+def test_bigrams_bounded_by_tokens(spark, sf_dir):
+    """Total bigram occurrences = sum over docs of (tokens - 1), so the
+    top-1 bigram count can never exceed it; ranks are 1..20 and counts
+    non-increasing."""
+    rows = sorted(ngram_counts(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.cnt >= b.cnt for a, b in zip(rows, rows[1:]))
