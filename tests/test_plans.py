@@ -203,3 +203,44 @@ def test_bloom_prune_filters_before_the_join(spark):
     # survivors ~ true joining fraction plus small false-positive
     # overhead — far below 1.0
     assert kept / li.count() < min(1.0, dim_frac + 0.15)
+
+
+def test_sessionize_single_exchange(spark):
+    """Both windows and the session aggregate share the user_id
+    partitioning — the whole query must plan exactly ONE shuffle."""
+    import re
+
+    plan = _plan(spark, "sessionize_events")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is map-side only: sequence + explode + substring, no
+    Exchange anywhere."""
+    import re
+
+    plan = _plan(spark, "chunk_documents")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+
+
+def test_bm25_persists_shared_tf(spark):
+    """bm25 reuses the persisted tf for df, dl AND the join-back — the
+    corpus is tokenized once."""
+    plan = _plan(spark, "bm25_topk")
+    assert "InMemoryTableScan" in plan
+
+
+def test_lev_verify_is_equi_join(spark):
+    """The blocked candidate join must be an equi join on
+    (lang, length-bucket) — a nested-loop over the verify set would be
+    the O(n^2) shape blocking exists to avoid."""
+    plan = _plan(spark, "dedup_lev_verify")
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_partial_aggregation(spark):
+    """CMS counters must partial-aggregate map-side (the mergeability
+    story): HashAggregate appears as partial+final pairs."""
+    plan = _plan(spark, "cms_sketch_q")
+    assert plan.count("HashAggregate") >= 4
