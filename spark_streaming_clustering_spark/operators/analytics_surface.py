@@ -741,3 +741,96 @@ def _cms_oracle() -> str:
 
 
 register("cms_sketch_q", cms_sketch_q, _cms_oracle())
+
+
+# ==========================================================================
+# grouped_map_normalize (applyInPandas surface)
+# ==========================================================================
+
+
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score normalization of document lengths via
+    ``groupBy().applyInPandas`` — the grouped-map Python surface (the
+    engine's fourth: scalar pandas_udf, mapInPandas,
+    applyInPandasWithState, and this), used where a whole group must
+    be in one pandas frame (normalization, per-group model fits).
+
+    Scale shape: one S(lang) exchange, then Arrow-batched per-group
+    compute; group size is the constraint to watch at 100 TB (a single
+    lang must fit an executor's memory — for skewed corpora the fix is
+    sub-bucketing the group key, cf. join_salted_skew).  Stats use
+    ddof=1 (sample std) to match SQL stddev_samp; z rounds to 4 in
+    both engines.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pdf["n_chars"] * 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_chars": pdf["n_chars"],
+                "z": z.round(4),
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, "doc_id long, lang string, n_chars long, z double"
+    )
+
+
+register(
+    "grouped_map_normalize",
+    grouped_map_normalize,
+    """
+    SELECT doc_id, lang, n_chars,
+           round((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z
+    FROM documents
+    """,
+)
+
+
+# ==========================================================================
+# subquery_scalar_q
+# ==========================================================================
+
+
+def subquery_scalar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders priced above the global average.  The
+    average is derived as exact-decimal SUM / COUNT cast to double, so
+    both engines compare against the bit-identical scalar (a plain
+    AVG(double) can differ in the last ulp across engines, and a row
+    sitting exactly there would flip).  Catalyst plans the subquery as
+    a one-row broadcast — no per-row recomputation.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*) FROM orders)
+        """
+    )
+
+
+register(
+    "subquery_scalar_q",
+    subquery_scalar_q,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*) FROM orders)
+    """,
+)

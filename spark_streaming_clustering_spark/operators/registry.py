@@ -39,3 +39,4 @@ from . import streaming_surface  # noqa: E402,F401
 from . import scale_surface  # noqa: E402,F401
 from . import quality_surface  # noqa: E402,F401
 from . import analytics_surface  # noqa: E402,F401
+from . import spark4_surface  # noqa: E402,F401

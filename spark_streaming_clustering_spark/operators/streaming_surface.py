@@ -544,3 +544,75 @@ register(
     WHERE rn = 1
     """,
 )
+
+
+def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows through a REAL streaming query:
+    file-source replay -> watermark -> ``session_window`` aggregate —
+    the streaming sibling of the batch ``window_session`` key (same
+    oracle), completing the event-time window family in streaming mode
+    (tumbling: streaming_window_agg).
+
+    Session state merges windows as events arrive; complete-mode
+    output re-emits the merged sessions each trigger, so after the
+    availableNow replay drains, the final table equals the batch
+    aggregate — the oracle.  (Append mode would emit only sessions the
+    watermark has CLOSED — with a replay-safe watermark lag longer
+    than the data span, that set is empty by construction, so complete
+    is the right mode here.)  On an unbounded stream the production
+    pairing is append + a real watermark: state stays bounded by OPEN
+    sessions per key via watermark eviction.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_sesswin_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "60 days")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streaming_session_agg")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    return spark.table("streaming_session_agg")
+
+
+register(
+    "streaming_session_agg",
+    streaming_session_agg,
+    # identical semantics to the batch window_session key -> same oracle
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL '10 minutes' AS s_end, COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
