@@ -141,22 +141,34 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     t = F.col("t")
 
-    def grams(k: int):
-        gram_arr = F.transform(
+    def gram_arr(k: int):
+        return F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+            lambda i: F.struct(
+                F.lit(k).alias("k"),
+                F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]).alias(
+                    "g"
+                ),
+            ),
         )
-        return toks.select("doc_id", F.explode(gram_arr).alias("g"))
 
-    g2 = (
-        grams(2)
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n2"), F.max("c").alias("top2"))
-    )
-    g3 = grams(3).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n3"), F.countDistinct("g").alias("n3d")
+    # ONE scan + ONE tagged explode for both gram sizes, then two
+    # chained aggregates: S(doc,k,g) -> S(doc).  The previous shape
+    # (separate 2-gram and 3-gram subtrees + countDistinct + join)
+    # paid two corpus scans, an extra expand phase, and a join shuffle
+    # for the same answer (observed 3.5 s -> ~1.3 s at sf0.1).
+    # n3d falls out for free: after the first aggregate, each distinct
+    # 3-gram is exactly one row.
+    cells = toks.select(
+        "doc_id",
+        F.explode(F.concat(gram_arr(2), gram_arr(3))).alias("kg"),
+    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    counts = cells.groupBy("doc_id", "k", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("n2"),
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("top2"),
+        F.sum(F.when(F.col("k") == 3, F.col("c"))).alias("n3"),
+        F.sum(F.when(F.col("k") == 3, 1)).alias("n3d"),
     )
     top2_share = F.when(
         F.col("n2") > 0, F.round(F.col("top2") / F.col("n2"), 6)
@@ -164,19 +176,19 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup3 = F.when(
         F.col("n3") > 0, F.round(1.0 - F.col("n3d") / F.col("n3"), 6)
     ).otherwise(F.lit(0.0))
-    return (
-        g2.join(g3, "doc_id")
-        .select(
-            "doc_id",
-            "n2",
-            "top2",
-            top2_share.alias("top2_share"),
-            dup3.alias("dup3_frac"),
-        )
-        .withColumn(
-            "repetitive",
-            (F.col("top2_share") > 0.1) | (F.col("dup3_frac") > 0.4),
-        )
+    # match the oracle's inner-join semantics exactly: a doc too short
+    # for 3-grams (or 2-grams) is excluded, not zero-filled
+    return per_doc.filter(
+        F.col("n2").isNotNull() & F.col("n3").isNotNull()
+    ).select(
+        "doc_id",
+        "n2",
+        "top2",
+        top2_share.alias("top2_share"),
+        dup3.alias("dup3_frac"),
+    ).withColumn(
+        "repetitive",
+        (F.col("top2_share") > 0.1) | (F.col("dup3_frac") > 0.4),
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.pysource import LCG_A, LCG_B, LCG_M, PointsSource
 from ..sources.tables import load_table, register_views
-from .registry import register
+from .registry import ORACLES, register
 
 # ==========================================================================
 # lateral_join_q
@@ -162,3 +162,65 @@ register(
     FROM pts GROUP BY 1
     """,
 )
+
+
+# ==========================================================================
+# python_datasource_stream
+# ==========================================================================
+
+
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Python Data Source (SimpleDataSourceStreamReader):
+    the same LCG relation arrives as offset-tracked micro-batches (250
+    rows per trigger); the run drains all 1000 rows, then the identical
+    quadrant aggregate must equal the batch-scan key's — one relation,
+    two arrival modes, one oracle.
+
+    ``readBetweenOffsets`` gives replay-after-failure (exactly-once
+    with the memory sink here; idempotent-by-offset in general) — the
+    streaming-source contract the reference's file-replay input never
+    had.
+    """
+    import time as _time
+
+    from ..sources.pysource import PointsStreamSource
+
+    spark.dataSource.register(PointsStreamSource)
+    df = spark.readStream.format("gstream_points_stream").load()
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("python_datasource_stream")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        if spark.table("python_datasource_stream").count() >= PYSOURCE_N:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    pts = spark.table("python_datasource_stream")
+    if pts.count() < PYSOURCE_N:
+        raise TimeoutError("python streaming source did not drain in 240s")
+    return (
+        pts.select(
+            "id",
+            "x",
+            "y",
+            ((F.col("x") >= 0.5).cast("int") * 2 + (F.col("y") >= 0.5).cast("int")).alias(
+                "quadrant"
+            ),
+        )
+        .groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.min("x").alias("min_x"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+register("python_datasource_stream", python_datasource_stream, ORACLES["python_datasource_scan"])

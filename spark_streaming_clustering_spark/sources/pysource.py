@@ -16,7 +16,12 @@ compares against generate_series arithmetic).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LCG_M = 2_147_483_648
 LCG_A = 1_103_515_245
@@ -57,3 +62,56 @@ class PointsSource(DataSource):
 
     def reader(self, schema):
         return PointsReader(self.options)
+
+
+def _lcg_rows(lo: int, hi: int) -> list[tuple]:
+    return [
+        (
+            k,
+            ((LCG_A * (2 * k) + LCG_B) % LCG_M) / LCG_M,
+            ((LCG_A * (2 * k + 1) + LCG_B) % LCG_M) / LCG_M,
+        )
+        for k in range(lo, hi)
+    ]
+
+
+class PointsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming reader over the same LCG relation:
+    each micro-batch advances the offset by ``per`` rows until ``n``.
+
+    The offset dict is the source's exactly-once contract:
+    ``readBetweenOffsets`` regenerates any (start, end) range for
+    replay after failure — trivially correct here because row k is a
+    pure function of k (the property a real source gets from a log +
+    seekable offsets).  Returns iterators (the runner advances them
+    into its prefetch cache) and plain tuples (picklable).
+    """
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.per = int(options.get("per", "250"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.per, self.n)
+        return iter(_lcg_rows(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(_lcg_rows(start["i"], end["i"]))
+
+
+class PointsStreamSource(DataSource):
+    """spark.readStream.format("gstream_points_stream").load()"""
+
+    @classmethod
+    def name(cls):
+        return "gstream_points_stream"
+
+    def schema(self):
+        return "id bigint, x double, y double"
+
+    def simpleStreamReader(self, schema):
+        return PointsStreamReader(self.options)

@@ -78,6 +78,14 @@ def test_results_invariant_to_shuffle_partition_count(spark):
         "window_frame_range",
         "shard_by_token_budget",
         "string_agg_q",
+        # round-3 surface
+        "sessionize_events",
+        "bm25_topk",
+        "quality_entropy",
+        "cms_sketch_q",
+        "dedup_containment",
+        "grouped_map_normalize",
+        "python_datasource_scan",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
