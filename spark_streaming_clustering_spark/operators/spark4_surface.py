@@ -224,3 +224,93 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("python_datasource_stream", python_datasource_stream, ORACLES["python_datasource_scan"])
+
+
+# ==========================================================================
+# python_udf_scalar
+# ==========================================================================
+
+
+def python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (``spark.udf.register``) —
+    registered and demonstrated ONCE to complete the Python-boundary
+    matrix (scalar pandas_udf, mapInPandas, applyInPandas,
+    applyInPandasWithState, UDTF, and this), and deliberately
+    documented as the anti-pattern: per-row Python dispatch with
+    pickled exchange, ~10-100x slower than the Arrow-batched
+    ``pandas_udf_distance`` equivalent.  Every hot path in this engine
+    uses the vectorized forms; this key exists so the surface shows
+    BOTH and names the tradeoff.
+
+    Bounded input (nation, 25 rows) — the cost model is the point,
+    not throughput.
+    """
+    from pyspark.sql.types import StringType
+
+    def mirror_words(s: str) -> str:
+        return " ".join(w[::-1] for w in s.split(" "))
+
+    spark.udf.register("mirror_words", mirror_words, StringType())
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation_udf_in")
+    return spark.sql(
+        "SELECT n_nationkey, mirror_words(n_name) AS mirrored FROM nation_udf_in"
+    )
+
+
+register(
+    "python_udf_scalar",
+    python_udf_scalar,
+    """
+    SELECT n_nationkey,
+           array_to_string(list_transform(string_split(n_name, ' '),
+                                          w -> reverse(w)), ' ') AS mirrored
+    FROM nation
+    """,
+)
+
+
+# ==========================================================================
+# join_null_safe_q
+# ==========================================================================
+
+
+def join_null_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantic corner
+    plain equi-joins silently drop.  Keys are NULLIF'd event types so
+    the NULL bucket is non-empty; output counts matches per key class.
+
+    Plan note: Catalyst executes ``<=>`` as a hash join on the
+    null-coalesced key (NULLs hash together) — same S(key) shuffle as
+    a plain equi-join, no nested loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.expr("nullif(event_type, 'error')").alias("k"),
+        F.col("event_id").alias("a_id"),
+    ).filter(F.col("event_id") % 97 == 0)
+    b = ev.select(
+        F.expr("nullif(event_type, 'error')").alias("k2"),
+        F.col("event_id").alias("b_id"),
+    ).filter(F.col("event_id") % 89 == 0)
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("k2")))
+        .groupBy(F.coalesce(F.col("k"), F.lit("<null>")).alias("key_class"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+register(
+    "join_null_safe_q",
+    join_null_safe_q,
+    """
+    WITH a AS (SELECT nullif(event_type, 'error') AS k, event_id AS a_id
+               FROM events WHERE event_id % 97 = 0),
+    b AS (SELECT nullif(event_type, 'error') AS k2, event_id AS b_id
+          FROM events WHERE event_id % 89 = 0)
+    SELECT COALESCE(a.k, '<null>') AS key_class, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+    GROUP BY 1
+    """,
+)
