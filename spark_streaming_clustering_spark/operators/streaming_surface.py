@@ -154,9 +154,11 @@ def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: 
 
 def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window + watermark through a REAL
-    Structured Streaming query (the batch-mode window queries cover the
-    oracle check; this one proves the streaming plan runs: file source
-    -> withWatermark -> windowed agg -> memory sink, availableNow).
+    Structured Streaming query: file source -> withWatermark ->
+    windowed agg -> memory sink, availableNow.  Complete mode drains
+    the whole replay, so the final table equals the batch tumbling
+    window — now oracle-checked (decimal-exact sums made the float
+    aggregate order-independent; this key was rows-only before).
 
     Late data older than the 10-minute watermark would be dropped by
     the stateful operator — the upgrade over the reference, which has
@@ -174,7 +176,15 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-exact sum: order-independent, so the drained
+            # complete-mode result can be hash-compared to the batch
+            # oracle (this key was rows-only while it summed doubles)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
     )
     q = (
         agg.writeStream.outputMode("complete")
@@ -190,7 +200,17 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("streaming_window_agg", streaming_window_agg, None)
+register(
+    "streaming_window_agg",
+    streaming_window_agg,
+    # the drained complete-mode stream equals the batch tumbling window
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 
 
 def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
