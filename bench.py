@@ -178,6 +178,11 @@ def main() -> None:
     # its steady-state floor (further runs can only shave fractions), so
     # only slow-or-steal-hit queries pay the full three runs.
     fast_sec = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_SEC", "2.0"))
+    # Keys whose round-over-round delta exceeded +-25% run ALL three
+    # samples regardless of the fast-exit: a single sub-2 s sample can't
+    # distinguish host CPU steal from a real plan regression (VERDICT r3
+    # measurement gap — tf_idf_topk "+113%" was one noisy sample).
+    force_full = {"tf_idf_topk", "dedup_embed_cosine", "flagship_revenue"}
     times: dict[str, float] = {}
     for key in HEADLINE:
         best = float("inf")
@@ -185,7 +190,7 @@ def main() -> None:
             t0 = time.monotonic()
             _force(QUERIES[key](spark, SF_DIR))
             best = min(best, round(time.monotonic() - t0, 3))
-            if best <= fast_sec:
+            if best <= fast_sec and key not in force_full:
                 break
         times[key] = best
 

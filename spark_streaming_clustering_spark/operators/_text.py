@@ -21,6 +21,47 @@ _DK_SHINGLES = """
 """
 
 
+_TF_CACHE: dict = {}
+
+
+def shared_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) term frequencies over ``documents``, persisted
+    ONCE per (SparkContext, sf_dir) and shared by every consumer
+    (tf_idf_topk, bm25_topk): tf feeds both the df re-aggregate and the
+    join-back in each query, and the two queries are usually run in the
+    same session, so a per-call ``persist()`` double-caches an identical
+    subtree (CacheManager "already cached" warning) and leaks one
+    relation per invocation into executor storage.
+
+    Lifetime contract: the cached relation lives until
+    ``clear_tf_cache()`` (or session stop).  At 100 TB the analogous
+    decision is writing tf to a table once and reading it from both
+    queries; MEMORY_AND_DISK is the session-scale analogue.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tf = _TF_CACHE.get(key)
+    if tf is not None:
+        return tf
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    _TF_CACHE[key] = tf
+    return tf
+
+
+def clear_tf_cache() -> None:
+    """Unpersist and drop all shared tf relations (test/bench hygiene)."""
+    for tf in _TF_CACHE.values():
+        try:
+            tf.unpersist()
+        except Exception:
+            pass
+    _TF_CACHE.clear()
+
+
 def _shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """(doc_id, pos, sh): k-token shingles with 1-based position."""
     docs = load_table(spark, sf_dir, "documents")
@@ -29,10 +70,15 @@ def _shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # shingle element (3 evaluations x ~tokens elements = O(tokens^2)).
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     t = F.col("t")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", t[i - 1], t[i], t[i + 1]),
-    )
+    # Guard docs shorter than k tokens: sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0]), so the unguarded form both emits spurious shingles
+    # and throws INVALID_ARRAY_INDEX under ANSI mode on t[i + 1].  The
+    # DuckDB oracle's generate_series(1, 0) is empty, matching the
+    # .otherwise(empty) branch here.
+    idx = F.when(
+        F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", t[i - 1], t[i], t[i + 1]))
     return toks.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "sh"
     )

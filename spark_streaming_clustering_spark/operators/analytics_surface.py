@@ -110,7 +110,7 @@ register(
       SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM o)
-    SELECT user_id, sess_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
            MIN(ts) AS sess_start, MAX(ts) AS sess_end,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s GROUP BY 1, 2
@@ -257,12 +257,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical scalar regardless of aggregation order.  Ranking uses
     the ROUNDED score so tie-breaking (term ASC) agrees exactly.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    from ._text import shared_tf
+
+    tf = shared_tf(spark, sf_dir)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # (n docs, avg doc length) in one row; integer sums -> deterministic.
@@ -475,7 +472,7 @@ register(
       SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
-    SELECT doc_id, SUM(tf) AS n_toks, COUNT(*) AS n_types,
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks, COUNT(*) AS n_types,
            round(log2(CAST(SUM(tf) AS DOUBLE))
                  - SUM(tf * log2(CAST(tf AS DOUBLE))) / SUM(tf), 4) AS entropy,
            round(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 4) AS ttr
@@ -767,9 +764,19 @@ def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
-        z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pdf["n_chars"] * 0.0
+        # Singleton / zero-variance group: SQL stddev_samp is NULL (one
+        # row) or 0 (x/0 -> NULL in DuckDB), so emit NULL — not 0.0 —
+        # to match the oracle, and because a z-score of 0 for a
+        # singleton group is a lie anyway.
+        z = (
+            (pdf["n_chars"] - mu) / sd
+            if sd and sd > 0
+            else pdf["n_chars"] * np.nan
+        )
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -785,8 +785,8 @@ register(
              CAST(round(SUM(value) * 1000000) AS BIGINT) AS v_micros
       FROM events GROUP BY 1, 2)
     SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
-           SUM(n) AS n_events, COUNT(*) AS n_hours,
-           SUM(v_micros) AS value_micros
+           CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_hours,
+           CAST(SUM(v_micros) AS BIGINT) AS value_micros
     FROM hourly GROUP BY 1, 2
     """,
 )
@@ -1269,7 +1269,7 @@ register(
     from_json_q,
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
            COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL) AS n_null
     FROM events GROUP BY event_type

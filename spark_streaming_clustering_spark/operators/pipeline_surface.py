@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from ..functions import vec
 from ..sources.tables import load_table
 from .registry import register
-from ._text import _DK_SHINGLES, _shingles  # noqa: F401  (shared shingle relation)
+from ._text import _DK_SHINGLES, _shingles, shared_tf  # noqa: F401  (shared shingle/tf relations)
 
 # --- deterministic constants (pure integer LCG; no RNG library) -----------
 P_MINHASH = 268_435_399  # prime < 2^28; token hashes are 28-bit so a*h < 2^56
@@ -955,10 +955,7 @@ def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaking (term ASC) agrees exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = shared_tf(spark, sf_dir)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     score = F.round(
@@ -1034,7 +1031,7 @@ register(
                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
              FROM sh)
     SELECT doc_id, COUNT(DISTINCT m) AS n_fp, MIN(m) AS fp_min,
-           SUM(DISTINCT m) AS fp_sum
+           CAST(SUM(DISTINCT m) AS BIGINT) AS fp_sum
     FROM mins GROUP BY doc_id
     """,
 )
@@ -1214,8 +1211,8 @@ _Q_ORACLE_BODY = f"""
                    + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
       FROM stats),
     keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
-           SUM(CAST(round(quality * 1000000) AS BIGINT)) AS quality_micros
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_micros
     FROM documents JOIN keepers USING (doc_id) JOIN quality USING (doc_id)
     WHERE quality >= 0.5
     GROUP BY lang

@@ -142,8 +142,15 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("t")
 
     def gram_arr(k: int):
+        # Short-doc guard (cf. _text._shingles): sequence(1, 0) is
+        # DESCENDING in Spark, so without the when() a doc with < k
+        # tokens emits spurious grams / hits INVALID_ARRAY_INDEX under
+        # ANSI, while the oracle's generate_series(1, 0) is empty.
+        idx = F.when(
+            F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
         return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+            idx,
             lambda i: F.struct(
                 F.lit(k).alias("k"),
                 F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]).alias(
@@ -203,7 +210,7 @@ register(
                i -> t[i] || ' ' || t[i+1])) AS g
       FROM toks),
     g2 AS (
-      SELECT doc_id, SUM(c) AS n2, MAX(c) AS top2
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2, MAX(c) AS top2
       FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2r GROUP BY 1, 2)
       GROUP BY doc_id),
     g3r AS (

@@ -224,8 +224,8 @@ register(
 # DuckDB oracle computed on the ORIGINAL table.  Roundtrip corruption
 # (encoding, quoting, schema drift) changes sum_hash and fails the gate.
 _ROUNDTRIP_ORACLE = """
-    SELECT lang, COUNT(*) AS n, SUM(len(text)) AS sum_chars,
-           SUM(CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT)) AS sum_hash
+    SELECT lang, COUNT(*) AS n, CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT)) AS BIGINT) AS sum_hash
     FROM documents GROUP BY lang
 """
 
@@ -318,7 +318,7 @@ register(
     schema_evolution_merge,
     """
     SELECT lang, COUNT(*) AS n,
-           SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS sum_new_col
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_new_col
     FROM documents GROUP BY lang
     """,
 )

@@ -92,7 +92,7 @@ register(
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS bucket,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY 1
     """,
 )

@@ -73,7 +73,21 @@ def _point_batches(spark: SparkSession, sf_dir: str, n_batches: int = 10):
 
 def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full G-Stream run (E-step + M-step) over 10 deterministic
-    micro-batches; returns the final prototype table."""
+    micro-batches; returns a COMPACT DETERMINISTIC SUMMARY of the final
+    prototype table: node count, surviving node-id sum, coordinate
+    count, and the integer sum of milli-quantized centroid coordinates.
+
+    Graduated from rows-only (VERDICT r3 item 7): the run is fully
+    deterministic (ordered replay, driver-local numpy E-step — the same
+    determinism the 91-window golden replay pins in pytest), so this
+    summary is value-checkable.  The paired oracle is a GOLDEN CONSTANT
+    pinned at sf0.01 — the iterative algorithm itself is not
+    SQL-expressible, but its committed expected output is, which turns
+    the driver's rows-only slot into a real value-hash row (same
+    protocol as tests/goldens/replay91.json, just compressed to one
+    row).  Quantization at 1e-3 with sums over exact integers keeps the
+    value independent of float summation order.
+    """
     trainer = GStreamTrainer(spark, GStreamParams(), out_dir=None, nb_wind=10)
     batches = _point_batches(spark, sf_dir)
     first = next(batches)
@@ -81,10 +95,30 @@ def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer.step(first)
     trainer.fit_batches(batches)
     rows = trainer.model.snapshot_tables()["prototypes"]
-    return spark.createDataFrame(rows, "node_id long, vector array<double>")
+    proto = spark.createDataFrame(rows, "node_id long, vector array<double>")
+    flat = proto.select("node_id", F.explode("vector").alias("c"))
+    return flat.agg(
+        F.countDistinct("node_id").alias("n_nodes"),
+        F.sum_distinct("node_id").alias("node_id_sum"),
+        F.count(F.lit(1)).alias("n_coords"),
+        F.sum(F.round(F.col("c") * 1000).cast("bigint")).alias("coord_q_sum"),
+    )
 
 
-register("gstream_epoch", gstream_epoch, None)
+# Golden-constant oracle (verified twice-deterministic in-session;
+# regenerate by running gstream_epoch at each sf and pasting the rows —
+# intentional semantic changes only, like replay91.json).  The CASE keys
+# on the embeddings cardinality so the same oracle string is correct at
+# sf0.001 (pytest, 500 vecs) and sf0.01 (driver/selfcheck gate).
+_GSTREAM_EPOCH_GOLDEN = """
+    SELECT CAST(8 AS BIGINT) AS n_nodes,
+           CAST(36 AS BIGINT) AS node_id_sum,
+           CAST(512 AS BIGINT) AS n_coords,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM embeddings) = 500
+                     THEN -614 ELSE -363 END AS BIGINT) AS coord_q_sum
+"""
+
+register("gstream_epoch", gstream_epoch, _GSTREAM_EPOCH_GOLDEN)
 
 
 def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,14 +171,25 @@ def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    n = ev.count()
-    per = max(n // n_files, 1)
+    # Bucket by ROW POSITION (ntile over event_id order), not by
+    # contiguous id *ranges*: ranges assume ids are dense in [0, n) and
+    # silently drop any id >= n (gaps in the id space), while ntile is
+    # total for ANY id distribution and keeps the same id-ordered batch
+    # composition (≈ time-ordered) that the watermarked consumers
+    # (session agg, stream-stream join) rely on — a modulo split would
+    # make every batch span the full time range and turn old rows in
+    # later batches into dropped late data.  The single-partition global
+    # window is fine here: this is a bounded test-replay fixture, not a
+    # production path.
+    from pyspark.sql import Window
+
+    ev = ev.withColumn(
+        "b", F.ntile(n_files).over(Window.orderBy("event_id")) - 1
+    )
     for b in range(n_files):
         (
-            ev.filter(
-                (F.col("event_id") >= b * per)
-                & (F.col("event_id") < ((b + 1) * per if b < n_files - 1 else n + 1))
-            )
+            ev.filter(F.col("b") == b)
+            .drop("b")
             .coalesce(1)
             .write.mode("append")
             .parquet(in_dir)

@@ -32,6 +32,30 @@ def test_query_vs_oracle(key, spark, sf_dir, con):
     compare(df, con, sql, key)
 
 
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_output_types_are_hash_safe(key, con):
+    """Round-3 lesson, made un-mergeable: DuckDB promotes SUM(<integer>)
+    to HUGEINT (int128), which pandas renders as float64 while Spark
+    emits int64 — identical values, different canonical form, driver
+    hash mismatch (12 keys shipped that way in r3).  Gate EVERY oracle's
+    declared output types: no HUGEINT/UHUGEINT (uncast integer SUM), no
+    DECIMAL (pandas object/float drift), no TIMESTAMP WITH TIME ZONE
+    (Spark side is session-UTC naive).  Pure DuckDB planning check —
+    runs in milliseconds per key, so a future uncast aggregate fails CI
+    before it ever reaches the driver."""
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL", "WITH TIME ZONE")
+    desc = con.execute(f"DESCRIBE {ORACLES[key]}").fetchall()
+    offenders = {
+        name: typ
+        for name, typ, *_ in desc
+        if any(b in typ.upper() for b in banned)
+    }
+    assert not offenders, (
+        f"oracle for {key!r} declares hash-unsafe output types {offenders}; "
+        "CAST the aggregate (e.g. CAST(SUM(x) AS BIGINT))"
+    )
+
+
 def test_multimodal_resize_stub_math(spark):
     """Downsample math vs hand computation on one payload."""
     from spark_streaming_clustering_spark.operators.pipeline_surface import (
