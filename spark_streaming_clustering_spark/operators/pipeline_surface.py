@@ -382,6 +382,72 @@ def _cc_oracle() -> str:
 register("dedup_connected_components", dedup_connected_components, _cc_oracle())
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: for each near-dup cluster
+    (connected component of the capped MinHash-LSH pair graph), keep
+    the highest-quality member — what a production pipeline actually
+    writes back as the deduplicated corpus manifest (dropping dups is
+    only half the operator; CHOOSING the survivor is the other half).
+
+    Scale shape: CC labels (bounded-diameter label propagation, shared
+    with ``dedup_connected_components``) equi-joined on doc_id to the
+    per-doc quality aggregate, then one argmax window per component.
+    Components are bounded by the LSH bucket cap, so the per-component
+    window never sees a skewed partition; everything shuffles on
+    doc_id/component only.  Tie-break on (quality DESC, doc_id ASC)
+    over the ROUNDED score so both engines pick the same survivor.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    member = labels.join(quality, "doc_id")
+    w = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality").alias("kept_quality"),
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte_body()},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM scored
+              UNION ALL SELECT doc_b, doc_a FROM scored),
+    reach AS (SELECT a AS n, a AS m FROM edges
+              UNION SELECT e.b AS n, r.m AS m FROM reach r JOIN edges e ON e.a = r.n),
+    comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_uniq,
+             SUM(length(tok)) AS sum_len,
+             SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY doc_id),
+    q AS (SELECT doc_id,
+                 round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
+                       + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+          FROM stats),
+    member AS (SELECT comp.doc_id, component, quality
+               FROM comp JOIN q USING (doc_id)),
+    ranked AS (SELECT component, doc_id, quality,
+                      COUNT(*) OVER (PARTITION BY component) AS n_members,
+                      row_number() OVER (PARTITION BY component
+                                         ORDER BY quality DESC, doc_id ASC) AS rn
+               FROM member)
+    SELECT component, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS kept_doc, quality AS kept_quality
+    FROM ranked WHERE rn = 1
+    """
+
+
 # moved to _simhash.py (leaf module) so quality_surface's banded
 # Hamming variant can share it without a cycle through the registry
 from ._simhash import dedup_simhash, simhash_oracle as _simhash_oracle  # noqa: E402
@@ -908,6 +974,10 @@ register(
     FROM stats
     """,
 )
+
+# registered here (not next to its def) because the oracle interpolates
+# the _SW stopword list defined just above
+register("dedup_keep_best", dedup_keep_best, _keep_best_oracle())
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -375,3 +375,79 @@ register(
     FROM events WHERE event_id < 100
     """,
 )
+
+
+# --- Z-order (Morton) multi-dimensional data layout -------------------------
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit z-index
+_Z_FILES = 16  # logical "files" the sorted write would roll into
+
+
+def _morton_terms(x: str, y: str, dialect: str) -> str:
+    """Bit-interleave SQL for two _Z_BITS-wide ints, in either dialect
+    (Spark uses shiftleft/shiftright functions; DuckDB uses << / >>).
+    One shared generator so both engines compute the identical index."""
+    terms = []
+    for i in range(_Z_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout over (user_id, hour-index):
+    interleave the low 8 bits of each dimension into a 16-bit z-index,
+    split the z-sorted order into 16 equal z-ranges (the "files" a
+    layout-optimizing write would roll), and emit each range's row
+    count plus per-dimension min/max envelope.
+
+    This is the write-side layout operator (Delta/Iceberg OPTIMIZE
+    ZORDER) re-expressed as a checkable relation: parquet file/row-group
+    skipping consumes exactly these min/max envelopes, and the point of
+    z-ordering is that BOTH dimensions' envelopes stay narrow per file
+    (~sqrt locality), so a predicate on EITHER column prunes most
+    files — a single-column sort keeps only its own column narrow.  At
+    100 TB the operator is `df.orderBy(z).write` with files rolled by
+    size; the aggregate here is the skipping-stats table that write
+    would produce, which is what makes the layout's benefit assertable
+    in SQL.  All arithmetic is integer bit-twiddling on the JVM (no
+    UDF), generated from one shared dialect template so Spark and the
+    oracle interleave identically.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    x = "(user_id & 255)"
+    # ts may arrive TIMESTAMP_NTZ from a plain parquet read; unix_micros
+    # needs LTZ — the UTC session tz makes the cast the identity
+    y = "((unix_micros(cast(ts as timestamp)) div 3600000000) & 255)"
+    z = _morton_terms(x, y, "spark")
+    dims = ev.select(
+        F.expr(x).alias("x"),
+        F.expr(y).alias("y"),
+        F.expr(f"({z}) div {65536 // _Z_FILES}").alias("zfile"),
+    )
+    return dims.groupBy("zfile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+
+
+def _zorder_oracle() -> str:
+    x = "(user_id & 255)"
+    y = "((epoch_us(ts) // 3600000000) & 255)"
+    z = _morton_terms(x, y, "duck")
+    return f"""
+    SELECT (({z}) // {65536 // _Z_FILES}) AS zfile,
+           COUNT(*) AS n,
+           MIN({x}) AS x_min, MAX({x}) AS x_max,
+           MIN({y}) AS y_min, MAX({y}) AS y_max
+    FROM events GROUP BY 1
+    """
+
+
+register("zorder_layout", zorder_layout, _zorder_oracle())

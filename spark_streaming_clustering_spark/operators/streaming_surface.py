@@ -108,13 +108,15 @@ def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Golden-constant oracle (verified twice-deterministic in-session;
 # regenerate by running gstream_epoch at each sf and pasting the rows —
 # intentional semantic changes only, like replay91.json).  The CASE keys
-# on the embeddings cardinality so the same oracle string is correct at
-# sf0.001 (pytest, 500 vecs) and sf0.01 (driver/selfcheck gate).
+# on the EVENTS cardinality (1000 at sf0.001, 10000 at sf0.01) so the
+# same oracle string is correct at sf0.001 (pytest) and sf0.01
+# (driver/selfcheck gate) — embeddings has 500 rows at BOTH sfs with
+# different vector content, so it cannot discriminate.
 _GSTREAM_EPOCH_GOLDEN = """
     SELECT CAST(8 AS BIGINT) AS n_nodes,
            CAST(36 AS BIGINT) AS node_id_sum,
            CAST(512 AS BIGINT) AS n_coords,
-           CAST(CASE WHEN (SELECT COUNT(*) FROM embeddings) = 500
+           CAST(CASE WHEN (SELECT COUNT(*) FROM events) = 1000
                      THEN -614 ELSE -363 END AS BIGINT) AS coord_q_sum
 """
 

@@ -141,3 +141,52 @@ def test_grouped_map_normalize_singleton_group_is_null(spark, short_docs_dir):
     rows = {r.doc_id: r for r in grouped_map_normalize(spark, short_docs_dir).collect()}
     assert rows[5].z is None
     assert rows[0].z is not None  # the 5-doc en group normalizes fine
+
+
+# ---------------------------------------------------------------------------
+# round-4 new operators: zorder_layout / dedup_keep_best
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_envelopes_are_narrow(spark):
+    """The point of the z-order layout: every z-range's min/max envelope
+    is narrow in BOTH dimensions.  With 8-bit dims and 16 z-ranges, each
+    range fixes the top 2 bits of x AND y, so both envelopes span <= 64
+    of 256 — a predicate on either column prunes ~3/4 of the "files"
+    from stats alone (a single-column sort leaves the other dimension's
+    envelope at full width)."""
+    from spark_streaming_clustering_spark.operators.scale_surface import (
+        zorder_layout,
+    )
+
+    rows = zorder_layout(spark, SF_ORACLE).collect()
+    assert len(rows) > 4  # the curve actually spreads across ranges
+    for r in rows:
+        assert r.x_max - r.x_min <= 63, r
+        assert r.y_max - r.y_min <= 63, r
+
+
+def test_dedup_keep_best_picks_max_quality_member(spark):
+    """The kept doc is a real member of its component with the maximal
+    (rounded) quality; component membership totals agree with CC."""
+    from spark_streaming_clustering_spark.operators.pipeline_surface import (
+        dedup_connected_components,
+        dedup_keep_best,
+        text_quality_score,
+    )
+    from tests.conftest import SF_SMOKE
+
+    comp = {
+        r.doc_id: r.component
+        for r in dedup_connected_components(spark, SF_SMOKE).collect()
+    }
+    qual = {
+        r.doc_id: r.quality for r in text_quality_score(spark, SF_SMOKE).collect()
+    }
+    kept = dedup_keep_best(spark, SF_SMOKE).collect()
+    assert sum(r.n_members for r in kept) == len(comp)
+    for r in kept:
+        assert comp[r.kept_doc] == r.component
+        members = [d for d, c in comp.items() if c == r.component]
+        assert len(members) == r.n_members
+        assert r.kept_quality == max(qual[d] for d in members)
