@@ -71,6 +71,22 @@ def _point_batches(spark: SparkSession, sf_dir: str, n_batches: int = 10):
                 break  # exactly like the previous slice semantics
 
 
+def _proto_summary(proto: DataFrame) -> DataFrame:
+    """Compress a (node_id, vector) prototype table to one
+    value-checkable row: node count, surviving-id sum, coordinate count,
+    and the integer sum of milli-quantized coordinates.  Integer sums
+    over quantized values make the row independent of float summation
+    order, so a deterministic trainer yields a golden-constant oracle
+    (the replay91 protocol compressed to one row)."""
+    flat = proto.select("node_id", F.explode("vector").alias("c"))
+    return flat.agg(
+        F.countDistinct("node_id").alias("n_nodes"),
+        F.sum_distinct("node_id").alias("node_id_sum"),
+        F.count(F.lit(1)).alias("n_coords"),
+        F.sum(F.round(F.col("c") * 1000).cast("bigint")).alias("coord_q_sum"),
+    )
+
+
 def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full G-Stream run (E-step + M-step) over 10 deterministic
     micro-batches; returns a COMPACT DETERMINISTIC SUMMARY of the final
@@ -96,13 +112,7 @@ def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer.fit_batches(batches)
     rows = trainer.model.snapshot_tables()["prototypes"]
     proto = spark.createDataFrame(rows, "node_id long, vector array<double>")
-    flat = proto.select("node_id", F.explode("vector").alias("c"))
-    return flat.agg(
-        F.countDistinct("node_id").alias("n_nodes"),
-        F.sum_distinct("node_id").alias("node_id_sum"),
-        F.count(F.lit(1)).alias("n_coords"),
-        F.sum(F.round(F.col("c") * 1000).cast("bigint")).alias("coord_q_sum"),
-    )
+    return _proto_summary(proto)
 
 
 # Golden-constant oracle (verified twice-deterministic in-session;
@@ -159,10 +169,26 @@ def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_finished(q)
     rows = trainer.model.snapshot_tables()["prototypes"]
-    return spark.createDataFrame(rows, "node_id long, vector array<double>")
+    proto = spark.createDataFrame(rows, "node_id long, vector array<double>")
+    return _proto_summary(proto)
 
 
-register("streaming_file_source", streaming_file_source, None)
+# Golden-constant oracle (same protocol/caveats as _GSTREAM_EPOCH_GOLDEN):
+# the replay is deterministic — fixed 120 lowest-vec_id embeddings, 4
+# ordered CSV micro-batch files, maxFilesPerTrigger=1 — so the final
+# prototype summary is pinned per sf (events cardinality discriminates;
+# embeddings is 500 rows at both small sfs with different content).
+_STREAMING_FILE_SOURCE_GOLDEN = """
+    SELECT CAST(2 AS BIGINT) AS n_nodes,
+           CAST(3 AS BIGINT) AS node_id_sum,
+           CAST(128 AS BIGINT) AS n_coords,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM events) = 1000
+                     THEN -137 ELSE -210 END AS BIGINT) AS coord_q_sum
+"""
+
+register(
+    "streaming_file_source", streaming_file_source, _STREAMING_FILE_SOURCE_GOLDEN
+)
 
 
 def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4):
@@ -481,7 +507,26 @@ def mllib_kmeans_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("mllib_kmeans_baseline", mllib_kmeans_baseline, None)
+# Golden-constant oracle: the fit is byte-deterministic (fixed seed +
+# single sorted input partition, see docstring), so the per-cluster
+# (size, min_vec_id) table is pinned per sf — verified twice-identical
+# in-session; regenerate for intentional semantic changes only.
+_KMEANS_GOLDEN = """
+    WITH g(cluster, size, min_vec_id, sfn) AS (VALUES
+      (0, 1, 221, 1000), (1, 100, 4, 1000), (2, 76, 0, 1000),
+      (3, 129, 2, 1000), (4, 1, 120, 1000), (5, 74, 6, 1000),
+      (6, 11, 66, 1000), (7, 108, 3, 1000),
+      (0, 63, 5, 10000), (1, 6, 39, 10000), (2, 94, 6, 10000),
+      (3, 78, 0, 10000), (4, 46, 2, 10000), (5, 63, 14, 10000),
+      (6, 62, 4, 10000), (7, 88, 1, 10000))
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(size AS BIGINT) AS size,
+           CAST(min_vec_id AS BIGINT) AS min_vec_id
+    FROM g WHERE sfn = (SELECT COUNT(*) FROM events)
+    ORDER BY cluster
+"""
+
+register("mllib_kmeans_baseline", mllib_kmeans_baseline, _KMEANS_GOLDEN)
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
