@@ -73,6 +73,8 @@ HEADLINE = [
     "sessionize_events",
     "bm25_topk",
     "cms_sketch_q",
+    "dedup_keep_best",
+    "zorder_layout",
     "gstream_epoch",
 ]
 
