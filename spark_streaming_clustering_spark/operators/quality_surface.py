@@ -431,3 +431,192 @@ def _simham_oracle() -> str:
 
 
 register("dedup_simhash_hamming", dedup_simhash_hamming, _simham_oracle())
+
+
+# ==========================================================================
+# dedup_paragraph (round 4)
+# ==========================================================================
+
+# Fixed token-block width: the corpus has no sentence/paragraph
+# punctuation (single-space word streams), so "paragraphs" are
+# non-overlapping 10-token blocks — the block-level exact-dedup pass
+# (CCNet / RefinedWeb line-dedup) reduced to the data at hand.
+PARA_TOKENS = 10
+PARA_DUP_FRAC = 0.6  # drop threshold on the duplicated-block fraction
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (paragraph) dedup signal: split each document into
+    non-overlapping PARA_TOKENS-token blocks, find blocks occurring in
+    more than one document corpus-wide, and score each document by the
+    fraction of its blocks that are duplicated (``keep`` = fraction
+    below PARA_DUP_FRAC).
+
+    This is the *within-document* complement of ``dedup_exact`` (whole
+    doc) and ``dedup_minhash_lsh`` (near-whole-doc): boilerplate
+    paragraphs repeated across otherwise-distinct pages are what
+    block-level dedup removes in production corpus pipelines.
+
+    Plan shape: map-side block explode (no shuffle), one groupBy on the
+    block string (shuffle 1) for corpus doc-frequencies, an equi-join
+    back to the block relation (reuses the block-key partitioning on
+    the aggregated side), and a final per-doc aggregate (shuffle 2).
+    All exchanges are equi-key; at 100 TB the block strings would be
+    128-bit-hashed before the shuffle to cut exchange width — grouping
+    on the raw string here keeps the oracle exact.
+
+    Guard: docs shorter than PARA_TOKENS still form one (partial)
+    block; the ``greatest(..., 1)`` floor keeps sequence() ascending
+    for them (sequence(1, 0) is DESCENDING in Spark — ADVICE r3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_blocks = F.greatest(
+        F.expr(f"(size(t) + {PARA_TOKENS - 1}) div {PARA_TOKENS}"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * PARA_TOKENS + 1, PARA_TOKENS), " "
+        ),
+    )
+    para = toks.select("doc_id", F.explode(blocks).alias("blk"))
+    df_counts = para.groupBy("blk").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        para.join(df_counts, "blk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_blocks"
+            ),
+        )
+    )
+    dup_frac = F.round(
+        F.col("n_dup_blocks") / F.col("n_blocks").cast("double"), 6
+    )
+    return scored.select(
+        "doc_id",
+        "n_blocks",
+        "n_dup_blocks",
+        dup_frac.alias("dup_frac"),
+        (dup_frac < PARA_DUP_FRAC).alias("keep"),
+    )
+
+
+register(
+    "dedup_paragraph",
+    dedup_paragraph,
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    para AS (
+      SELECT doc_id,
+             array_to_string(
+               t[(i * {PARA_TOKENS} + 1):((i + 1) * {PARA_TOKENS})], ' ') AS blk
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(
+          0, greatest((len(t) + {PARA_TOKENS - 1}) // {PARA_TOKENS}, 1) - 1))
+          AS i) g),
+    dfc AS (
+      SELECT blk, COUNT(DISTINCT doc_id) AS n_docs FROM para GROUP BY 1),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_blocks
+      FROM para JOIN dfc USING (blk) GROUP BY 1)
+    SELECT doc_id, n_blocks, n_dup_blocks,
+           round(n_dup_blocks / CAST(n_blocks AS DOUBLE), 6) AS dup_frac,
+           round(n_dup_blocks / CAST(n_blocks AS DOUBLE), 6)
+             < {PARA_DUP_FRAC} AS keep
+    FROM scored
+    """,
+)
+
+
+# ==========================================================================
+# quality_perplexity (round 4)
+# ==========================================================================
+
+
+def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality proxy: per-document cross-entropy under a
+    corpus-learned token-bigram language model,
+    H_d = -(1/n_d) * sum log2( c(w1 w2) / c(w1 ·) ), where both counts
+    come from the corpus bigram relation itself (every observed bigram
+    has c >= 1, so no smoothing term is needed).
+
+    This is the third member of the quality family: ``quality_entropy``
+    scores within-document distribution, ``quality_repetition`` scores
+    within-document structure, and this key scores a document's
+    *typicality under the corpus* — the classic KenLM-style filter of
+    production pipelines, with the corpus itself as the reference model.
+
+    Plan shape: one tagged bigram explode (map-side), two aggregates of
+    the SAME bigram relation (corpus bigram counts; prefix counts are a
+    re-aggregate of the bigram counts, not a second scan), two
+    equi-joins back, one per-doc aggregate.  The count tables are
+    vocabulary-sized — at 100 TB they stay orders of magnitude below
+    corpus size, and AQE decides broadcast vs shuffle join at runtime.
+
+    Float contract: log terms are log2 of exact BIGINT counts, summed
+    per doc and rounded to 4 — the same arithmetic profile as the
+    driver-green ``quality_entropy``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = F.transform(idx, lambda i: F.concat_ws(" ", t[i - 1], t[i]))
+    doc_bg = toks.select(
+        "doc_id", F.explode(bg).alias("bg")
+    ).withColumn("w1", F.split("bg", " ")[0])
+    c_bg = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = (
+        c_bg.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    term = F.log2(F.col("c_bg").cast("double")) - F.log2(
+        F.col("c_w1").cast("double")
+    )
+    return (
+        doc_bg.join(c_bg, "bg")
+        .join(c_w1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(term) / F.count(F.lit(1)), 4).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
+register(
+    "quality_perplexity",
+    quality_perplexity,
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    doc_bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) g),
+    c_bg AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg
+             FROM doc_bg GROUP BY 1),
+    c_w1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                    CAST(SUM(c_bg) AS BIGINT) AS c_w1
+             FROM c_bg GROUP BY 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(-SUM(log2(CAST(c_bg AS DOUBLE))
+                      - log2(CAST(c_w1 AS DOUBLE))) / COUNT(*), 4)
+             AS cross_entropy
+    FROM doc_bg JOIN c_bg USING (bg) JOIN c_w1 USING (w1)
+    GROUP BY 1
+    """,
+)

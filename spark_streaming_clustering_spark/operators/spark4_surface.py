@@ -314,3 +314,78 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ==========================================================================
+# arrow_map_batch (round 4)
+# ==========================================================================
+
+
+def arrow_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` boundary: per-vector stats computed directly on
+    Arrow RecordBatches — the zero-copy sibling of ``mapInPandas``
+    that completes the Python-boundary matrix (scalar pandas_udf,
+    mapInPandas, applyInPandas, applyInPandasWithState, UDTF, row UDF,
+    Python data source, and now raw Arrow).
+
+    The kernel never materializes per-row Python objects: the list
+    column's flat float buffer is viewed as one numpy array and
+    segment-reduced with ``np.add.reduceat`` over the Arrow offsets —
+    the pattern that makes Python-side vector math competitive with
+    JVM expressions when a real kernel (BLAS, tokenizer) is needed.
+
+    Float contract: float32 values are widened to float64 before the
+    sequential segment sums, matching the oracle's
+    ``list_sum(list_transform(e, x -> CAST(x AS DOUBLE) ...))``
+    left-to-right order; outputs rounded to 6.
+    """
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def stats(batches):
+        import numpy as np
+
+        for rb in batches:
+            vids = rb.column(0)
+            col = rb.column(1)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            lst = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+            # flat values + offsets: one contiguous float buffer per batch
+            vals = lst.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts, ends = offs[:-1], offs[1:]
+            n = (ends - starts).astype(np.int64)
+            s = np.add.reduceat(vals, starts)
+            sq = np.add.reduceat(vals * vals, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vids,
+                    pa.array(n, type=pa.int64()),
+                    pa.array(np.round(np.sqrt(sq), 6) + 0.0, type=pa.float64()),
+                    pa.array(np.round(s / n, 6) + 0.0, type=pa.float64()),
+                ],
+                names=["vec_id", "n_dims", "l2_norm", "dim_mean"],
+            )
+
+    return emb.mapInArrow(
+        stats, "vec_id bigint, n_dims bigint, l2_norm double, dim_mean double"
+    )
+
+
+register(
+    "arrow_map_batch",
+    arrow_map_batch,
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings)
+    SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
+           round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) + 0.0
+             AS l2_norm,
+           round(list_sum(e) / len(e), 6) + 0.0 AS dim_mean
+    FROM v
+    """,
+)

@@ -1,0 +1,147 @@
+"""Semantic invariants of the round-4 lakehouse / corpus operators.
+
+Oracle equality is the selfcheck/driver's job; these tests pin the
+*semantics* the oracle comparison alone cannot articulate: interval
+algebra for SCD2, packing bounds for the compaction planner, count
+algebra for block dedup, and an independent numpy recompute for the
+mapInArrow kernel.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+np = pytest.importorskip("numpy")
+
+
+def test_scd2_intervals_partition_user_history(spark):
+    """Per user: versions are 1..n, exactly one open (is_current) row,
+    intervals are ordered, non-overlapping and contiguous (each row's
+    valid_to equals the next row's valid_from), and consecutive rows
+    never carry the same status (change detection actually fired)."""
+    from spark_streaming_clustering_spark.operators.lakehouse_surface import (
+        scd2_dimension,
+    )
+
+    rows = scd2_dimension(spark, SF_SMOKE).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for hist in by_user.values():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from < a.valid_to
+            assert a.status != b.status
+
+
+def test_compaction_plan_groups_are_target_bounded(spark):
+    """Every output group's byte total is < target + its largest member
+    (the next-fit bound), groups are contiguous in file order, and the
+    running sum reconstructs exactly from the member sizes."""
+    from spark_streaming_clustering_spark.operators.lakehouse_surface import (
+        COMPACT_TARGET_BYTES,
+        compaction_plan,
+    )
+
+    rows = sorted(compaction_plan(spark, SF_SMOKE).collect(), key=lambda r: r.file_id)
+    assert rows
+    cum = 0
+    groups: dict = {}
+    last_group = 0
+    for r in rows:
+        cum += r.est_bytes
+        assert r.cum_bytes == cum
+        assert r.out_group >= last_group  # contiguous, non-decreasing
+        last_group = r.out_group
+        g = groups.setdefault(r.out_group, {"bytes": 0, "max": 0})
+        g["bytes"] += r.est_bytes
+        g["max"] = max(g["max"], r.est_bytes)
+    for g in groups.values():
+        assert g["bytes"] < COMPACT_TARGET_BYTES + g["max"]
+
+
+def test_dedup_paragraph_matches_sequential_emulation(spark):
+    """The distributed block-dedup signal equals a driver-side
+    emulation: same 10-token blocking, same corpus doc-frequency,
+    same per-doc duplicated-block fraction."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.quality_surface import (
+        PARA_TOKENS,
+        dedup_paragraph,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    doc_blocks = {}
+    block_docs = defaultdict(set)
+    for d, text in texts.items():
+        t = text.split(" ")
+        nb = max((len(t) + PARA_TOKENS - 1) // PARA_TOKENS, 1)
+        blocks = [
+            " ".join(t[i * PARA_TOKENS : (i + 1) * PARA_TOKENS])
+            for i in range(nb)
+        ]
+        doc_blocks[d] = blocks
+        for b in blocks:
+            block_docs[b].add(d)
+    got = {r.doc_id: r for r in dedup_paragraph(spark, SF_SMOKE).collect()}
+    assert set(got) == set(texts)
+    for d, blocks in doc_blocks.items():
+        n_dup = sum(1 for b in blocks if len(block_docs[b]) > 1)
+        assert got[d].n_blocks == len(blocks)
+        assert got[d].n_dup_blocks == n_dup
+        assert got[d].dup_frac == round(n_dup / len(blocks), 6)
+
+
+def test_quality_perplexity_bounds_and_floor_case(spark):
+    """Cross-entropy is >= 0 (every bigram probability <= 1) and 0 only
+    when each of the doc's prefix words is always followed by the same
+    next word corpus-wide; n_bigrams == token count - 1."""
+    from spark_streaming_clustering_spark.operators.quality_surface import (
+        quality_perplexity,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    n_toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    rows = quality_perplexity(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams == n_toks[r.doc_id] - 1
+        assert r.cross_entropy >= 0.0
+
+
+def test_arrow_map_batch_matches_numpy_recompute(spark):
+    """The Arrow-kernel stats equal a per-row numpy recompute of the
+    same embeddings (widened to float64, same rounding)."""
+    from spark_streaming_clustering_spark.operators.spark4_surface import (
+        arrow_map_batch,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    rows = arrow_map_batch(spark, SF_SMOKE).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        v = vecs[r.vec_id]
+        assert r.n_dims == v.size
+        assert r.l2_norm == pytest.approx(math.sqrt(float((v * v).sum())), abs=2e-6)
+        assert r.dim_mean == pytest.approx(float(v.mean()), abs=2e-6)

@@ -244,3 +244,22 @@ def test_cms_partial_aggregation(spark):
     story): HashAggregate appears as partial+final pairs."""
     plan = _plan(spark, "cms_sketch_q")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_scd2_single_exchange(spark):
+    """Change-detection lag, post-filter lead and row_number all sort
+    on the same (user_id | ts, event_id) key — the whole SCD2 build
+    must plan exactly ONE shuffle."""
+    import re
+
+    plan = _plan(spark, "scd2_dimension")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_dedup_paragraph_equi_joins_only(spark):
+    """The block doc-frequency join-back must stay an equi-join on the
+    block key (broadcast at this sf via AQE is fine); never a nested
+    loop or cartesian expansion."""
+    plan = _plan(spark, "dedup_paragraph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
