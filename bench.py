@@ -75,6 +75,12 @@ HEADLINE = [
     "cms_sketch_q",
     "dedup_keep_best",
     "zorder_layout",
+    "scd2_dimension",
+    "compaction_plan",
+    "dedup_paragraph",
+    "quality_perplexity",
+    "arrow_map_batch",
+    "pagerank_trade",
     "gstream_epoch",
 ]
 

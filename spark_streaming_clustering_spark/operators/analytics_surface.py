@@ -841,3 +841,106 @@ register(
                   / COUNT(*) FROM orders)
     """,
 )
+
+
+# ==========================================================================
+# pagerank_trade (round 4)
+# ==========================================================================
+
+PR_ITERS = 4
+PR_SCALE = 1_000_000  # rank unit: 1.0 == 1e6 micro-rank
+PR_TOPK = 20
+
+
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the customer-supplier trade graph
+    (distinct (customer, supplier) pairs from orders x lineitem, made
+    symmetric), PR_ITERS fixed iterations, top-PR_TOPK nodes.
+
+    The numeric contract makes an *iterative float algorithm* exactly
+    oracle-checkable: ranks live in integer micro-units and every step
+    is integer arithmetic — contribution = rank div out_degree, damped
+    sum = 150000 + (sum * 85) div 100 — so no summation-order or
+    rounding drift can accumulate across iterations in either engine
+    (the same trick ``pipeline_clean_corpus`` uses for one aggregate,
+    extended to a fixpoint loop).
+
+    Plan shape per iteration: ranks ⋈ edges on src (equi), groupBy dst
+    — the textbook distributed PageRank step.  Node ids are disjoint
+    ints (custkey*2 / suppkey*2+1); the symmetric edge set guarantees
+    no dangling nodes, so no rank mass correction term is needed.  The
+    4-deep unrolled plan stays well under Catalyst's analysis limits
+    (dedup_connected_components localCheckpoints for the same reason
+    at higher depth; 4 static iterations don't need it).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edges, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("contrib"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.expr("150000 + (sum(contrib) * 85) div 100").alias("rank")
+        ).select(F.col("dst").alias("src"), "rank")
+    return (
+        ranks.select(
+            F.col("src").alias("node"),
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(PR_TOPK)
+    )
+
+
+def _pagerank_oracle() -> str:
+    prev = "it0"
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""it{i} AS (
+      SELECT e.dst AS src,
+             150000 + (SUM(r.rank // d.deg) * 85) // 100 AS rank
+      FROM {prev} r JOIN edges e ON r.src = e.src JOIN deg d ON r.src = d.src
+      GROUP BY e.dst)"""
+        )
+        prev = f"it{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    it0 AS (SELECT src, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {steps_sql}
+    SELECT src AS node,
+           CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           CAST(rank AS BIGINT) AS rank
+    FROM {prev}
+    ORDER BY rank DESC, node ASC LIMIT {PR_TOPK}
+    """
+
+
+register("pagerank_trade", pagerank_trade, _pagerank_oracle())

@@ -1314,3 +1314,70 @@ register(
     FROM w
     """,
 )
+
+
+# --- map-typed column surface (round 4) --------------------------------------
+
+
+def map_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions end to end: per-document term-count
+    maps built with ``map_from_entries``, filtered with ``map_filter``
+    (count >= 3), probed with ``element_at`` and sized with
+    ``map_keys``/``size`` — the typed-dictionary column pattern
+    (feature bags, sparse attributes) the array surface can't express.
+
+    Output is relationalized deterministically (sorted key list joined
+    to a string) because map iteration order is unspecified in BOTH
+    engines — the house rule for set-valued outputs.
+
+    Plan: one (doc_id, term) aggregate, one per-doc aggregate — the
+    map construction and every map function are whole-stage-codegen
+    expressions on top; no UDF, no extra shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("term", "cnt")))
+    )
+    per_doc = tf.groupBy("doc_id").agg(m.alias("m"))
+    freq = F.map_filter(F.col("m"), lambda k, v: v >= 3)
+    return per_doc.select(
+        "doc_id",
+        F.size("m").alias("n_terms"),
+        F.size(freq).alias("n_freq_terms"),
+        F.array_join(F.array_sort(F.map_keys(freq)), ",").alias("freq_terms"),
+        F.coalesce(F.element_at(F.col("m"), "the"), F.lit(0)).alias("n_the"),
+    )
+
+
+register(
+    "map_funcs_q",
+    map_funcs_q,
+    """
+    WITH tf AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents),
+    cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tf GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_terms,
+           CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INT)
+             AS n_freq_terms,
+           -- list() FILTER over zero rows is NULL in DuckDB; Spark's
+           -- array_join of the empty filtered map is '' — coalesce.
+           COALESCE(array_to_string(
+             list_sort(list(term) FILTER (WHERE cnt >= 3)), ','), '')
+             AS freq_terms,
+           COALESCE(MAX(CASE WHEN term = 'the' THEN cnt END), 0) AS n_the
+    FROM cnt GROUP BY doc_id
+    """,
+)

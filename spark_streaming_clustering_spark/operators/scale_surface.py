@@ -451,3 +451,94 @@ def _zorder_oracle() -> str:
 
 
 register("zorder_layout", zorder_layout, _zorder_oracle())
+
+
+# --- round-4 source formats --------------------------------------------------
+
+
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-lines source (``spark.read.text``): documents serialized as
+    tab-separated lines through the text sink, read back as raw lines
+    and re-parsed with split() — the "my corpus is a pile of .txt"
+    on-ramp every pipeline starts from.  The corpus is lowercase
+    words+spaces so the tab delimiter cannot collide; the content-hash
+    roundtrip check would catch any mangling.
+
+    Scale: line-oriented text is splittable; read parallelism comes
+    from file splits exactly like CSV, and the parse is one
+    whole-stage-codegen projection.
+    """
+    path = os.path.join(tempfile.mkdtemp(prefix="src_text_"), "docs")
+    (
+        _docs_subset(spark, sf_dir)
+        .select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), "lang", "text"
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    parts = F.split("value", "\t")
+    back = spark.read.text(path).select(
+        parts[0].cast("long").alias("doc_id"),
+        parts[1].alias("lang"),
+        parts[2].alias("text"),
+    )
+    return _roundtrip_check(back)
+
+
+register("source_text_lines", source_text_lines, _ROUNDTRIP_ORACLE)
+
+
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source (``spark.read.format("binaryFile")``):
+    one .bin per language (texts concatenated in doc_id order), read
+    back as (path, length, content) and verified by content hash — the
+    ingestion path for image/audio shards where each file is one
+    opaque payload.
+
+    The per-lang write is a bounded driver collect (5 rows — the
+    aggregate, never the corpus); the binaryFile READ is the operator
+    under test and is fully distributed (one task per file; at 100 TB,
+    maxPartitionBytes groups small files per task).
+    """
+    tmp = tempfile.mkdtemp(prefix="src_bin_")
+    per_lang = (
+        _docs_subset(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "text"))
+                ).getField("text"),
+                "\n",
+            ).alias("blob")
+        )
+        .collect()
+    )
+    for r in per_lang:
+        with open(os.path.join(tmp, f"{r.lang}.bin"), "wb") as f:
+            f.write(r.blob.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(tmp)
+    return back.select(
+        F.regexp_extract(
+            F.col("path"), r"([a-z]+)\.bin$", 1
+        ).alias("lang"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+register(
+    "source_binary_files",
+    source_binary_files,
+    """
+    WITH blobs AS (
+      SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS blob
+      FROM documents GROUP BY lang)
+    SELECT lang, CAST(octet_length(encode(blob)) AS BIGINT) AS n_bytes,
+           sha256(blob) AS content_sha256
+    FROM blobs
+    """,
+)

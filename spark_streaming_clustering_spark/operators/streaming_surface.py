@@ -728,3 +728,58 @@ register(
     FROM sess GROUP BY user_id, sid
     """,
 )
+
+
+# --- streaming file sink (round 4) -------------------------------------------
+
+
+def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PARQUET file sink: file source -> stateless
+    filter/project -> ``writeStream.format("parquet")`` with a
+    checkpoint, drained with availableNow, then the sink directory is
+    read BACK as a batch table and aggregated.  This is the bronze
+    landing-zone pattern (stream appends splittable columnar files
+    exactly-once via the checkpoint + file-sink manifest) — the one
+    sink family the memory/foreachBatch keys don't cover.
+
+    The aggregate runs on the read-back, so the oracle checks the full
+    write path: schema, values, and append atomicity.  Stateless
+    append mode keeps the sink file-compatible (no watermark state);
+    the decimal-exact sum makes the check order-independent.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_pqsink_")
+    out = os.path.join(os.path.dirname(ckpt), "out")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.filter(F.col("value") > 100.0)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    back = spark.read.schema("event_id long, event_type string, value double").parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+register(
+    "streaming_parquet_sink",
+    streaming_parquet_sink,
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE value > 100.0
+    GROUP BY event_type
+    """,
+)
