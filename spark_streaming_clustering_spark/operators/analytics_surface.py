@@ -944,3 +944,173 @@ def _pagerank_oracle() -> str:
 
 
 register("pagerank_trade", pagerank_trade, _pagerank_oracle())
+
+
+# ==========================================================================
+# graph_triangle_count / graph_bfs (round 4)
+# ==========================================================================
+#
+# Both run on the part CO-PURCHASE graph: undirected edges between
+# parts that appear in the same order (the trade graph used by
+# pagerank_trade is bipartite and hence triangle-free by construction).
+
+
+_EDGE_CACHE: dict = {}
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (a < b) part co-purchase edges, persisted once
+    per (SparkContext, sf_dir) and shared by both graph keys — the
+    triangle query references the edge list three times and BFS twice,
+    so a per-call persist would leak one cached relation per invocation
+    (same lifetime contract as ``_text.shared_tf``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    e = _EDGE_CACHE.get(key)
+    if e is not None:
+        return e
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    _EDGE_CACHE[key] = e
+    return e
+
+
+_DK_COPURCHASE = """
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the part co-purchase graph:
+    canonical a<b<c enumeration via two equi-joins over the
+    (a, b)-ordered edge list, then per-node triangle participation for
+    the top 10 nodes (plus the global count as node -1).
+
+    The a<b<c canonicalization IS the scale trick: each triangle is
+    produced exactly once, the wedge join (e1.b = e2.a) only extends
+    ascending pairs, and the closing edge check (a, c) is another
+    equi-join — three shuffle-partitionable joins, no squaring of
+    adjacency lists in memory.  The classic refinement (order by
+    degree instead of id to bound wedge counts on skewed graphs) is a
+    drop-in key change documented here; id order keeps the oracle
+    trivially identical.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a"), F.col("b").alias("c"), F.lit(1).alias("closed"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(10)
+    )
+    total = tri.agg(
+        F.lit(-1).cast("bigint").alias("node"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+    return total.unionAll(per_node)
+
+
+register(
+    "graph_triangle_count",
+    graph_triangle_count,
+    f"""
+    WITH edges AS ({_DK_COPURCHASE}),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+      GROUP BY node ORDER BY n_triangles DESC, node ASC LIMIT 10)
+    SELECT CAST(-1 AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tri
+    UNION ALL
+    SELECT node, n_triangles FROM per_node
+    """,
+)
+
+
+BFS_ITERS = 4
+BFS_SEED_MAX = 10  # seed frontier: part ids < 10
+
+
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS on the part co-purchase graph: hop distance
+    from the seed set (part id < BFS_SEED_MAX) for every node within
+    BFS_ITERS hops.
+
+    Each iteration is relax + re-min: frontier ⋈ edges (undirected via
+    the symmetric view) then MIN(dist) over the union with the
+    previous state — the same bounded-diameter label-propagation
+    recipe as ``dedup_connected_components``, with hop count instead
+    of component id.  Distances are small exact integers, so the
+    4-deep unrolled loop is bit-identical in both engines.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") < BFS_SEED_MAX).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(BFS_ITERS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.a)
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def _bfs_oracle() -> str:
+    prev = "it0"
+    steps = []
+    for i in range(1, BFS_ITERS + 1):
+        steps.append(
+            f"""it{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.b AS node, r.dist + 1 AS dist
+        FROM {prev} r JOIN edges e ON r.node = e.a)
+      GROUP BY node)"""
+        )
+        prev = f"it{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH half AS ({_DK_COPURCHASE}),
+    edges AS (SELECT a, b FROM half UNION ALL SELECT b AS a, a AS b FROM half),
+    it0 AS (
+      SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+      FROM edges WHERE a < {BFS_SEED_MAX}),
+    {steps_sql}
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+    """
+
+
+register("graph_bfs", graph_bfs, _bfs_oracle())

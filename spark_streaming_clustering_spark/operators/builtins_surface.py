@@ -1381,3 +1381,59 @@ register(
     FROM cnt GROUP BY doc_id
     """,
 )
+
+
+# --- NOT IN vs NOT EXISTS null semantics (round 4) ---------------------------
+
+
+def subquery_not_in_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated as data: parts filtered with
+    ``NOT IN (subquery)`` where the subquery's key list contains a NULL
+    (injected via NULLIF) yield ZERO rows — three-valued logic makes
+    ``x NOT IN (..., NULL)`` never true — while the ``NOT EXISTS``
+    anti-join form returns the intended complement.  The result row
+    carries both counts side by side, plus the null-free NOT IN count
+    proving the two forms agree when no NULL is present.
+
+    Catalyst plans NOT IN as a null-aware anti join (and at 100 TB
+    that null-awareness costs a broadcast of the whole subquery to
+    every task — one more reason production SQL prefers NOT EXISTS).
+    """
+    for name in ("part", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_ni")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM part_ni WHERE p_partkey NOT IN
+             (SELECT nullif(l_partkey, 1) FROM lineitem_ni
+              WHERE l_quantity >= 45)) AS n_not_in_poisoned,
+          (SELECT COUNT(*) FROM part_ni p WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem_ni l
+              WHERE nullif(l.l_partkey, 1) = p.p_partkey
+                AND l.l_quantity >= 45)) AS n_not_exists,
+          (SELECT COUNT(*) FROM part_ni WHERE p_partkey NOT IN
+             (SELECT l_partkey FROM lineitem_ni
+              WHERE l_quantity >= 45 AND l_partkey IS NOT NULL))
+            AS n_not_in_clean
+        """
+    )
+
+
+register(
+    "subquery_not_in_q",
+    subquery_not_in_q,
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+         (SELECT nullif(l_partkey, 1) FROM lineitem
+          WHERE l_quantity >= 45)) AS BIGINT) AS n_not_in_poisoned,
+      CAST((SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+         (SELECT 1 FROM lineitem l
+          WHERE nullif(l.l_partkey, 1) = p.p_partkey
+            AND l.l_quantity >= 45)) AS BIGINT) AS n_not_exists,
+      CAST((SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+         (SELECT l_partkey FROM lineitem
+          WHERE l_quantity >= 45 AND l_partkey IS NOT NULL))
+        AS BIGINT) AS n_not_in_clean
+    """,
+)

@@ -620,3 +620,96 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ==========================================================================
+# cooccurrence_pmi (round 4)
+# ==========================================================================
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI_TOPK adjacent-token collocations by pointwise mutual
+    information: PMI(a,b) = log2( p(ab) / (p(a) p(b)) ) with all
+    probabilities from exact corpus counts — the association-mining
+    complement of ``quality_perplexity``'s conditional model (PMI finds
+    the phrases; the LM scores typicality).
+
+    Exact-arithmetic contract: PMI decomposes into log2 of exact
+    BIGINT counts (log2 c_ab + 2 log2 N_u - log2 N_bg - log2 c_a -
+    log2 c_b), so no ratio is formed before the logs and both engines
+    evaluate identical double terms; ranking orders by the ROUNDED
+    score with a bigram tie-break, keeping top-k stable across
+    engines.
+
+    Plan: one bigram aggregate, one unigram aggregate, two
+    vocabulary-sized equi-joins (AQE broadcasts them at this sf), one
+    global top-k (rank-limit, partial per partition).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", t[i - 1], t[i]))
+        ).alias("bg")
+    )
+    uni = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    n_u = uni.agg(F.sum("c_t").alias("n_u"))
+    c_bg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_bg = c_bg.agg(F.sum("c_ab").alias("n_bg"))
+    parts = F.split("bg", " ")
+    scored = (
+        c_bg.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .withColumn("a", parts[0])
+        .withColumn("b", parts[1])
+        .join(uni.select(F.col("term").alias("a"), F.col("c_t").alias("c_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("c_t").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_bg))
+    )
+    lg = lambda c: F.log2(F.col(c).cast("double"))  # noqa: E731
+    pmi = F.round(
+        lg("c_ab") + 2 * lg("n_u") - lg("n_bg") - lg("c_a") - lg("c_b"), 4
+    )
+    return (
+        scored.select("bg", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(PMI_TOPK)
+    )
+
+
+register(
+    "cooccurrence_pmi",
+    cooccurrence_pmi,
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bg
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) g),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c_t
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1),
+    c_bg AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1),
+    tot AS (SELECT CAST((SELECT SUM(c_t) FROM uni) AS BIGINT) AS n_u,
+                   CAST((SELECT SUM(c_ab) FROM c_bg) AS BIGINT) AS n_bg)
+    SELECT bg, c_ab,
+           round(log2(CAST(c_ab AS DOUBLE)) + 2 * log2(CAST(n_u AS DOUBLE))
+                 - log2(CAST(n_bg AS DOUBLE)) - log2(CAST(ua.c_t AS DOUBLE))
+                 - log2(CAST(ub.c_t AS DOUBLE)), 4) AS pmi
+    FROM c_bg, tot
+    JOIN uni ua ON ua.term = string_split(bg, ' ')[1]
+    JOIN uni ub ON ub.term = string_split(bg, ' ')[2]
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bg ASC LIMIT {PMI_TOPK}
+    """,
+)

@@ -783,3 +783,94 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+# --- stream-stream LEFT OUTER join (round 4) ---------------------------------
+
+SSOJ_WINDOW_H = 4  # match window: purchases within 4 h after the click
+SSOJ_DELAY = "1 hour"  # watermark delay (replay is perfectly time-ordered)
+
+
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click joined to
+    purchases by the same user within the next 4 hours — and, unlike
+    ``stream_stream_join``, clicks with NO such purchase are emitted
+    with NULL right columns once the watermark proves the match window
+    closed.
+
+    That proof is the whole semantics: an unmatched left row emits
+    null-extended exactly when the global watermark (min across both
+    sides of max-event-time-seen minus SSOJ_DELAY) passes the end of
+    its match window; unmatched clicks in the final watermark+window
+    tail of the stream are still "open" at drain time and are NOT in
+    the result.  The oracle states that rule in SQL over the batch
+    table — the boundary comparison (strict >) is pinned by test
+    against both scale factors.
+
+    State story at 100 TB: both sides key-shuffle on user_id; the
+    range condition + watermark bound per-key state by event-time skew
+    (~window + delay), not stream length — this is the only join shape
+    whose memory is O(skew x rate) instead of O(history).
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_ssoj_")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def _side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", SSOJ_DELAY)
+        )
+
+    joined = _side("click", "l").join(
+        _side("purchase", "r"),
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts "
+            f"AND r_ts <= l_ts + INTERVAL {SSOJ_WINDOW_H} HOURS"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_stream_outer_join")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    return spark.table("stream_stream_outer_join").select(
+        "l_id", "r_id", F.col("l_user").alias("user_id")
+    )
+
+
+register(
+    "stream_stream_outer_join",
+    stream_stream_outer_join,
+    f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 1 HOUR AS w)
+    SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id AS user_id
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {SSOJ_WINDOW_H} HOURS
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id
+    FROM c, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {SSOJ_WINDOW_H} HOURS)
+      AND wm.w > c.ts + INTERVAL {SSOJ_WINDOW_H} HOURS
+    """,
+)

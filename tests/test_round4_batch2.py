@@ -126,3 +126,166 @@ def test_map_funcs_counts_consistent(spark):
         n_listed = len(r.freq_terms.split(",")) if r.freq_terms else 0
         assert n_listed == r.n_freq_terms
         assert r.n_the >= 0
+
+
+def test_triangle_count_matches_sequential_emulation(spark):
+    """Distributed a<b<c triangle enumeration equals a brute-force
+    driver-side count over the same co-purchase edge set."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        graph_triangle_count,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    by_order = defaultdict(set)
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    tri_nodes = defaultdict(int)
+    total = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:  # a<b<c by construction of adj
+            total += 1
+            tri_nodes[a] += 1
+            tri_nodes[b] += 1
+            tri_nodes[c] += 1
+    expect_top = sorted(tri_nodes.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = graph_triangle_count(spark, SF_SMOKE).collect()
+    assert (rows[0].node, rows[0].n_triangles) == (-1, total)
+    assert [(r.node, r.n_triangles) for r in rows[1:]] == expect_top
+
+
+def test_bfs_matches_networkless_emulation(spark):
+    """4-hop multi-source BFS distances equal a queue-based emulation
+    capped at 4 hops."""
+    from collections import defaultdict, deque
+    from itertools import combinations
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        BFS_ITERS,
+        BFS_SEED_MAX,
+        graph_bfs,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    by_order = defaultdict(set)
+    for r in load_table(spark, SF_SMOKE, "lineitem").collect():
+        by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a, b in combinations(parts, 2):
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {n: 0 for n in adj if n < BFS_SEED_MAX}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] == BFS_ITERS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r.node: r.dist for r in graph_bfs(spark, SF_SMOKE).collect()}
+    assert got == dist and got
+
+
+def test_not_in_poisoned_semantics(spark):
+    """The NULL-poisoned NOT IN must return zero; the NOT EXISTS form
+    returns the true complement; the null-free NOT IN agrees with it
+    up to the nullif'd key."""
+    from spark_streaming_clustering_spark.operators.builtins_surface import (
+        subquery_not_in_q,
+    )
+
+    r = subquery_not_in_q(spark, SF_SMOKE).collect()[0]
+    assert r.n_not_in_poisoned == 0
+    assert r.n_not_exists > 0
+    # clean NOT IN differs from NOT EXISTS only by part 1's treatment
+    assert abs(r.n_not_in_clean - r.n_not_exists) <= 1
+
+
+def test_pmi_scores_are_upper_bounded_by_min_count(spark):
+    """PMI of a pair can never exceed log2(N_u^2 / (N_bg * c_ab)) given
+    c_a, c_b >= c_ab; spot-check the top row against a direct
+    recompute from corpus counts."""
+    import math
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.quality_surface import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+        cooccurrence_pmi,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        t = r.text.split(" ")
+        uni.update(t)
+        big.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    n_u, n_bg = sum(uni.values()), sum(big.values())
+
+    def pmi(bg: str) -> float:
+        a, b = bg.split(" ")
+        return round(
+            math.log2(big[bg]) + 2 * math.log2(n_u) - math.log2(n_bg)
+            - math.log2(uni[a]) - math.log2(uni[b]),
+            4,
+        )
+
+    rows = cooccurrence_pmi(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= PMI_TOPK
+    expect = sorted(
+        ((pmi(bg), bg) for bg, c in big.items() if c >= PMI_MIN_COUNT),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[: len(rows)]
+    assert [(r.pmi, r.bg) for r in rows] == expect
+    for r in rows:
+        assert r.c_ab >= PMI_MIN_COUNT
+
+
+def test_stream_stream_outer_join_closure_rule(spark):
+    """The outer join emits exactly: all inner matches, plus unmatched
+    clicks whose match window closed under the final watermark
+    (min(max click ts, max purchase ts) - delay > click ts + window)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.operators.streaming_surface import (
+        SSOJ_WINDOW_H,
+        stream_stream_outer_join,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    clicks = [e for e in ev if e.event_type == "click"]
+    purch = [e for e in ev if e.event_type == "purchase"]
+    wm = min(max(e.ts for e in clicks), max(e.ts for e in purch)) - datetime.timedelta(hours=1)
+    win = datetime.timedelta(hours=SSOJ_WINDOW_H)
+    expect = set()
+    for c in clicks:
+        matches = [
+            p for p in purch
+            if p.user_id == c.user_id and c.ts <= p.ts <= c.ts + win
+        ]
+        if matches:
+            expect.update((c.event_id, p.event_id) for p in matches)
+        elif wm > c.ts + win:
+            expect.add((c.event_id, None))
+    got = {
+        (r.l_id, r.r_id)
+        for r in stream_stream_outer_join(spark, SF_SMOKE).collect()
+    }
+    assert got == expect and got
+    assert any(r is None for _, r in got)  # outer rows actually present
