@@ -1437,3 +1437,205 @@ register(
         AS BIGINT) AS n_not_in_clean
     """,
 )
+
+
+# --- time-series imputation: locf / nocb / linear interpolation (round 4) ----
+
+
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled HOURLY value series per event type with real
+    imputation: observed hours keep their mean, interior gaps are
+    linearly interpolated between the neighboring observed hours, and
+    edge gaps fall back to LOCF / NOCB — the TimescaleDB
+    ``locf()``/``interpolate()`` pair, which ``gapfill_series``'s
+    zero-fill deliberately does not attempt.
+
+    Plan shape: one (event_type, hour) aggregate, a per-type spine
+    explode (map-side sequence over the type's min..max hour), a left
+    join back on the same key, then ONE (event_type | hour) window
+    partitioning serving both the backward (last ignorenulls) and
+    forward (first ignorenulls) neighbor lookups — neighbor hour and
+    value travel together in a struct, so each direction is a single
+    window expression.
+
+    Float contract: observed means are decimal-exact sums divided once
+    and rounded; the interpolation weight is a ratio of exact
+    microsecond epochs — both engines evaluate the identical double
+    expression tree on identical inputs, no accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    obs = (
+        ev.groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    g = spine.join(obs, ["event_type", "h"], "left")
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pt = F.when(F.col("v").isNotNull(), F.struct("h", "v"))
+    g = g.withColumn("prev", F.last(pt, ignorenulls=True).over(pw)).withColumn(
+        "nxt", F.first(pt, ignorenulls=True).over(nw)
+    )
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    interp = F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * (
+        (us("h") - us("prev.h")) / (us("nxt.h") - us("prev.h"))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev").isNull(), F.col("nxt.v"))
+        .when(F.col("nxt").isNull(), F.col("prev.v"))
+        .otherwise(F.round(interp, 6))
+    )
+    method = (
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(F.col("prev").isNull(), F.lit("nocb"))
+        .when(F.col("nxt").isNull(), F.lit("locf"))
+        .otherwise(F.lit("interp"))
+    )
+    return g.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        filled.alias("value"),
+        method.alias("method"),
+    )
+
+
+register(
+    "gapfill_interpolate",
+    gapfill_interpolate,
+    """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type, unnest(generate_series(min(h), max(h),
+                                                INTERVAL 1 HOUR)) AS h
+      FROM obs GROUP BY event_type),
+    g AS (
+      SELECT s.event_type, s.h, o.v,
+             last_value(CASE WHEN o.v IS NOT NULL THEN o.h END IGNORE NULLS)
+               OVER pw AS ph,
+             last_value(CASE WHEN o.v IS NOT NULL THEN o.v END IGNORE NULLS)
+               OVER pw AS pv,
+             first_value(CASE WHEN o.v IS NOT NULL THEN o.h END IGNORE NULLS)
+               OVER nw AS nh,
+             first_value(CASE WHEN o.v IS NOT NULL THEN o.v END IGNORE NULLS)
+               OVER nw AS nv
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.h = o.h
+      WINDOW pw AS (PARTITION BY s.event_type ORDER BY s.h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             nw AS (PARTITION BY s.event_type ORDER BY s.h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, h AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE round(pv + (nv - pv) * (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+                                             / (epoch_us(nh) - epoch_us(ph))), 6)
+           END AS value,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN pv IS NULL THEN 'nocb'
+                WHEN nv IS NULL THEN 'locf'
+                ELSE 'interp'
+           END AS method
+    FROM g
+    """,
+)
+
+
+# --- dynamic-gap session windows (round 4) -----------------------------------
+
+
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-ROW gap expression
+    (``session_window(ts, CASE ...)``): error events extend their
+    session by only 30 minutes while ordinary activity allows 2 hours —
+    the dynamic-gap form (Spark 3.2+) that a fixed-gap
+    ``window_session`` cannot express.
+
+    The oracle restates the semantics relationally: a session breaks
+    when the gap since the previous event exceeds THAT PREVIOUS
+    event's own gap allowance (session end = event ts + its gap).
+
+    Same single-exchange shape as ``sessionize_events``: one
+    (user_id)-keyed partitioning serves the lag, the running sum and
+    the final aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # gap must be CalendarIntervalType: string durations are parsed by
+    # session_window itself; a DayTimeInterval CASE is rejected.
+    gap = F.when(F.col("event_type") == "error", F.lit("30 minutes")).otherwise(
+        F.lit("2 hours")
+    )
+    sess = ev.groupBy(
+        F.session_window(F.col("ts").cast("timestamp"), gap).alias("sw"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.col("sw.start").alias("sess_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+register(
+    "window_session_dynamic",
+    window_session_dynamic,
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             -- running max of session ends over PRIOR events: every
+             -- event extends the session by ITS OWN gap, so the break
+             -- test is against the max end seen, not just the previous
+             -- event's allowance; [start, end) windows make the
+             -- boundary test >= (exclusive end).
+             MAX(ts + CASE WHEN event_type = 'error' THEN INTERVAL 30 MINUTES
+                           ELSE INTERVAL 2 HOURS END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pend
+      FROM events),
+    m AS (
+      SELECT *, CASE WHEN pend IS NULL OR ts >= pend THEN 1 ELSE 0 END
+                  AS is_new
+      FROM o),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)

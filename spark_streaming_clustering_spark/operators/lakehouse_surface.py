@@ -163,3 +163,152 @@ register(
     FROM sized WINDOW w AS (ORDER BY file_id ROWS UNBOUNDED PRECEDING)
     """,
 )
+
+
+# ==========================================================================
+# cdc_apply (round 4)
+# ==========================================================================
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change feed to produce the final table state: the
+    event log is interpreted as a keyed change stream (signup=insert,
+    click/view/purchase=upsert, error=delete) and collapsed to
+    latest-op-per-key with delete semantics — the Debezium/Delta
+    CDF apply step that ``merge_upsert`` (no deletes, single batch)
+    does not cover.
+
+    Plan shape: ONE (user_id)-keyed exchange serves the latest-op
+    window and the surviving projection; the op census rides the same
+    partitioning.  Latest-op pick is a row_number over (ts, event_id)
+    DESC — deterministic under ties, and at 100 TB this is the
+    standard shuffle-once compaction of a billion-row change feed.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    n_ops = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_changes"))
+    return (
+        latest.filter(F.col("op") != "delete")
+        .join(n_ops, "user_id")
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 2).alias("value"),
+            "n_changes",
+        )
+    )
+
+
+register(
+    "cdc_apply",
+    cdc_apply,
+    """
+    WITH feed AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN 'delete'
+                  WHEN event_type = 'signup' THEN 'insert'
+                  ELSE 'upsert' END AS op,
+             value
+      FROM events),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rk
+        FROM feed) WHERE rk = 1),
+    ops AS (SELECT user_id, COUNT(*) AS n_changes FROM feed GROUP BY 1)
+    SELECT l.user_id, l.op AS last_op, l.ts AS last_ts,
+           round(l.value, 2) AS value, ops.n_changes
+    FROM latest l JOIN ops USING (user_id)
+    WHERE l.op <> 'delete'
+    """,
+)
+
+
+# ==========================================================================
+# snapshot_diff (round 4)
+# ==========================================================================
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version reconciliation: diff two snapshots of the same
+    per-user aggregate (week 1 vs weeks 1-2 of the event log) into
+    added / removed / changed / unchanged rows — the audit primitive
+    behind time travel, replication checks, and migration sign-off.
+
+    Plan shape: both snapshots aggregate to user-cardinality, then ONE
+    full outer equi-join on the key classifies every row; the census
+    re-aggregates the (tiny) classification column.  At 100 TB each
+    side is a partial-aggregated shuffle at key cardinality — the diff
+    itself never touches raw data twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+    def snap(upper_day: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < upper_day)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    a = snap("2024-01-08").alias("a")
+    b = snap("2024-01-15").alias("b")
+    j = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    status = (
+        F.when(F.col("a.user_id").isNull(), F.lit("added"))
+        .when(F.col("b.user_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.n") != F.col("b.n")) | (F.col("a.total") != F.col("b.total")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        status.alias("status"),
+        F.col("a.n").alias("n_v1"),
+        F.col("b.n").alias("n_v2"),
+        F.col("a.total").alias("total_v1"),
+        F.col("b.total").alias("total_v2"),
+    )
+
+
+register(
+    "snapshot_diff",
+    snapshot_diff,
+    """
+    WITH a AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+    b AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1)
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.n <> b.n OR a.total <> b.total THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           a.n AS n_v1, b.n AS n_v2,
+           a.total AS total_v1, b.total AS total_v2
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)

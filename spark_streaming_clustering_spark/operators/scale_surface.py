@@ -542,3 +542,88 @@ register(
     FROM blobs
     """,
 )
+
+
+def constraint_check_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: every event is evaluated against
+    a constraint set (value range, enum membership, key presence, ts
+    window) in ONE pass; rows collect their violation reasons and the
+    output is the per-reason violation census plus the clean count —
+    the contract-enforcement step (dbt tests / Delta constraints /
+    Deequ) that decides quarantine vs promote on ingest.
+
+    Violations are synthesized deterministically (NULLIF on a key
+    stripe, an out-of-range stripe) so the gate provably fires on all
+    reason classes.  Plan: the checks are one codegen'd projection
+    (filter+explode map-side), then a tiny reason-keyed aggregate —
+    scan-bound at 100 TB, which is the only acceptable cost for a gate
+    every row must pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        # deterministic corruption: user 7 loses their id,
+        # every 89th doubles value out of range
+        F.expr("nullif(user_id, 7) ").alias("user_id"),
+        F.when(F.col("event_id") % 89 == 0, F.col("value") + 10_000.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    checks = F.array(
+        F.when(F.col("user_id").isNull(), F.lit("user_id_null")),
+        F.when(
+            (F.col("value") < 0) | (F.col("value") > 1000.0),
+            F.lit("value_range"),
+        ),
+        F.when(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+            F.lit("event_type_enum"),
+        ),
+        F.when(
+            (F.col("ts") < "2024-01-01") | (F.col("ts") >= "2024-02-01"),
+            F.lit("ts_window"),
+        ),
+    )
+    tagged = ev.select(
+        F.filter(checks, lambda x: x.isNotNull()).alias("viol")
+    )
+    reasons = (
+        tagged.select(F.explode("viol").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    clean = tagged.filter(F.size("viol") == 0).agg(
+        F.lit("__clean__").alias("reason"), F.count(F.lit(1)).alias("n")
+    )
+    return reasons.unionAll(clean)
+
+
+register(
+    "constraint_check_quarantine",
+    constraint_check_quarantine,
+    """
+    WITH ev AS (
+      SELECT nullif(user_id, 7) AS user_id,
+             CASE WHEN event_id % 89 = 0 THEN value + 10000.0
+                  ELSE value END AS value,
+             event_type, ts
+      FROM events),
+    tagged AS (
+      SELECT list_filter([
+               CASE WHEN user_id IS NULL THEN 'user_id_null' END,
+               CASE WHEN value < 0 OR value > 1000.0 THEN 'value_range' END,
+               CASE WHEN event_type NOT IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+                    THEN 'event_type_enum' END,
+               CASE WHEN ts < TIMESTAMP '2024-01-01'
+                      OR ts >= TIMESTAMP '2024-02-01' THEN 'ts_window' END
+             ], x -> x IS NOT NULL) AS viol
+      FROM ev)
+    SELECT reason, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(viol) AS reason FROM tagged)
+    GROUP BY reason
+    UNION ALL
+    SELECT '__clean__', CAST(COUNT(*) AS BIGINT)
+    FROM tagged WHERE len(viol) = 0
+    """,
+)

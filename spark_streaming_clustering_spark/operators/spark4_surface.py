@@ -389,3 +389,195 @@ register(
     FROM v
     """,
 )
+
+
+# ==========================================================================
+# recursive_cte_q (round 4)
+# ==========================================================================
+
+
+def recursive_cte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, new in Spark 4): walk the
+    synthetic customer hierarchy parent = custkey div 10 from the
+    roots (custkey < 10) down, computing each customer's root ancestor
+    and depth — the org-chart / BOM-explosion shape that pre-4.x Spark
+    had to hand-unroll (cf. the fixed-depth loops in ``pagerank_trade``
+    / ``graph_bfs``; here the engine iterates to the fixpoint itself).
+
+    Scale note: each recursion step is an equi-join of the frontier
+    against the child relation — the same per-iteration plan as the
+    hand-unrolled loops, with termination handled by the engine.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer_rc WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, h.root, h.depth + 1
+          FROM customer_rc c JOIN h ON c.c_custkey div 10 = h.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT custkey, root, depth FROM h
+        """
+    )
+
+
+register(
+    "recursive_cte_q",
+    recursive_cte_q,
+    """
+    WITH RECURSIVE h(custkey, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, h.root, h.depth + 1
+      FROM customer c JOIN h ON c.c_custkey // 10 = h.custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT custkey, CAST(root AS BIGINT) AS root, CAST(depth AS INT) AS depth
+    FROM h
+    """,
+)
+
+
+# ==========================================================================
+# collation_q (round 4)
+# ==========================================================================
+
+
+def collation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation (Spark 4): case-insensitive grouping via
+    ``COLLATE UTF8_LCASE`` — collation-aware comparison is an engine
+    capability (hash/sort keys under the collation), not an expression
+    rewrite.  Case variance is injected deterministically (every odd
+    part upper-cases its name), then part names are grouped
+    case-insensitively; output keys are canonicalized with lower() so
+    both engines emit identical strings.
+
+    At 100 TB a collated group-by hashes the collation key directly —
+    same single exchange as a plain groupBy, no lower() projection
+    materialized.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 1, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name_cased"),
+    )
+    part.createOrReplaceTempView("part_coll")
+    return spark.sql(
+        """
+        SELECT lower(name_grp) AS name_ci, n, min_key
+        FROM (
+          SELECT name_cased COLLATE UTF8_LCASE AS name_grp,
+                 COUNT(*) AS n, MIN(p_partkey) AS min_key
+          FROM part_coll
+          GROUP BY name_cased COLLATE UTF8_LCASE
+        )
+        """
+    )
+
+
+register(
+    "collation_q",
+    collation_q,
+    """
+    WITH cased AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 1 THEN upper(p_name)
+                  ELSE p_name END AS name_cased
+      FROM part)
+    SELECT lower(name_cased) AS name_ci, COUNT(*) AS n,
+           MIN(p_partkey) AS min_key
+    FROM cased GROUP BY lower(name_cased)
+    """,
+)
+
+
+# ==========================================================================
+# from_xml_q (round 4)
+# ==========================================================================
+
+
+def from_xml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed XML parsing (``from_xml``, new in Spark 4): each event is
+    serialized to an XML fragment and parsed back with an explicit
+    schema, and the round-tripped fields drive an aggregate — the XML
+    sibling of ``from_json_q``, completing the semi-structured parser
+    family (JSON / VARIANT / XML).
+
+    The oracle computes the same aggregate from the base columns
+    (DuckDB has no XML type) — equality proves the serialize+parse
+    pair is lossless.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><v>"),
+        F.format_number(F.col("value").cast("decimal(18,2)"), 2),
+        F.lit("</v></e>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "t STRING, u BIGINT, v STRING").alias("x")
+    )
+    return parsed.groupBy(F.col("x.t").alias("event_type")).agg(
+        F.count_distinct(F.col("x.u")).alias("n_users"),
+        F.sum(F.regexp_replace("x.v", ",", "").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+register(
+    "from_xml_q",
+    from_xml_q,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+# ==========================================================================
+# sql_parameterized (round 4)
+# ==========================================================================
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL + the IDENTIFIER clause: the query text binds
+    a table name and a threshold as named parameters
+    (``spark.sql(..., args=...)``) — injection-safe templating as an
+    API capability, distinct from string interpolation (the literal is
+    bound AFTER parsing, and IDENTIFIER() is the only sanctioned way
+    to parameterize an identifier).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :thr
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders_param", "thr": 150_000.0},
+    )
+
+
+register(
+    "sql_parameterized",
+    sql_parameterized,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)

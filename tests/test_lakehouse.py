@@ -145,3 +145,63 @@ def test_arrow_map_batch_matches_numpy_recompute(spark):
         assert r.n_dims == v.size
         assert r.l2_norm == pytest.approx(math.sqrt(float((v * v).sum())), abs=2e-6)
         assert r.dim_mean == pytest.approx(float(v.mean()), abs=2e-6)
+
+
+def test_cdc_apply_matches_sequential_emulation(spark):
+    """CDC apply equals a per-key sequential replay: deleted keys
+    absent, survivors carry the latest op's value and the full change
+    count."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.lakehouse_surface import (
+        cdc_apply,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    feed = defaultdict(list)
+    for e in load_table(spark, SF_SMOKE, "events").collect():
+        op = (
+            "delete"
+            if e.event_type == "error"
+            else "insert" if e.event_type == "signup" else "upsert"
+        )
+        feed[e.user_id].append((e.ts, e.event_id, op, e.value))
+    expect = {}
+    for uid, ops in feed.items():
+        ops.sort()
+        ts, _, op, val = ops[-1]
+        if op != "delete":
+            expect[uid] = (op, ts, round(val, 2), len(ops))
+    got = {
+        r.user_id: (r.last_op, r.last_ts, r.value, r.n_changes)
+        for r in cdc_apply(spark, SF_SMOKE).collect()
+    }
+    assert got == expect and got
+    # at least one key must have been deleted for the test to bite
+    assert len(expect) < len(feed)
+
+
+def test_snapshot_diff_census(spark):
+    """Every user appears exactly once; v1 subset semantics hold
+    (removed impossible when v2's window contains v1's); changed rows
+    really differ and unchanged rows really don't."""
+    from spark_streaming_clustering_spark.operators.lakehouse_surface import (
+        snapshot_diff,
+    )
+
+    rows = snapshot_diff(spark, SF_SMOKE).collect()
+    assert rows
+    seen = set()
+    statuses = set()
+    for r in rows:
+        assert r.user_id not in seen
+        seen.add(r.user_id)
+        statuses.add(r.status)
+        assert r.status != "removed"  # window-1 events are inside window-2
+        if r.status == "added":
+            assert r.n_v1 is None and r.n_v2 is not None
+        elif r.status == "changed":
+            assert (r.n_v1, r.total_v1) != (r.n_v2, r.total_v2)
+        elif r.status == "unchanged":
+            assert (r.n_v1, r.total_v1) == (r.n_v2, r.total_v2)
+    assert "changed" in statuses or "added" in statuses

@@ -289,3 +289,156 @@ def test_stream_stream_outer_join_closure_rule(spark):
     }
     assert got == expect and got
     assert any(r is None for _, r in got)  # outer rows actually present
+
+
+def test_gapfill_interpolate_semantics(spark):
+    """Per type: the hour spine is contiguous min..max, observed rows
+    equal the direct hourly mean, and every interpolated value lies
+    between (inclusive) its neighboring observed values."""
+    import datetime
+
+    from spark_streaming_clustering_spark.operators.builtins_surface import (
+        gapfill_interpolate,
+    )
+
+    rows = gapfill_interpolate(spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    one_hour = datetime.timedelta(hours=1)
+    saw_interp = False
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        for a, b in zip(series, series[1:]):
+            assert b.hour - a.hour == one_hour  # contiguous spine
+        obs_vals = [(i, r.value) for i, r in enumerate(series) if r.method == "obs"]
+        obs_idx = [i for i, _ in obs_vals]
+        for i, r in enumerate(series):
+            assert r.value is not None
+            if r.method == "interp":
+                saw_interp = True
+                prev = max(v for j, v in obs_vals if j < i)  # noqa: B023
+                import bisect
+
+                lo = max((v for j, v in obs_vals if j < i), default=None)
+                hi = next((v for j, v in obs_vals if j > i), None)
+                prev_v = series[max(j for j in obs_idx if j < i)].value
+                next_v = series[min(j for j in obs_idx if j > i)].value
+                assert (
+                    min(prev_v, next_v) - 1e-9
+                    <= r.value
+                    <= max(prev_v, next_v) + 1e-9
+                )
+            elif r.method == "nocb":
+                assert all(j > i for j in obs_idx)
+            elif r.method == "locf":
+                assert all(j < i for j in obs_idx)
+    assert saw_interp
+
+
+def test_dynamic_session_matches_running_max_emulation(spark):
+    """The dynamic-gap session windows equal a sequential emulation of
+    the [ts, ts+gap) merge rule with per-event gaps."""
+    import datetime
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.builtins_surface import (
+        window_session_dynamic,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    by_user = defaultdict(list)
+    for e in load_table(spark, SF_SMOKE, "events").collect():
+        by_user[e.user_id].append(e)
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e.ts, e.event_id))
+        end = None
+        cur = None
+        for e in evs:
+            gap = datetime.timedelta(
+                minutes=30 if e.event_type == "error" else 120
+            )
+            if end is None or e.ts >= end:
+                cur = e.ts
+                expect[(uid, cur)] = [0, 0.0]
+                end = e.ts + gap
+            else:
+                end = max(end, e.ts + gap)
+            expect[(uid, cur)][0] += 1
+            expect[(uid, cur)][1] += round(e.value, 2)
+    got = {
+        (r.user_id, r.sess_start): (r.n_events, round(r.total_value, 2))
+        for r in window_session_dynamic(spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        k: (n, round(v, 2)) for k, (n, v) in expect.items()
+    }
+
+
+def test_constraint_quarantine_census_adds_up(spark):
+    """clean + violated == total events; every synthesized corruption
+    class fires; reason counts match a direct recompute."""
+    import datetime
+
+    from spark_streaming_clustering_spark.operators.scale_surface import (
+        constraint_check_quarantine,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    evs = load_table(spark, SF_SMOKE, "events").collect()
+    expect: dict = {"user_id_null": 0, "value_range": 0, "ts_window": 0}
+    n_clean = 0
+    lo, hi = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 2, 1)
+    for e in evs:
+        viol = []
+        if e.user_id == 7:
+            viol.append("user_id_null")
+        v = e.value + 10000.0 if e.event_id % 89 == 0 else e.value
+        if v < 0 or v > 1000.0:
+            viol.append("value_range")
+        if not (lo <= e.ts < hi):
+            viol.append("ts_window")
+        if viol:
+            for r in viol:
+                expect[r] += 1
+        else:
+            n_clean += 1
+    got = {r.reason: r.n for r in constraint_check_quarantine(spark, SF_SMOKE).collect()}
+    assert got.pop("__clean__") == n_clean
+    assert got == {k: v for k, v in expect.items() if v > 0}
+    assert got.get("user_id_null", 0) > 0 and got.get("value_range", 0) > 0
+
+
+def test_recursive_cte_depth_equals_digit_count(spark):
+    """In the div-10 hierarchy, a customer's depth is its decimal
+    digit count minus one and its root is its leading digit."""
+    from spark_streaming_clustering_spark.operators.spark4_surface import (
+        recursive_cte_q,
+    )
+
+    rows = recursive_cte_q(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        s = str(r.custkey)
+        assert r.depth == len(s) - 1
+        assert r.root == int(s[0])
+
+
+def test_collation_groups_union_cases(spark):
+    """Case-insensitive groups must merge the upper/lower stripes:
+    every group's n equals the total count of that lowercase name."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.spark4_surface import (
+        collation_q,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    names = Counter(
+        r.p_name.lower()
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    )
+    got = {r.name_ci: r.n for r in collation_q(spark, SF_SMOKE).collect()}
+    assert got == dict(names)
