@@ -178,11 +178,13 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF apply step that ``merge_upsert`` (no deletes, single batch)
     does not cover.
 
-    Plan shape: ONE (user_id)-keyed exchange serves the latest-op
-    window and the surviving projection; the op census rides the same
-    partitioning.  Latest-op pick is a row_number over (ts, event_id)
-    DESC — deterministic under ties, and at 100 TB this is the
-    standard shuffle-once compaction of a billion-row change feed.
+    Plan shape: ONE (user_id)-keyed exchange serves everything — the
+    latest-op row_number AND the per-key change count are both window
+    expressions over the same partitioning (the count uses the
+    unbounded frame), so there is no second aggregate and no join.
+    Latest-op pick is a row_number over (ts, event_id) DESC —
+    deterministic under ties, and at 100 TB this is the standard
+    shuffle-once compaction of a billion-row change feed.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -195,18 +197,18 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    latest = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    n_ops = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_changes"))
-    return (
-        latest.filter(F.col("op") != "delete")
-        .join(n_ops, "user_id")
-        .select(
-            "user_id",
-            F.col("op").alias("last_op"),
-            F.col("ts").alias("last_ts"),
-            F.round("value", 2).alias("value"),
-            "n_changes",
-        )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    latest = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rk") == 1)
+    )
+    return latest.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("last_ts"),
+        F.round("value", 2).alias("value"),
+        "n_changes",
     )
 
 

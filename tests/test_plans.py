@@ -263,3 +263,22 @@ def test_dedup_paragraph_equi_joins_only(spark):
     plan = _plan(spark, "dedup_paragraph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_apply_single_exchange(spark):
+    """Latest-op pick and the change count share one (user_id)
+    partitioning — CDC apply must plan exactly ONE shuffle."""
+    import re
+
+    plan = _plan(spark, "cdc_apply")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_snapshot_diff_join_reuses_agg_partitioning(spark):
+    """Both snapshots aggregate on user_id and the full outer join
+    reuses that partitioning — two exchanges total (one per side),
+    none for the join itself."""
+    import re
+
+    plan = _plan(spark, "snapshot_diff")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
