@@ -513,3 +513,72 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sql_tpch_q3", sql_tpch_q3, _TPCH_Q3)
+
+
+_TPCH_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-way star join —
+    region/nation prune customer AND supplier sides, the
+    c_nationkey = s_nationkey cross-dimension predicate rides the fact
+    join, and the decimal-exact revenue sum keeps the aggregate
+    order-independent.  Catalyst broadcasts every dimension; the only
+    shuffle is the final nation-cardinality aggregate — the canonical
+    100 TB star-join plan.
+    """
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q5)
+
+
+register("sql_tpch_q5", sql_tpch_q5, _TPCH_Q5)
+
+
+_TPCH_Q18 = """
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery over a
+    HAVING aggregate — Catalyst rewrites the IN to a left semi join
+    whose build side is the pre-aggregated order list, so the fact
+    table is scanned twice but joined once, and the decimal quantity
+    sums keep both the HAVING threshold and the output
+    order-independent.
+    """
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q18)
+
+
+register("sql_tpch_q18", sql_tpch_q18, _TPCH_Q18)

@@ -627,3 +627,68 @@ register(
     FROM tagged WHERE len(viol) = 0
     """,
 )
+
+
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (``partitionOverwriteMode=dynamic``):
+    a corrected restatement of ONE week is written over a
+    date-partitioned table and replaces only the partitions it
+    touches — the other days' files are never rewritten.  This is the
+    backfill/restatement primitive of every partitioned lakehouse
+    table (static overwrite mode would TRUNCATE the whole table
+    first — the failure mode this key exists to demonstrate avoiding).
+
+    The read-back aggregate proves partition-level surgery: week-2
+    values are doubled, every other day is untouched.
+    """
+    tmp = os.path.join(tempfile.mkdtemp(prefix="dyn_overwrite_"), "events_by_day")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date(F.col("ts").cast("timestamp")).alias("event_date"),
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+    corrected = ev.filter(
+        (F.col("event_date") >= "2024-01-08") & (F.col("event_date") <= "2024-01-14")
+    ).withColumn("value", F.col("value") * 2.0)
+    (
+        corrected.write.partitionBy("event_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp)
+    return (
+        back.groupBy(
+            "event_type",
+            F.col("event_date").between("2024-01-08", "2024-01-14").alias(
+                "restated"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+register(
+    "dynamic_partition_overwrite",
+    dynamic_partition_overwrite,
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+               AS restated,
+             CASE WHEN CAST(ts AS DATE)
+                       BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+                  THEN value * 2.0 ELSE value END AS value
+      FROM events)
+    SELECT event_type, restated, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+)

@@ -581,3 +581,41 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# ==========================================================================
+# udf_arrow_optimized (round 4)
+# ==========================================================================
+
+
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (``F.udf(..., useArrow=True)``,
+    Spark 4): same logical row-function contract as the classic pickled
+    UDF (``python_udf_scalar``) but executed over Arrow batches — the
+    drop-in upgrade path when a per-row function can't be vectorized
+    by hand.  Registered over the same bounded input so the boundary
+    matrix shows pickled vs Arrow side by side.
+    """
+    from pyspark.sql.types import StringType
+
+    def acronym(s):
+        return "".join(w[0] for w in s.split(" ") if w)
+
+    fn = F.udf(acronym, StringType(), useArrow=True)
+    nat = load_table(spark, sf_dir, "nation")
+    return nat.select(
+        "n_nationkey", fn(F.col("n_name")).alias("acronym")
+    )
+
+
+register(
+    "udf_arrow_optimized",
+    udf_arrow_optimized,
+    """
+    SELECT n_nationkey,
+           array_to_string(list_transform(
+             list_filter(string_split(n_name, ' '), w -> len(w) > 0),
+             w -> w[1]), '') AS acronym
+    FROM nation
+    """,
+)

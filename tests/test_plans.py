@@ -282,3 +282,14 @@ def test_snapshot_diff_join_reuses_agg_partitioning(spark):
 
     plan = _plan(spark, "snapshot_diff")
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+
+
+def test_tpch_q5_star_join_shape(spark):
+    """Q5: every dimension broadcasts; the only shuffle is the final
+    nation-cardinality aggregate (one Exchange pair max under AQE)."""
+    import re
+
+    plan = _plan(spark, "sql_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2

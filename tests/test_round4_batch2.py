@@ -442,3 +442,54 @@ def test_collation_groups_union_cases(spark):
     )
     got = {r.name_ci: r.n for r in collation_q(spark, SF_SMOKE).collect()}
     assert got == dict(names)
+
+
+def test_dynamic_overwrite_touches_only_restated_partitions(spark):
+    """After the dynamic-overwrite restatement, untouched day
+    directories contain exactly the same data files; restated ones were
+    rewritten."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    tmp = os.path.join(tempfile.mkdtemp(prefix="dyn_test_"), "t")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "value",
+        F.to_date(F.col("ts").cast("timestamp")).alias("event_date"),
+    )
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+    before = {
+        d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(tmp, "event_date=*"))
+    }
+    (
+        ev.filter(
+            (F.col("event_date") >= "2024-01-08")
+            & (F.col("event_date") <= "2024-01-14")
+        )
+        .withColumn("value", F.col("value") * 2.0)
+        .write.partitionBy("event_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    after = {
+        d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(tmp, "event_date=*"))
+    }
+    assert set(before) == set(after)  # no partition added or dropped
+    changed = unchanged = 0
+    for d in before:
+        day = d.rsplit("=", 1)[1]
+        if "2024-01-08" <= day <= "2024-01-14":
+            assert before[d] != after[d]  # rewritten
+            changed += 1
+        else:
+            assert before[d] == after[d]  # bit-identical file set
+            unchanged += 1
+    assert changed > 0 and unchanged > 0
