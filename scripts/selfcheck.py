@@ -234,9 +234,15 @@ def main() -> int:
         except (OSError, ValueError):
             prev = {}
         prev.update(out)
+        # Prune records for keys no longer in the registry (renames /
+        # removals) — the artifact must never report more keys than the
+        # surface has — and re-sort by current registry order.
         order = {k: i for i, k in enumerate(queries)}
         out = dict(
-            sorted(prev.items(), key=lambda kv: order.get(kv[0], len(order)))
+            sorted(
+                ((k, v) for k, v in prev.items() if k in order),
+                key=lambda kv: order[kv[0]],
+            )
         )
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)

@@ -890,11 +890,14 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(PR_ITERS):
-        contrib = (
-            ranks.join(edges, "src")
-            .join(deg, "src")
-            .select("dst", F.expr("rank div deg").alias("contrib"))
+        # pre-divide on the NODE-sized relation, then hit the edge list
+        # once: (ranks ⋈ deg) is one row per node, so rank div deg is
+        # computed n times, not m times, and each iteration plans one
+        # edge-sized join instead of two.
+        per_node = ranks.join(deg, "src").select(
+            "src", F.expr("rank div deg").alias("contrib")
         )
+        contrib = per_node.join(edges, "src").select("dst", "contrib")
         ranks = contrib.groupBy("dst").agg(
             F.expr("150000 + (sum(contrib) * 85) div 100").alias("rank")
         ).select(F.col("dst").alias("src"), "rank")

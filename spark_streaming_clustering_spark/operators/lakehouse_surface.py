@@ -131,15 +131,17 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum("est_bytes").over(w)
+    # out_group derives from the SAME window expression as cum_bytes
+    # (single source of truth for the frame); floor-division of
+    # non-negative bigints via floor() is exact below 2^53.
     return files.select(
         "file_id",
         "n_rows",
         "est_bytes",
         cum.alias("cum_bytes"),
-        F.expr(
-            f"(sum(est_bytes) over (order by file_id rows unbounded preceding)"
-            f" - est_bytes) div {COMPACT_TARGET_BYTES}"
-        ).alias("out_group"),
+        F.floor((cum - F.col("est_bytes")) / F.lit(COMPACT_TARGET_BYTES))
+        .cast("bigint")
+        .alias("out_group"),
     )
 
 

@@ -339,40 +339,58 @@ def arrow_map_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_sum(list_transform(e, x -> CAST(x AS DOUBLE) ...))``
     left-to-right order; outputs rounded to 6.
     """
-    import pyarrow as pa
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def stats(batches):
-        import numpy as np
-
-        for rb in batches:
-            vids = rb.column(0)
-            col = rb.column(1)
-            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
-                col = col.combine_chunks()
-            lst = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-            # flat values + offsets: one contiguous float buffer per batch
-            vals = lst.values.to_numpy(zero_copy_only=False).astype(np.float64)
-            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            starts, ends = offs[:-1], offs[1:]
-            n = (ends - starts).astype(np.int64)
-            s = np.add.reduceat(vals, starts)
-            sq = np.add.reduceat(vals * vals, starts)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    vids,
-                    pa.array(n, type=pa.int64()),
-                    pa.array(np.round(np.sqrt(sq), 6) + 0.0, type=pa.float64()),
-                    pa.array(np.round(s / n, 6) + 0.0, type=pa.float64()),
-                ],
-                names=["vec_id", "n_dims", "l2_norm", "dim_mean"],
-            )
-
     return emb.mapInArrow(
-        stats, "vec_id bigint, n_dims bigint, l2_norm double, dim_mean double"
+        _arrow_stats, "vec_id bigint, n_dims bigint, l2_norm double, dim_mean double"
     )
 
+
+def _arrow_stats(batches):
+    """The mapInArrow kernel, module-level so tests can drive it with
+    hostile RecordBatches (empty lists, sliced ListArrays) directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    for rb in batches:
+        vids = rb.column(0)
+        col = rb.column(1)
+        if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+            col = col.combine_chunks()
+        lst = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        # Flat values + offsets: one contiguous float buffer per
+        # batch.  Offsets are ABSOLUTE into lst.values (a sliced
+        # ListArray keeps the parent buffer and moves only the
+        # offsets window), so slice the buffer to [offs[0], offs[-1])
+        # — never assume offs[0] == 0 or that the buffer ends at
+        # offs[-1].  A trailing 0.0 pad makes every reduceat index
+        # valid (reduceat rejects index == len) and leaves each
+        # left-to-right segment sum bit-exact (x + 0.0 == x).
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = lst.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = np.append(raw[offs[0] : offs[-1]], 0.0)
+        starts = offs[:-1] - offs[0]
+        n = (offs[1:] - offs[:-1]).astype(np.int64)
+        if len(starts):
+            # segment i runs to the NEXT start (offsets are
+            # contiguous); the final segment absorbs only the 0 pad.
+            s = np.add.reduceat(vals, starts)
+            sq = np.add.reduceat(vals * vals, starts)
+        else:  # empty batch
+            s = np.zeros(0)
+            sq = np.zeros(0)
+        # reduceat yields x[i] (not 0) for an empty segment — mask.
+        s = np.where(n > 0, s, 0.0)
+        sq = np.where(n > 0, sq, 0.0)
+        mean = np.divide(s, n, out=np.zeros_like(s), where=n > 0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                vids,
+                pa.array(n, type=pa.int64()),
+                pa.array(np.round(np.sqrt(sq), 6) + 0.0, type=pa.float64()),
+                pa.array(np.round(mean, 6) + 0.0, type=pa.float64()),
+            ],
+            names=["vec_id", "n_dims", "l2_norm", "dim_mean"],
+        )
 
 register(
     "arrow_map_batch",
@@ -383,9 +401,10 @@ register(
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings)
     SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
-           round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) + 0.0
-             AS l2_norm,
-           round(list_sum(e) / len(e), 6) + 0.0 AS dim_mean
+           round(sqrt(COALESCE(list_sum(list_transform(e, x -> x * x)), 0)), 6)
+             + 0.0 AS l2_norm,
+           CASE WHEN len(e) = 0 THEN 0.0
+                ELSE round(list_sum(e) / len(e), 6) + 0.0 END AS dim_mean
     FROM v
     """,
 )

@@ -148,11 +148,21 @@ def streaming_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     dim = len(emb[0].embedding)
+    # The file source orders micro-batches by MODIFICATION TIME; files
+    # written in a tight loop can collide on mtime and flip the replay
+    # order under load, which changes the online model trajectory (the
+    # golden below pins one trajectory — observed flake: coord_q_sum
+    # -229 vs -210 under a saturated host).  Pin strictly increasing
+    # mtimes so batch order is a property of the fixture, not of I/O
+    # timing.
+    mtime0 = 1_600_000_000
     for b in range(4):  # 4 micro-batch files of 30 points
-        with open(os.path.join(data_dir, f"batch-{b}.csv"), "w") as f:
+        path = os.path.join(data_dir, f"batch-{b}.csv")
+        with open(path, "w") as f:
             for r in emb[b * 30 : (b + 1) * 30]:
                 vals = ",".join(repr(float(v)) for v in r.embedding)
                 f.write(f"{vals},{r.label},{r.vec_id}\n")
+        os.utime(path, (mtime0 + b, mtime0 + b))
 
     trainer = GStreamTrainer(spark, GStreamParams(), out_dir=None, nb_wind=4)
     seed = spark.createDataFrame(
@@ -214,6 +224,9 @@ def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: 
     ev = ev.withColumn(
         "b", F.ntile(n_files).over(Window.orderBy("event_id")) - 1
     )
+    import glob as _glob
+
+    mtime0 = 1_600_000_000
     for b in range(n_files):
         (
             ev.filter(F.col("b") == b)
@@ -222,6 +235,16 @@ def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: 
             .write.mode("append")
             .parquet(in_dir)
         )
+        # Pin strictly increasing mtimes per bucket: the file source
+        # orders micro-batches by modification time, and back-to-back
+        # writes can collide on mtime under load (see the
+        # streaming_file_source fixture for the observed flake).  The
+        # drained aggregates are order-insensitive, but dedup keeps
+        # first-seen and the watermarked consumers assume ≈time-ordered
+        # batches — pin the order instead of hoping.
+        for p in _glob.glob(os.path.join(in_dir, "*.parquet")):
+            if os.path.getmtime(p) > mtime0 + b:
+                os.utime(p, (mtime0 + b, mtime0 + b))
     return in_dir, ckpt
 
 
@@ -788,7 +811,8 @@ register(
 # --- stream-stream LEFT OUTER join (round 4) ---------------------------------
 
 SSOJ_WINDOW_H = 4  # match window: purchases within 4 h after the click
-SSOJ_DELAY = "1 hour"  # watermark delay (replay is perfectly time-ordered)
+SSOJ_DELAY_MIN = 60  # watermark delay in minutes (replay is time-ordered)
+SSOJ_DELAY = f"{SSOJ_DELAY_MIN} minutes"
 
 
 def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,7 +884,7 @@ register(
     p AS (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase'),
     wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
-                  - INTERVAL 1 HOUR AS w)
+                  - INTERVAL {SSOJ_DELAY_MIN} MINUTES AS w)
     SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id AS user_id
     FROM c JOIN p
       ON c.user_id = p.user_id

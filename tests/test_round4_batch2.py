@@ -3,8 +3,6 @@ functions, streaming parquet sink, iterative PageRank)."""
 
 from __future__ import annotations
 
-import pytest
-
 from tests.conftest import SF_SMOKE
 
 
@@ -44,11 +42,10 @@ def test_pagerank_matches_sequential_emulation(spark):
                 nxt[v] += contrib
         rank = {v: 150000 + (s * 85) // 100 for v, s in nxt.items()}
     expect = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOPK]
-    got = [(r.node, r.rank) for r in pagerank_trade(spark, SF_SMOKE).collect()]
-    assert got == expect
-    kinds = {r.node: r.kind for r in pagerank_trade(spark, SF_SMOKE).collect()}
-    for node, kind in kinds.items():
-        assert kind == ("customer" if node % 2 == 0 else "supplier")
+    rows = pagerank_trade(spark, SF_SMOKE).collect()
+    assert [(r.node, r.rank) for r in rows] == expect
+    for r in rows:
+        assert r.kind == ("customer" if r.node % 2 == 0 else "supplier")
 
 
 def test_streaming_parquet_sink_equals_batch(spark):
@@ -105,7 +102,6 @@ def test_source_roundtrips_preserve_corpus(spark):
 
     # binaryFile: each lang blob's byte length is the sum of its text
     # lengths plus the newline separators
-    n_per_lang = {r.lang: r.n for r in _roundtrip_check(_docs_subset(spark, SF_SMOKE)).collect()}
     for r in source_binary_files(spark, SF_SMOKE).collect():
         n, sum_chars, _ = direct[r.lang]
         assert r.n_bytes == sum_chars + (n - 1)
@@ -263,6 +259,7 @@ def test_stream_stream_outer_join_closure_rule(spark):
     from pyspark.sql import functions as F
 
     from spark_streaming_clustering_spark.operators.streaming_surface import (
+        SSOJ_DELAY_MIN,
         SSOJ_WINDOW_H,
         stream_stream_outer_join,
     )
@@ -271,7 +268,7 @@ def test_stream_stream_outer_join_closure_rule(spark):
     ev = load_table(spark, SF_SMOKE, "events").collect()
     clicks = [e for e in ev if e.event_type == "click"]
     purch = [e for e in ev if e.event_type == "purchase"]
-    wm = min(max(e.ts for e in clicks), max(e.ts for e in purch)) - datetime.timedelta(hours=1)
+    wm = min(max(e.ts for e in clicks), max(e.ts for e in purch)) - datetime.timedelta(minutes=SSOJ_DELAY_MIN)
     win = datetime.timedelta(hours=SSOJ_WINDOW_H)
     expect = set()
     for c in clicks:
@@ -318,11 +315,6 @@ def test_gapfill_interpolate_semantics(spark):
             assert r.value is not None
             if r.method == "interp":
                 saw_interp = True
-                prev = max(v for j, v in obs_vals if j < i)  # noqa: B023
-                import bisect
-
-                lo = max((v for j, v in obs_vals if j < i), default=None)
-                hi = next((v for j, v in obs_vals if j > i), None)
                 prev_v = series[max(j for j in obs_idx if j < i)].value
                 next_v = series[min(j for j in obs_idx if j > i)].value
                 assert (
@@ -493,3 +485,47 @@ def test_dynamic_overwrite_touches_only_restated_partitions(spark):
             assert before[d] == after[d]  # bit-identical file set
             unchanged += 1
     assert changed > 0 and unchanged > 0
+
+
+def test_arrow_kernel_handles_empty_and_sliced_lists(spark):
+    """The mapInArrow kernel must be correct for empty vectors (0 sums,
+    no div-by-zero) and for SLICED ListArrays (absolute offsets into
+    the parent buffer) — shapes the production table never produces but
+    Arrow is free to hand us."""
+    import pyarrow as pa
+
+    from spark_streaming_clustering_spark.operators.spark4_surface import (
+        _arrow_stats,
+    )
+
+    lst = pa.array(
+        [[9.0, 9.0], [3.0, 4.0], [], [1.0, 1.0, 1.0, 1.0]],
+        type=pa.list_(pa.float32()),
+    )
+    sliced = lst.slice(1, 3)  # offsets window starts at 2, drops [9, 9]
+    assert sliced.offsets[0].as_py() == 2  # precondition: truly sliced
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([10, 11, 12], type=pa.int64()), sliced],
+        names=["vec_id", "embedding"],
+    )
+    [out] = list(_arrow_stats([rb]))
+    got = {
+        out.column(0)[i].as_py(): (
+            out.column(1)[i].as_py(),
+            out.column(2)[i].as_py(),
+            out.column(3)[i].as_py(),
+        )
+        for i in range(out.num_rows)
+    }
+    # [3,4]: norm 5, mean 3.5 — would be wrong if the dropped [9,9]
+    # prefix leaked in; []: all zeros, no div-by-zero; [1,1,1,1]: norm 2.
+    assert got == {10: (2, 5.0, 3.5), 11: (0, 0.0, 0.0), 12: (4, 2.0, 1.0)}
+
+    # all-empty batch (zero flat values)
+    empty = pa.array([[], []], type=pa.list_(pa.float32()))
+    rb2 = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2], type=pa.int64()), empty], names=["vec_id", "embedding"]
+    )
+    [out2] = list(_arrow_stats([rb2]))
+    assert [out2.column(1)[i].as_py() for i in range(2)] == [0, 0]
+    assert [out2.column(2)[i].as_py() for i in range(2)] == [0.0, 0.0]
