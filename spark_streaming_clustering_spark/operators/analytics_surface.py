@@ -1125,3 +1125,124 @@ def _bfs_oracle() -> str:
 
 
 register("graph_bfs", graph_bfs, _bfs_oracle())
+
+
+# ==========================================================================
+# event_transitions / anomaly_mad (round 4, final batch)
+# ==========================================================================
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (from_type -> to_type) pair of consecutive events by the same user,
+    the transition count and its probability given the source state —
+    the path-analysis primitive behind "what do users do after X".
+
+    Plan shape: one (user_id)-keyed exchange for the lag, then one
+    tiny (from_type, to_type) aggregate; the row-count denominator is
+    a window over the 25-row transition matrix, not the event log.
+    Probabilities are exact-count ratios rounded once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+register(
+    "event_transitions",
+    event_transitions,
+    """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+             AS p
+    FROM counts
+    """,
+)
+
+
+MAD_K = 6.0  # outlier threshold in MAD units (~4 sigma for normal data)
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (median of |x - median|), then flag values more than
+    MAD_K MADs from the median — the robust-statistics alternative to
+    z-scores (one wild value cannot drag the threshold, unlike
+    mean/stddev).  Output is the per-type census: median, MAD, and
+    outlier count.
+
+    Plan shape: exact medians via two grouped percentile aggregates
+    (each a single (event_type) exchange over values); the flagging
+    pass joins the 5-row stats table back broadcast-style.  At 100 TB
+    exact grouped medians are the expensive-but-correct choice; the
+    documented relaxation is approx_percentile (same plan, sketch
+    accuracy), already exposed by ``approx_percentile_q``.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(ad, 0.5)").alias("mad"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+register(
+    "anomaly_mad",
+    anomaly_mad,
+    f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med, median(ad) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_type, round(ANY_VALUE(m.med), 6) AS med,
+           round(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN abs(d.value - m.med) > {MAD_K} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)

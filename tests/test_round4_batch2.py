@@ -529,3 +529,56 @@ def test_arrow_kernel_handles_empty_and_sliced_lists(spark):
     [out2] = list(_arrow_stats([rb2]))
     assert [out2.column(1)[i].as_py() for i in range(2)] == [0, 0]
     assert [out2.column(2)[i].as_py() for i in range(2)] == [0.0, 0.0]
+
+
+def test_event_transitions_matches_emulation(spark):
+    """Transition counts equal a sequential per-user replay and each
+    source state's probabilities sum to 1."""
+    from collections import Counter, defaultdict
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        event_transitions,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    by_user = defaultdict(list)
+    for e in load_table(spark, SF_SMOKE, "events").collect():
+        by_user[e.user_id].append(e)
+    expect: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort(key=lambda e: (e.ts, e.event_id))
+        for a, b in zip(evs, evs[1:]):
+            expect[(a.event_type, b.event_type)] += 1
+    rows = event_transitions(spark, SF_SMOKE).collect()
+    assert {(r.from_type, r.to_type): r.n for r in rows} == dict(expect)
+    per_src = defaultdict(float)
+    for r in rows:
+        per_src[r.from_type] += r.p
+    for s, total in per_src.items():
+        assert abs(total - 1.0) < 1e-4, (s, total)
+
+
+def test_anomaly_mad_census_matches_numpy(spark):
+    """Median, MAD and outlier counts equal a numpy recompute."""
+    import numpy as np
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        MAD_K,
+        anomaly_mad,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    vals: dict = {}
+    for e in load_table(spark, SF_SMOKE, "events").collect():
+        vals.setdefault(e.event_type, []).append(e.value)
+    rows = {r.event_type: r for r in anomaly_mad(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(vals)
+    for t, xs in vals.items():
+        a = np.asarray(xs)
+        med = float(np.median(a))
+        mad = float(np.median(np.abs(a - med)))
+        r = rows[t]
+        assert r.med == round(med, 6)
+        assert r.mad == round(mad, 6)
+        assert r.n == len(xs)
+        assert r.n_outliers == int((np.abs(a - med) > MAD_K * mad).sum())
