@@ -692,3 +692,100 @@ register(
     FROM ev GROUP BY 1, 2
     """,
 )
+
+
+def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL + DML path: CREATE TABLE ... USING parquet at an
+    explicit LOCATION (CTAS), INSERT INTO appending rows, then a
+    SELECT through the catalog name — the "it is a real SQL engine
+    with a catalog" check, distinct from the path-based reads every
+    other key uses.  External LOCATION keeps the session warehouse
+    untouched (house rule since the bucketed-join keys).
+
+    Idempotent per call: fresh temp location + DROP TABLE IF EXISTS,
+    so selfcheck/driver re-runs never see stale catalog state.
+    """
+    loc = os.path.join(tempfile.mkdtemp(prefix="ddl_rt_"), "t")
+    spark.sql("DROP TABLE IF EXISTS ddl_docs")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_src")
+    spark.sql(
+        f"""
+        CREATE TABLE ddl_docs USING parquet LOCATION '{loc}'
+        AS SELECT doc_id, lang, n_chars FROM docs_src
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO ddl_docs VALUES
+          (900001, 'xx', 11), (900002, 'xx', 22)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM ddl_docs GROUP BY lang
+        """
+    )
+
+
+register(
+    "sql_ddl_roundtrip",
+    sql_ddl_roundtrip,
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES (900001, 'xx', 11), (900002, 'xx', 22))
+        v(doc_id, lang, n_chars))
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM t GROUP BY lang
+    """,
+)
+
+
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` contingency table: event types x customer
+    market segments (events joined to their user's customer row) —
+    the DataFrameStatFunctions surface, computed as one pair-keyed
+    aggregate + pivot.  Columns are re-selected in a FIXED order
+    because crosstab's output column order follows distinct-value
+    discovery order, which is partitioning-dependent.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(cust, "user_id")
+    ct = joined.stat.crosstab("event_type", "c_mktsegment")
+    # crosstab's column set is DATA-dependent (observed values only)
+    # and its order is partitioning-dependent — project the fixed
+    # segment schema, zero-filling any segment absent at this sf.
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    have = set(ct.columns)
+    return ct.select(
+        F.col("event_type_c_mktsegment").alias("event_type"),
+        *[
+            (F.col(f"`{s}`") if s in have else F.lit(0).cast("bigint")).alias(
+                s.lower()
+            )
+            for s in segs
+        ],
+    )
+
+
+register(
+    "stat_crosstab",
+    stat_crosstab,
+    """
+    WITH j AS (
+      SELECT e.event_type, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS household,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery
+    FROM j GROUP BY event_type
+    """,
+)

@@ -582,3 +582,27 @@ def test_anomaly_mad_census_matches_numpy(spark):
         assert r.mad == round(mad, 6)
         assert r.n == len(xs)
         assert r.n_outliers == int((np.abs(a - med) > MAD_K * mad).sum())
+
+
+def test_sql_ddl_roundtrip_and_crosstab_smoke(spark):
+    """DDL path runs twice in one session (idempotent catalog state);
+    crosstab covers all five market segments at the smoke sf and its
+    cell sums equal the join cardinality."""
+    from spark_streaming_clustering_spark.operators.scale_surface import (
+        sql_ddl_roundtrip,
+        stat_crosstab,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    r1 = {r.lang: (r.n, r.sum_chars) for r in sql_ddl_roundtrip(spark, SF_SMOKE).collect()}
+    r2 = {r.lang: (r.n, r.sum_chars) for r in sql_ddl_roundtrip(spark, SF_SMOKE).collect()}
+    assert r1 == r2 and "xx" in r1 and r1["xx"] == (2, 33)
+
+    rows = stat_crosstab(spark, SF_SMOKE).collect()
+    assert rows
+    segs = ["automobile", "building", "furniture", "household", "machinery"]
+    total = sum(getattr(r, s) for r in rows for s in segs)
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id")
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
+    expected = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert total == expected
