@@ -852,6 +852,43 @@ PR_SCALE = 1_000_000  # rank unit: 1.0 == 1e6 micro-rank
 PR_TOPK = 20
 
 
+_TRADE_CACHE: dict = {}
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str):
+    """Symmetric customer-supplier trade edges + out-degrees, persisted
+    once per (SparkContext, sf_dir): the unrolled PageRank references
+    the edge list in EVERY iteration, and without a persist the
+    orders ⋈ lineitem ⋈ distinct subtree replans per reference (72
+    parquet scans in the 4-iteration plan before this cache) — at
+    100 TB, re-deriving the graph per iteration is the difference
+    between an iterative algorithm and a re-scan storm.  Same
+    lifetime contract as ``_copurchase_edges`` / ``_text.shared_tf``.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRADE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    _TRADE_CACHE[key] = (edges, deg)
+    return edges, deg
+
+
 def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the customer-supplier trade graph
     (distinct (customer, supplier) pairs from orders x lineitem, made
@@ -873,21 +910,7 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_connected_components localCheckpoints for the same reason
     at higher depth; 4 static iterations don't need it).
     """
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges, deg = _trade_edges(spark, sf_dir)
     ranks = deg.select("src", F.lit(PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(PR_ITERS):
         # pre-divide on the NODE-sized relation, then hit the edge list
