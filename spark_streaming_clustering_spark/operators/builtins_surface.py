@@ -1639,3 +1639,27 @@ register(
     FROM s GROUP BY user_id, sid
     """,
 )
+
+
+# --- LIMIT/OFFSET pagination (round 4, final) --------------------------------
+
+_LIMIT_OFFSET_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 20
+"""
+
+
+def limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a total order — page 3 of the
+    price-ranked orders, one query text for both engines.  Scale note:
+    OFFSET is driver-bounded (the engine still sorts/limits
+    offset+limit rows per partition then discards); keyset pagination
+    (WHERE price < last_seen) is the documented unbounded-depth
+    alternative, expressible with the same ORDER BY."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LIMIT_OFFSET_SQL)
+
+
+register("limit_offset_q", limit_offset_q, _LIMIT_OFFSET_SQL)

@@ -638,3 +638,115 @@ register(
     FROM nation
     """,
 )
+
+
+# ==========================================================================
+# try_functions_q / group_by_all_q / approx_top_k_q (round 4, final)
+# ==========================================================================
+
+
+def try_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_`` error-safe function family (try_divide / try_cast /
+    try_add): under ANSI mode (ON by default in Spark 4, and in this
+    engine) arithmetic errors THROW — these are the sanctioned
+    per-expression escape hatches that return NULL instead, and a
+    pipeline that scrubs dirty data needs them.  The census counts
+    NULL results per failure class over a deterministic dirty stripe.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        # dirty stripes: zero denominator every 11th, unparseable digit
+        # string from the type name, near-overflow addend every 13th
+        F.when(F.col("event_id") % 11 == 0, F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("den"),
+        F.when(
+            F.col("event_id") % 13 == 0, F.lit(9_223_372_036_854_775_807)
+        )
+        .otherwise(F.col("event_id"))
+        .alias("big"),
+    )
+    t = ev.select(
+        "event_type",
+        F.expr("try_divide(value, den)").alias("ratio"),
+        F.expr("try_cast(substr(event_type, 1, 2) AS INT)").alias("as_int"),
+        F.expr("try_add(big, 1)").alias("plus1"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(F.when(F.col("as_int").isNull(), 1).otherwise(0)).alias("n_cast_null"),
+        F.sum(F.when(F.col("plus1").isNull(), 1).otherwise(0)).alias("n_add_null"),
+    )
+
+
+register(
+    "try_functions_q",
+    try_functions_q,
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN event_id % 11 = 0 THEN 0.0 ELSE value END AS den,
+             CASE WHEN event_id % 13 = 0 THEN 9223372036854775807
+                  ELSE event_id END AS big
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN den = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(SUM(CASE WHEN TRY_CAST(substr(event_type, 1, 2) AS INT)
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+           CAST(SUM(CASE WHEN big = 9223372036854775807 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_add_null
+    FROM ev GROUP BY event_type
+    """,
+)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+def group_by_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (modern SQL sugar, Spark 4
+    and DuckDB both): the grouping key set is inferred from the
+    non-aggregate select list — one query text runs verbatim on both
+    engines, which is itself the point (dialect convergence)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+register("group_by_all_q", group_by_all_q, _GROUP_BY_ALL_SQL)
+
+
+def approx_top_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4 sketch aggregate): frequency sketch
+    over event types, relationalized by exploding the (item, count)
+    result array.  With k >= the true distinct count (5 here) the
+    sketch is EXACT, which is what makes the key oracle-checkable —
+    the same reasoning ``approx_count_distinct_q`` uses.  At real
+    cardinalities the sketch's bounded memory replaces a full
+    groupBy; the exact regime pins the plumbing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )
+
+
+register(
+    "approx_top_k_q",
+    approx_top_k_q,
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
