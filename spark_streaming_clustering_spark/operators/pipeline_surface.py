@@ -1142,7 +1142,7 @@ register(
 
 
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline over binary payloads (rows-only).
+    """mapInPandas decode pipeline over binary payloads, oracle-checked.
 
     Real Spark plumbing — binary column, Arrow batches, typed output
     schema — with the actual media decode STUBBED: the container has no
@@ -1177,17 +1177,43 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "feat": feats,
+                    # re-quantize the float features (x255 is exact for
+                    # the stub's b/255 values) and relationalize — the
+                    # house rule for set/array outputs under the
+                    # value-hash, and what a feature store would
+                    # persist anyway
+                    "feat_q8": [
+                        ",".join(str(round(v * 255)) for v in f) for f in feats
+                    ],
                     "status": status,
                 }
             )
 
     return docs.mapInPandas(
-        batches, "doc_id long, n_bytes int, feat array<double>, status string"
+        batches, "doc_id long, n_bytes int, feat_q8 string, status string"
     )
 
 
-register("multimodal_decode_stub", multimodal_decode_stub, None)
+# GRADUATED from rows-only: the stub branch is deterministic (feature =
+# first 4 payload bytes / 255, payload = utf-8 text, corpus is ASCII),
+# so the fake-decode contract itself is oracle-expressible — the oracle
+# recomputes the quantized features from the text bytes.  When a real
+# decode library lands, `_decode` stops raising, status flips to
+# 'decoded', and THIS oracle goes stale by design (the gate would catch
+# the swap immediately).
+register(
+    "multimodal_decode_stub",
+    multimodal_decode_stub,
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           array_to_string(
+             list_transform(generate_series(1, least(4, length(text))),
+                            i -> CAST(ascii(substr(text, i, 1)) AS VARCHAR)),
+             ',') AS feat_q8,
+           'stubbed' AS status
+    FROM documents
+    """,
+)
 
 
 FRAME_BYTES, FRAME_STRIDE = 16, 4
@@ -1295,7 +1321,7 @@ GRID_W, GRID_H, RESIZE_STRIDE = 16, 8, 2
 
 
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing via mapInPandas (rows-only).
+    """Image-resize plumbing via mapInPandas, oracle-checked.
 
     Interprets each payload's first GRID_W x GRID_H bytes as a
     grayscale image and 2x-downsamples by striding rows and columns —
@@ -1323,15 +1349,40 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(doc_id)
                 oh.append(small.shape[0])
                 ow.append(small.shape[1])
-                px.append([int(v) for v in small.ravel()])
+                px.append(",".join(str(int(v)) for v in small.ravel()))
             yield pd.DataFrame({"doc_id": ids, "out_h": oh, "out_w": ow, "pixels": px})
 
     return docs.mapInPandas(
-        batches, "doc_id long, out_h int, out_w int, pixels array<int>"
+        batches, "doc_id long, out_h int, out_w int, pixels string"
     )
 
 
-register("multimodal_resize_stub", multimodal_resize_stub, None)
+# GRADUATED from rows-only (same reasoning as multimodal_decode_stub):
+# the strided 2x downsample over the zero-padded GRID_H x GRID_W byte
+# image is pure integer arithmetic on the utf-8 text bytes, so the
+# oracle regenerates every output pixel positionally.
+register(
+    "multimodal_resize_stub",
+    multimodal_resize_stub,
+    f"""
+    SELECT doc_id,
+           CAST({GRID_H // RESIZE_STRIDE} AS INT) AS out_h,
+           CAST({GRID_W // RESIZE_STRIDE} AS INT) AS out_w,
+           array_to_string(
+             list_transform(
+               generate_series(0, {(GRID_H // RESIZE_STRIDE) * (GRID_W // RESIZE_STRIDE) - 1}),
+               k -> CAST(
+                 CASE WHEN ((k // {GRID_W // RESIZE_STRIDE}) * {RESIZE_STRIDE} * {GRID_W}
+                            + (k % {GRID_W // RESIZE_STRIDE}) * {RESIZE_STRIDE} + 1)
+                           <= length(text)
+                      THEN ascii(substr(text,
+                        (k // {GRID_W // RESIZE_STRIDE}) * {RESIZE_STRIDE} * {GRID_W}
+                        + (k % {GRID_W // RESIZE_STRIDE}) * {RESIZE_STRIDE} + 1, 1))
+                      ELSE 0 END AS VARCHAR)),
+             ',') AS pixels
+    FROM documents
+    """,
+)
 
 
 # ==========================================================================

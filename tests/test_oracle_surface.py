@@ -78,4 +78,4 @@ def test_multimodal_resize_stub_math(spark):
     ]
     got = out[doc.doc_id]
     assert (got.out_h, got.out_w) == (GRID_H // RESIZE_STRIDE, GRID_W // RESIZE_STRIDE)
-    assert got.pixels == expect
+    assert got.pixels == ",".join(str(v) for v in expect)
