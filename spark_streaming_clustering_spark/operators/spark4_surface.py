@@ -750,3 +750,71 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ==========================================================================
+# pandas_udaf_q (round 4, final)
+# ==========================================================================
+
+
+def pandas_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the custom-aggregate boundary that
+    completes the Python matrix (scalar pandas_udf, GROUPED_AGG
+    pandas_udf, mapInPandas, applyInPandas, applyInPandasWithState,
+    mapInArrow, UDTF, row UDF, Arrow-optimized UDF, Python data
+    source): a 10%-trimmed aggregate per event type, the robust
+    statistic Spark has no built-in for.
+
+    Exactness contract: the kernel works in integer CENTS
+    (round(value * 100) is exact for the 2-decimal event values), so
+    the trimmed sum is order-independent and bit-identical to the
+    oracle's window-ranked integer arithmetic — the same trick the
+    quality_micros pipeline uses, extended to a custom aggregate.
+
+    Plan: one (event_type) exchange; the UDAF receives each group as
+    an Arrow batch (5 groups here; at 100 TB the same plan holds
+    because group count, not group size, bounds the final stage).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def trimmed_sum_cents(v):
+        cents = (v * 100).round().astype("int64").sort_values()
+        k = len(cents) // 10
+        kept = cents.iloc[k : len(cents) - k] if k else cents
+        return int(kept.sum())
+
+    def n_rows(v):
+        return len(v)
+
+    # Spark rejects mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg ([INVALID_PANDAS_UDF_PLACEMENT]) — so the count is a
+    # second pandas UDAF over the same grouping.
+    trimmed_sum_cents.__annotations__ = {"v": pd.Series, "return": int}
+    n_rows.__annotations__ = {"v": pd.Series, "return": int}
+    udaf = pandas_udf(trimmed_sum_cents, "bigint")
+    udaf_n = pandas_udf(n_rows, "bigint")
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        udaf_n(F.col("value")).alias("n"),
+        udaf(F.col("value")).alias("trimmed_sum_cents"),
+    )
+
+
+register(
+    "pandas_udaf_q",
+    pandas_udaf_q,
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY event_type ORDER BY
+                                CAST(round(value * 100) AS BIGINT)) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                         THEN c ELSE 0 END) AS BIGINT) AS trimmed_sum_cents
+    FROM cents GROUP BY event_type
+    """,
+)
