@@ -1663,3 +1663,60 @@ def limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("limit_offset_q", limit_offset_q, _LIMIT_OFFSET_SQL)
+
+
+# --- explode vs explode_outer null preservation (round 4, final) -------------
+
+
+def explode_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode`` vs ``explode_outer`` row preservation: docs whose
+    token-filter result is EMPTY vanish under plain explode but
+    survive as a NULL row under explode_outer — the inner-vs-outer
+    distinction of the generator family, demonstrated as data (counts
+    of surviving rows per variant plus the NULL census).
+
+    The filtered array (tokens longer than 8 chars) is empty for some
+    documents at every sf, so both branches are exercised.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split("text", " "), lambda t: F.length(t) > 8
+    )
+    base = docs.select("doc_id", long_toks.alias("lt"))
+    inner = base.select("doc_id", F.explode("lt").alias("tok"))
+    outer = base.select("doc_id", F.explode_outer("lt").alias("tok"))
+    stats = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("variant"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0)).alias("n_null_rows"),
+    )
+    return stats(inner, "explode").unionAll(stats(outer, "explode_outer"))
+
+
+register(
+    "explode_outer_q",
+    explode_outer_q,
+    """
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) > 8) AS lt
+      FROM documents),
+    inner_x AS (
+      SELECT doc_id, unnest(lt) AS tok FROM lt),
+    outer_x AS (
+      SELECT doc_id, CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END AS l
+      FROM lt),
+    outer_rows AS (SELECT doc_id, unnest(l) AS tok FROM outer_x)
+    SELECT 'explode' AS variant, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_rows
+    FROM inner_x
+    UNION ALL
+    SELECT 'explode_outer', COUNT(*),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM outer_rows
+    """,
+)

@@ -789,3 +789,50 @@ register(
     FROM j GROUP BY event_type
     """,
 )
+
+
+def observe_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API: named metrics attached to a plan with
+    ``df.observe(...)`` are collected as a side effect of the action —
+    the zero-extra-pass monitoring hook (row counts, null rates,
+    domain violations) a production pipeline attaches to every write.
+    The observed metrics themselves are returned as the checkable
+    relation (bounded: one row).
+
+    Scale note: observe() metrics ride the existing plan as
+    accumulator-style aggregates — no second scan, unlike running a
+    separate validation query; this key proves the numbers match the
+    relational recompute exactly.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") > 400.0, 1).otherwise(0)).alias("n_hot"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # ([INVALID_OBSERVED_METRICS]); scalar min/max are the
+        # sanctioned domain-check shape.
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_hot"]), float(m["max_value"]))],
+        "n_rows long, n_hot long, max_value double",
+    )
+
+
+register(
+    "observe_metrics_q",
+    observe_metrics_q,
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot,
+           round(MAX(value), 2) AS max_value
+    FROM events
+    """,
+)

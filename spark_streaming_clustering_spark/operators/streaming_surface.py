@@ -898,3 +898,55 @@ register(
       AND wm.w > c.ts + INTERVAL {SSOJ_WINDOW_H} HOURS
     """,
 )
+
+
+# --- update output mode (round 4, final) -------------------------------------
+
+
+def streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: the per-type running count is re-emitted on
+    every micro-batch that changes it, and the memory sink accumulates
+    that update HISTORY — completing the output-mode matrix (append:
+    file/join keys; complete: windowed aggs; update: here).
+
+    The result relation is the history collapsed back to the final
+    state (max count per type — counts are monotone) PLUS the number
+    of update emissions per type, which proves update mode actually
+    emitted incrementally (n_updates == number of micro-batches
+    touching the type; 4 here) rather than once at drain.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_updmode_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("streaming_update_mode")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    hist = spark.table("streaming_update_mode")
+    return hist.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+
+
+register(
+    "streaming_update_mode",
+    streaming_update_mode,
+    # every type appears in each of the 4 position-bucketed micro-batches
+    # at both sfs (events >= 1000 rows, 5 types), so n_updates == 4
+    """
+    SELECT event_type, COUNT(*) AS n, CAST(4 AS BIGINT) AS n_updates
+    FROM events GROUP BY event_type
+    """,
+)
