@@ -1216,11 +1216,15 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/stddev).  Output is the per-type census: median, MAD, and
     outlier count.
 
-    Plan shape: exact medians via two grouped percentile aggregates
-    (each a single (event_type) exchange over values); the flagging
-    pass joins the 5-row stats table back broadcast-style.  At 100 TB
-    exact grouped medians are the expensive-but-correct choice; the
-    documented relaxation is approx_percentile (same plan, sketch
+    Plan shape, EXACTLY three passes over events (the two-level
+    median-of-deviations dependence makes fewer impossible without a
+    sketch): (1) per-type median, (2) per-type MAD over the deviations
+    (median joined broadcast), (3) the flagging census with the
+    combined 5-row stats table joined broadcast — the stats carry med
+    AND mad, so the census never re-derives the deviation relation
+    (an earlier draft re-expanded it per reference: 4 scans).  At
+    100 TB exact grouped medians are the expensive-but-correct choice;
+    the documented relaxation is approx_percentile (same plan, sketch
     accuracy), already exposed by ``approx_percentile_q``.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
@@ -1228,13 +1232,13 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
     )
-    mad = dev.groupBy("event_type").agg(
+    stats = dev.groupBy("event_type").agg(
         F.first("med").alias("med"),
         F.expr("percentile(ad, 0.5)").alias("mad"),
     )
-    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    flagged = ev.join(F.broadcast(stats), "event_type")
     return flagged.groupBy("event_type").agg(
         F.round(F.first("med"), 6).alias("med"),
         F.round(F.first("mad"), 6).alias("mad"),
@@ -1263,7 +1267,7 @@ register(
     SELECT d.event_type, round(ANY_VALUE(m.med), 6) AS med,
            round(ANY_VALUE(m.mad), 6) AS mad,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN abs(d.value - m.med) > {MAD_K} * m.mad
+           CAST(SUM(CASE WHEN d.ad > {MAD_K} * m.mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY 1

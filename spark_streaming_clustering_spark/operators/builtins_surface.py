@@ -1675,12 +1675,15 @@ def explode_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinction of the generator family, demonstrated as data (counts
     of surviving rows per variant plus the NULL census).
 
-    The filtered array (tokens longer than 8 chars) is empty for some
-    documents at every sf, so both branches are exercised.
+    Threshold calibration (measured): max token length in the corpus
+    is exactly 8, so ``>= 8`` keeps the filtered array NON-empty for
+    docs containing an 8-char token and empty for the rest — both
+    branches provably emit rows at every sf (pinned in
+    tests/test_round4_batch2.py).
     """
     docs = load_table(spark, sf_dir, "documents")
     long_toks = F.filter(
-        F.split("text", " "), lambda t: F.length(t) > 8
+        F.split("text", " "), lambda t: F.length(t) >= 8
     )
     base = docs.select("doc_id", long_toks.alias("lt"))
     inner = base.select("doc_id", F.explode("lt").alias("tok"))
@@ -1700,12 +1703,14 @@ register(
     """
     WITH lt AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> length(t) > 8) AS lt
+             list_filter(string_split(text, ' '), t -> length(t) >= 8) AS lt
       FROM documents),
     inner_x AS (
       SELECT doc_id, unnest(lt) AS tok FROM lt),
     outer_x AS (
-      SELECT doc_id, CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END AS l
+      -- lt IS NULL guard: Spark's explode_outer(NULL) also emits one
+      -- NULL row, while a bare len(NULL) CASE would drop it
+      SELECT doc_id, CASE WHEN lt IS NULL OR len(lt) = 0 THEN [NULL] ELSE lt END AS l
       FROM lt),
     outer_rows AS (SELECT doc_id, unnest(l) AS tok FROM outer_x)
     SELECT 'explode' AS variant, COUNT(*) AS n_rows,

@@ -702,11 +702,21 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     other key uses.  External LOCATION keeps the session warehouse
     untouched (house rule since the bucketed-join keys).
 
-    Idempotent per call: fresh temp location + DROP TABLE IF EXISTS,
-    so selfcheck/driver re-runs never see stale catalog state.
+    Idempotent AND bounded per session: the external LOCATION is a
+    deterministic per-(session, sf) path that is removed before each
+    CTAS — DROP TABLE on an external table removes only catalog
+    metadata, so a fresh mkdtemp per call would leak one on-disk copy
+    of documents per invocation across a long driver session.
     """
-    loc = os.path.join(tempfile.mkdtemp(prefix="ddl_rt_"), "t")
+    import shutil
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"ddl_rt_{spark.sparkContext.applicationId}_{tag}",
+    )
     spark.sql("DROP TABLE IF EXISTS ddl_docs")
+    shutil.rmtree(loc, ignore_errors=True)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_src")
     spark.sql(
         f"""

@@ -201,7 +201,13 @@ register(
 )
 
 
-def _replay_event_files(spark: SparkSession, sf_dir: str, prefix: str, n_files: int = 4):
+N_REPLAY_FILES = 4  # micro-batch files per replay; interpolated into the
+# streaming_update_mode oracle (n_updates == file count)
+
+
+def _replay_event_files(
+    spark: SparkSession, sf_dir: str, prefix: str, n_files: int = N_REPLAY_FILES
+):
     """Split the events table into n parquet files in a temp dir so a
     file-source stream replays it as n micro-batches."""
     tmp = tempfile.mkdtemp(prefix=prefix)
@@ -943,10 +949,11 @@ def streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "streaming_update_mode",
     streaming_update_mode,
-    # every type appears in each of the 4 position-bucketed micro-batches
-    # at both sfs (events >= 1000 rows, 5 types), so n_updates == 4
-    """
-    SELECT event_type, COUNT(*) AS n, CAST(4 AS BIGINT) AS n_updates
+    # every type appears in each position-bucketed micro-batch at both
+    # sfs (events >= 1000 rows, 5 types), so n_updates == N_REPLAY_FILES
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           CAST({N_REPLAY_FILES} AS BIGINT) AS n_updates
     FROM events GROUP BY event_type
     """,
 )

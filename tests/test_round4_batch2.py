@@ -606,3 +606,19 @@ def test_sql_ddl_roundtrip_and_crosstab_smoke(spark):
     cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
     expected = ev.join(cust, ev.user_id == cust.c_custkey).count()
     assert total == expected
+
+
+def test_explode_outer_both_branches_emit(spark):
+    """Calibration pin: the >= 8 token filter must keep the inner
+    explode branch non-empty AND leave some docs empty (NULL rows in
+    the outer branch) — the whole point of the key."""
+    from spark_streaming_clustering_spark.operators.builtins_surface import (
+        explode_outer_q,
+    )
+
+    rows = {r.variant: r for r in explode_outer_q(spark, SF_SMOKE).collect()}
+    assert rows["explode"].n_rows > 0
+    assert rows["explode_outer"].n_null_rows > 0
+    assert rows["explode_outer"].n_rows == rows["explode"].n_rows + rows[
+        "explode_outer"
+    ].n_null_rows
