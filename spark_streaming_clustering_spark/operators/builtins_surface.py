@@ -1725,3 +1725,36 @@ register(
     FROM outer_rows
     """,
 )
+
+
+# --- INTERSECT ALL (round 4, final) ------------------------------------------
+
+
+def intersect_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INTERSECT ALL`` — bag (multiplicity-preserving) intersection,
+    completing the set-operator matrix (UNION ALL / INTERSECT /
+    EXCEPT ALL already registered): each user keeps min(click-days,
+    view-days) duplicate rows, which plain INTERSECT collapses to one.
+    Output aggregates multiplicities so the bag semantics are the
+    checked value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    views = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    both = clicks.intersectAll(views)
+    return both.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_common"))
+
+
+register(
+    "intersect_all_q",
+    intersect_all_q,
+    """
+    WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+               WHERE event_type = 'click'),
+    v AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+          WHERE event_type = 'view'),
+    both_rows AS (SELECT * FROM c INTERSECT ALL SELECT * FROM v)
+    SELECT user_id, COUNT(*) AS n_common FROM both_rows GROUP BY user_id
+    """,
+)

@@ -846,3 +846,81 @@ register(
     FROM events
     """,
 )
+
+
+def analyze_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics infrastructure: ``ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR COLUMNS`` over a catalog table, read
+    back via DESCRIBE EXTENDED — the table/column stats (row count,
+    min/max, null count, NDV) that CBO join reordering and
+    broadcast-threshold decisions consume.  The relation returned IS
+    the stats readback, checked against a relational recompute.  NDV
+    comes from HLL++ and is an ESTIMATE (measured: 151 vs 150 exact at
+    sf0.01), so it ships as an accuracy CERTIFICATE (relative error
+    within 5% of the exact distinct count) — the same checkable-approx
+    pattern as ``approx_count_distinct_q``; min/max/nulls/rowcount are
+    exact and compared as values.
+
+    Same bounded external-LOCATION discipline as sql_ddl_roundtrip
+    (per-session deterministic path, cleaned before CTAS).
+    """
+    import re
+    import shutil
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"analyze_t_{spark.sparkContext.applicationId}_{tag}",
+    )
+    spark.sql("DROP TABLE IF EXISTS stats_events")
+    shutil.rmtree(loc, ignore_errors=True)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_an")
+    spark.sql(
+        f"""
+        CREATE TABLE stats_events USING parquet LOCATION '{loc}'
+        AS SELECT user_id, value FROM events_an
+        """
+    )
+    spark.sql("ANALYZE TABLE stats_events COMPUTE STATISTICS FOR COLUMNS user_id")
+    col = {
+        r.info_name: r.info_value
+        for r in spark.sql("DESCRIBE EXTENDED stats_events user_id").collect()
+    }
+    stats_line = (
+        spark.sql("DESCRIBE EXTENDED stats_events")
+        .filter("col_name = 'Statistics'")
+        .collect()[0]
+        .data_type
+    )
+    n_rows = int(re.search(r"(\d+) rows", stats_line).group(1))
+    ndv_est = int(col["distinct_count"])
+    ndv_exact = (
+        spark.table("stats_events").select("user_id").distinct().count()
+    )
+    ndv_ok = abs(ndv_est - ndv_exact) <= 0.05 * ndv_exact
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                int(col["min"]),
+                int(col["max"]),
+                int(col["num_nulls"]),
+                bool(ndv_ok),
+            )
+        ],
+        "n_rows long, min_uid long, max_uid long, n_nulls long, ndv_ok boolean",
+    )
+
+
+register(
+    "analyze_table_q",
+    analyze_table_q,
+    """
+    SELECT COUNT(*) AS n_rows,
+           MIN(user_id) AS min_uid, MAX(user_id) AS max_uid,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           TRUE AS ndv_ok
+    FROM events
+    """,
+)
