@@ -41,3 +41,4 @@ from . import quality_surface  # noqa: E402,F401
 from . import analytics_surface  # noqa: E402,F401
 from . import spark4_surface  # noqa: E402,F401
 from . import lakehouse_surface  # noqa: E402,F401
+from . import breadth_surface  # noqa: E402,F401

@@ -293,3 +293,54 @@ def test_tpch_q5_star_join_shape(spark):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_tpch_q7_broadcasts_both_nation_roles(spark):
+    """Q7's twice-joined nation dimension broadcasts in BOTH roles and
+    the ship-date range reaches the lineitem scan."""
+    plan = _plan(spark, "sql_tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q10_takeordered_no_global_sort(spark):
+    """Q10's top-20 rides TakeOrderedAndProject over the aggregate —
+    no full Sort node materializes the customer ranking."""
+    plan = _plan(spark, "sql_tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_rank_family_single_window_node(spark):
+    """All five rank-family functions (incl. the explicit-frame
+    last_value) fuse into ONE Window node over ONE
+    S(o_orderpriority) exchange — the single-sort plan the 100 TB
+    version wants."""
+    plan = _plan(spark, "window_rank_family_q")
+    assert plan.count("Window (") == 1
+    assert plan.count("+- Exchange") == 1
+
+
+def test_dpp_fact_scan_has_runtime_pruning_filter(spark):
+    """The DPP fact scan carries a dynamicpruning partition filter even
+    though the week predicate is on the calendar dimension."""
+    df = QUERIES["dynamic_partition_pruning"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_bitmap_distinct_partial_aggregation(spark):
+    """The bitmap distinct-count aggregates partial+final (map-side
+    bitmap construction before the group exchange)."""
+    plan = _plan(spark, "bitmap_funcs_q")
+    assert "partial_bitmap_construct_agg" in plan.lower() or "HashAggregate" in plan
+
+
+def test_bpe_pairs_aggregate_over_vocabulary(spark):
+    """BPE pair counting aggregates the corpus to the word vocabulary
+    first (S(word)), then explodes pairs over vocab rows — two hash
+    aggregates, and the final top-k is a TakeOrdered, not a sort."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("+- Exchange") == 2
