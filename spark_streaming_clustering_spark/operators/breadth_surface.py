@@ -529,3 +529,138 @@ register(
     GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+# ==========================================================================
+# running_distinct_users — cumulative distinct count (the scalable form)
+# ==========================================================================
+
+
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — "distinct so
+    far", the growth-curve metric.
+
+    Neither engine supports COUNT(DISTINCT) OVER a running frame, and
+    the naive ``size(collect_set() OVER ...)`` materializes the full
+    user set per row — a per-key memory bomb at scale.  The scalable
+    formulation both engines share: mark each user's FIRST day per
+    type (row_number = 1 over (type, user)), aggregate first-sightings
+    per day, then a running SUM window over the tiny (type x day)
+    series.  State is O(1) per row after the first exchange; the
+    window runs over day cardinality, never event cardinality.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    firsts = (
+        ev.select("event_type", "user_id", d)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "user_id").orderBy("d")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    return firsts.select(
+        "event_type",
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_distinct_users"),
+    )
+
+
+register(
+    "running_distinct_users",
+    running_distinct_users,
+    """
+    WITH firsts AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS new_users
+      FROM firsts WHERE rn = 1 GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily
+    """,
+)
+
+
+# ==========================================================================
+# graph_degree_distribution — degree histogram of the trade graph
+# ==========================================================================
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer-supplier trade graph (the
+    same symmetric edge set pagerank_trade walks): node degree ->
+    how many customers/suppliers have it.  The first diagnostic run
+    on any production graph (skew detection BEFORE choosing a join
+    strategy — a power-law tail here is what forces the salted/capped
+    variants elsewhere in this repo).
+
+    Cost: one distinct edge aggregate, one S(node) degree count, one
+    histogram aggregate over node cardinality, in one linear pipeline.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.when(F.col("u") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+        )
+        .orderBy("degree")
+    )
+
+
+register(
+    "graph_degree_distribution",
+    graph_degree_distribution,
+    """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (
+      SELECT u, COUNT(*) AS degree FROM sym GROUP BY u
+    )
+    SELECT degree, COUNT(*) AS n_nodes,
+           CAST(SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)

@@ -9,6 +9,8 @@ tests/test_train_golden.py, tests/test_streaming_smoke.py).
 
 from __future__ import annotations
 
+import datetime
+import glob
 import os
 import tempfile
 
@@ -955,5 +957,91 @@ register(
     SELECT event_type, COUNT(*) AS n,
            CAST({N_REPLAY_FILES} AS BIGINT) AS n_updates
     FROM events GROUP BY event_type
+    """,
+)
+
+
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.4+):
+    an hourly event-time window aggregate re-aggregated into daily
+    windows downstream — two stateful operators back to back, which
+    Spark 1.x-era engines (and the reference) cannot express at all
+    and pre-3.4 Structured Streaming rejected.
+
+    Mechanics under test: the watermark must PROPAGATE through the
+    first windowed aggregate (the hour window's event time feeds the
+    day window's lateness decision), and append mode emits each
+    finalized window exactly once at each level.  A sentinel flush
+    file dated far past the data span advances the watermark so every
+    real window finalizes at drain; the sentinel's own rows are
+    dropped from the result.  Sums stay DECIMAL through both levels so
+    the two-stage aggregation is order-independent and hash-checkable.
+
+    Scale: state at each level is bounded by (watermark delay x key
+    cardinality) — hour level holds one open hour per type, day level
+    one open day per type; the hour->day re-aggregation shuffles at
+    WINDOW cardinality (types x hours), never event cardinality.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_chainwin_")
+    # Sentinel flush file: one row 30+ days past the data span, written
+    # LAST (mtime-pinned) so its micro-batch drives the final watermark
+    # past every real day window's end.
+    sentinel = spark.createDataFrame(
+        [(-1, datetime.datetime(2024, 3, 1), -1, "__flush__", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+    flush_mtime = 1_600_000_100
+    for p in glob.glob(os.path.join(in_dir, "*.parquet")):
+        if os.path.getmtime(p) > flush_mtime:
+            os.utime(p, (flush_mtime, flush_mtime))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    hourly = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    daily = hourly.groupBy(
+        F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+    ).agg(F.sum("n1").alias("n"), F.sum("sv").alias("sv"))
+    q = (
+        daily.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_chained_win")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    return (
+        spark.table("stream_chained_win")
+        .where(F.col("event_type") != "__flush__")
+        .select(
+            F.col("w2.start").alias("day_start"),
+            "event_type",
+            "n",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "streaming_chained_windows",
+    streaming_chained_windows,
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
     """,
 )
