@@ -664,3 +664,49 @@ register(
     FROM deg GROUP BY degree ORDER BY degree
     """,
 )
+
+
+# ==========================================================================
+# array_sort_comparator_q — higher-order sort with a custom comparator
+# ==========================================================================
+
+
+def array_sort_comparator_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``array_sort`` with a CUSTOM comparator lambda — the
+    higher-order-function escape hatch for orderings the natural sort
+    can't express (here: by token length, then lexicographic).
+
+    Whole-stage-codegen lambda, zero shuffle, scales with the scan.
+    The comparator returns -1/0/1 from a nested CASE; the output is
+    relationalized to a joined string (array cells can't be
+    value-hashed by the driver).  The oracle reproduces the ordering
+    relationally: explode, ORDER BY (len, token) inside string_agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.lower("text"), " "), 1, 12)
+    cmp_sorted = F.array_sort(
+        toks,
+        lambda a, b: F.when(F.length(a) < F.length(b), F.lit(-1))
+        .when(F.length(a) > F.length(b), F.lit(1))
+        .when(a < b, F.lit(-1))
+        .when(a > b, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return docs.select(
+        "doc_id", F.array_join(cmp_sorted, "|").alias("by_len_then_alpha")
+    )
+
+
+register(
+    "array_sort_comparator_q",
+    array_sort_comparator_q,
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')[1:12]) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           string_agg(tok, '|' ORDER BY len(tok), tok) AS by_len_then_alpha
+    FROM toks GROUP BY doc_id
+    """,
+)
