@@ -710,3 +710,157 @@ register(
     FROM toks GROUP BY doc_id
     """,
 )
+
+
+# ==========================================================================
+# welch_ttest_q — two-sample hypothesis test from aggregates
+# ==========================================================================
+
+_WELCH_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             AVG(value) AS m,
+             var_samp(value) AS v,
+             COUNT(*) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    c AS (SELECT m, v, n FROM g WHERE event_type = 'click'),
+    w AS (SELECT m, v, n FROM g WHERE event_type = 'view')
+    SELECT round((c.m - w.m) / sqrt(c.v / c.n + w.v / w.n), 5) + 0.0 AS t_stat,
+           round(POWER(c.v / c.n + w.v / w.n, 2)
+                 / (POWER(c.v / c.n, 2) / (c.n - 1)
+                    + POWER(w.v / w.n, 2) / (w.n - 1)), 2) + 0.0 AS dof,
+           c.n AS n_click, w.n AS n_view
+    FROM c, w
+"""
+
+
+def welch_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) comparing mean
+    event value between 'click' and 'view' — the A/B-test primitive,
+    computed ENTIRELY from distributed aggregates (mean, sample
+    variance, count per arm) followed by scalar arithmetic on the
+    two-row result.  At 100 TB the cost is one filtered partial+final
+    aggregate; the test statistic itself is free.  Identical ANSI
+    text on both engines; the 1x1 join of two single-row CTEs is a
+    broadcast nested loop by construction.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_WELCH_SQL)
+
+
+register("welch_ttest_q", welch_ttest_q, _WELCH_SQL)
+
+
+# ==========================================================================
+# time_decay_score — recency-weighted engagement (FP-exact formulation)
+# ==========================================================================
+
+_DECAY_SQL = """
+    SELECT event_type,
+           CAST(SUM(CAST(value / (1.0 + (CAST(1706745600000000 AS BIGINT)
+                                          - epoch_us(CAST(ts AS TIMESTAMP)))
+                                         / 86400000000.0)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS decay_score,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+def time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per event type: each event
+    contributes ``value / (1 + age_days)`` relative to a fixed anchor
+    (2024-02-01 UTC) — hyperbolic decay, the recommender-feature
+    shape.
+
+    Numerics are chosen for DISTRIBUTED exactness: the per-row weight
+    uses only IEEE division on identical inputs (bit-identical on any
+    engine — deliberately NOT exp(), whose last-ulp differs across
+    libm implementations), and per-row terms are cast to DECIMAL(18,9)
+    BEFORE summing so the aggregate is order-independent.  That makes
+    a float-weighted sum hash-checkable across engines and cluster
+    sizes — the same discipline the decimal revenue sums use.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Exact MICROSECOND age: events carry sub-second timestamps, and
+    # unix_timestamp() would truncate to seconds while DuckDB's epoch()
+    # keeps the fraction — integer micros are identical on both engines
+    # (cast through timestamp: NTZ parquet + UTC session = identity).
+    anchor_us = F.lit(1706745600000000).cast("long")  # 2024-02-01 UTC
+    age_days = (anchor_us - F.unix_micros(F.col("ts").cast("timestamp"))) / 86400000000.0
+    term = (F.col("value") / (F.lit(1.0) + age_days)).cast("decimal(18,9)")
+    return ev.groupBy("event_type").agg(
+        F.sum(term).cast("double").alias("decay_score"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register("time_decay_score", time_decay_score, _DECAY_SQL)
+
+
+# ==========================================================================
+# rfm_segmentation — recency / frequency / monetary quartile segments
+# ==========================================================================
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the classic customer-value matrix: per-user aggregates, three
+    global NTILE(4) rankings (ties broken by user_id so the
+    segmentation is total and reproducible), then segment counts.
+
+    Recency is exact integer MICROSECONDS before the fixed anchor
+    (sub-second timestamps; a seconds-truncated recency would tie
+    differently than the oracle).  Scale note: global NTILE is a
+    total sort over USER cardinality (3-4 orders below event
+    cardinality); at 100 TB the drop-in is approx_percentile cut
+    points broadcast as a 3-value boundary array per metric — same
+    segments modulo boundary-epsilon users, no total sort.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.lit(1706745600000000).cast("long")
+            - F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).alias("recency_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("recency_us", "user_id")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("sample_user"),
+    )
+
+
+register(
+    "rfm_segmentation",
+    rfm_segmentation,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(1706745600000000 - MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                  AS BIGINT) AS recency_us,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY recency_us, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT r, f, m, COUNT(*) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM scored GROUP BY r, f, m
+    """,
+)

@@ -1118,3 +1118,91 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def streaming_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same event-time tumbling-window aggregate as
+    ``streaming_window_agg``, but with the state store backed by
+    ROCKSDB (+ changelog checkpointing) instead of the default
+    on-heap HDFS-backed map — the configuration that keeps streaming
+    state out of executor heap, which is what makes billion-key state
+    survivable at 100 TB/day (heap stores OOM at state >> executor
+    memory; RocksDB spills to local SSD and checkpoints changelogs).
+
+    The function HARD-VERIFIES the provider actually engaged (RocksDB
+    custom metrics in the final progress) and restores the session's
+    provider conf afterward, so a silent fallback to the heap store
+    cannot pass.  Result equals the batch oracle — the state backend
+    must be a pure physical choice, invisible in the answer.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_rocksdb_")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    chlog_key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    old_prov = spark.conf.get(prov_key, None)
+    old_chlog = spark.conf.get(chlog_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(chlog_key, "true")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_rocksdb_win")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_finished(q)
+        prog = q.lastProgress
+        ops = (prog or {}).get("stateOperators") or []
+        used_rocksdb = any(
+            "rocksdb" in metric.lower()
+            for op in ops
+            for metric in (op.get("customMetrics") or {})
+        )
+        if not used_rocksdb:
+            raise RuntimeError(
+                "RocksDB state store did not engage; stateOperators="
+                + str(ops)[:500]
+            )
+    finally:
+        for key, old in ((prov_key, old_prov), (chlog_key, old_chlog)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    return spark.table("stream_rocksdb_win").select(
+        F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
+    )
+
+
+register(
+    "streaming_rocksdb_state",
+    streaming_rocksdb_state,
+    """
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+             AS w_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
