@@ -82,6 +82,13 @@ HEADLINE = [
     "arrow_map_batch",
     "pagerank_trade",
     "gstream_epoch",
+    # round-4 SQL-breadth batch: star top-k, bitmap distinct, vocab
+    # pipeline, first-sighting window, decimal-quantized weighted sum
+    "sql_tpch_q10",
+    "bitmap_funcs_q",
+    "bpe_pair_counts",
+    "running_distinct_users",
+    "time_decay_score",
 ]
 
 

@@ -864,3 +864,45 @@ register(
     FROM scored GROUP BY r, f, m
     """,
 )
+
+
+# ==========================================================================
+# distribute_sort_by_q — SQL physical-layout clauses
+# ==========================================================================
+
+_DISTSORT_SQL = """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+    FROM lineitem WHERE l_quantity > 45
+    DISTRIBUTE BY l_returnflag SORT BY l_shipdate, l_orderkey, l_linenumber
+"""
+
+
+def distribute_sort_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTRIBUTE BY`` + ``SORT BY`` — the SQL spelling of the
+    write-layout preparation every partitioned/sorted table write
+    runs: hash-distribute rows by the partition key, sort WITHIN each
+    partition (no global order, so no range-exchange sampling pass).
+
+    Plan (pinned in tests/test_plans.py): Exchange
+    hashpartitioning(l_returnflag) then Sort[global=false] — exactly
+    one exchange and a local sort, the precursor shape of
+    ``join_bucketed``'s sorted buckets and every sorted-parquet
+    writer.  Rows (not order) are the checked value; the oracle omits
+    the clauses because DuckDB has no partition-local sort concept —
+    content equality is precisely the claim that DISTRIBUTE/SORT BY
+    are physical, not semantic.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_DISTSORT_SQL)
+
+
+register(
+    "distribute_sort_by_q",
+    distribute_sort_by_q,
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)

@@ -344,3 +344,14 @@ def test_bpe_pairs_aggregate_over_vocabulary(spark):
     plan = _plan(spark, "bpe_pair_counts")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("+- Exchange") == 2
+
+
+def test_distribute_sort_by_local_sort_only(spark):
+    """DISTRIBUTE BY/SORT BY plans one hash exchange and a LOCAL sort
+    (global=false) — never a range exchange (which a global ORDER BY
+    would add)."""
+    plan = _plan(spark, "distribute_sort_by_q")
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" not in plan
+    # Sort node arguments end with ", false, 0" = global=false
+    assert ", false, 0" in plan
