@@ -324,8 +324,14 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the mechanism a sharded G-Stream model would use if
     the prototype graph ever outgrew the driver (SURVEY.md section 4.2).
     (Spark 4's newer transformWithStateInPandas API is the successor;
-    its driver worker crashes at init in this container — a /opt/spark
-    vs pip-pyspark worker mismatch — so the stable API is used.)
+    root-caused this round: its driver worker imports
+    ``google.protobuf`` for the state-server protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py) and neither
+    protobuf nor grpc is installed in this container, so init fails
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  The RocksDB
+    provider it requires DOES work here — proven by
+    ``streaming_rocksdb_state`` — so on a cluster with protobuf
+    installed the swap is mechanical.  The stable API is used.)
     State per key is two scalars, so memory is O(#users) spread across
     executors; the final answer equals the batch groupBy, which is the
     DuckDB oracle for this key.
