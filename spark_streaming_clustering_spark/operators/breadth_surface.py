@@ -906,3 +906,123 @@ register(
     FROM lineitem WHERE l_quantity > 45
     """,
 )
+
+
+# ==========================================================================
+# stack_inline_q — table-generating expressions (stack / inline)
+# ==========================================================================
+
+_STACK_SQL = """
+    SELECT flag, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_returnflag AS flag,
+             round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS qty,
+             round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS disc,
+             CAST(COUNT(*) AS DECIMAL(18,2)) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ) wide,
+    LATERAL (VALUES ('qty', qty), ('disc', disc), ('n', n)) AS t(metric, val)
+"""
+
+
+def stack_inline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stack`` — the generator-expression wide-to-long flip (the
+    expression-level sibling of the ``unpivot_q`` API): a 3-metric
+    aggregate row per return flag is exploded into (flag, metric,
+    value) rows by a single generator, no self-union.
+
+    Spark evaluates ``stack(3, ...)``; the DuckDB oracle spells the
+    same flip as LATERAL VALUES — both are one projection over the
+    3-row aggregate, so the generator costs nothing beyond the scan.
+    Decimal sums keep the unpivoted doubles order-independent.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT flag, s.metric, CAST(s.val AS DOUBLE) AS val
+        FROM (
+          SELECT l_returnflag AS flag,
+                 round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS qty,
+                 round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS disc,
+                 CAST(COUNT(*) AS DECIMAL(18,2)) AS n
+          FROM lineitem GROUP BY l_returnflag
+        ) wide,
+        LATERAL (SELECT inline(array(
+          named_struct('metric', 'qty',  'val', qty),
+          named_struct('metric', 'disc', 'val', disc),
+          named_struct('metric', 'n',    'val', n)))) s
+        """
+    )
+
+
+register("stack_inline_q", stack_inline_q, _STACK_SQL)
+
+
+# ==========================================================================
+# hash_binary_funcs_q — checksum / binary encoding function family
+# ==========================================================================
+
+
+def hash_binary_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum and binary-encoding functions over document text:
+    md5, sha2-256, base64 of the utf-8 payload head, and hex of the
+    byte length — the content-addressing primitives every dedup
+    manifest and artifact store builds on.  Pure map-side projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 32)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.base64(head.cast("binary")).alias("head_b64"),
+        F.lower(F.hex(F.length("text"))).alias("len_hex"),
+    )
+
+
+register(
+    "hash_binary_funcs_q",
+    hash_binary_funcs_q,
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           to_base64(CAST(substr(text, 1, 32) AS BLOB)) AS head_b64,
+           lower(to_hex(len(text))) AS len_hex
+    FROM documents
+    """,
+)
+
+
+# ==========================================================================
+# regexp_extract_all_q — multi-match extraction
+# ==========================================================================
+
+
+def regexp_extract_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` — every match, not just the first (the
+    log-mining workhorse): all 2+-letter lowercase runs per part name,
+    relationalized to a joined string plus a match count (array cells
+    cannot be value-hashed by the driver).  Map-side only.
+    """
+    part = load_table(spark, sf_dir, "part")
+    matches = F.expr("regexp_extract_all(p_name, '([a-z]{2,})', 1)")
+    return part.select(
+        "p_partkey",
+        F.array_join(matches, ",").alias("words"),
+        F.size(matches).cast("long").alias("n_matches"),
+    )
+
+
+register(
+    "regexp_extract_all_q",
+    regexp_extract_all_q,
+    """
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '([a-z]{2,})', 1), ',')
+             AS words,
+           CAST(len(regexp_extract_all(p_name, '([a-z]{2,})', 1)) AS BIGINT)
+             AS n_matches
+    FROM part
+    """,
+)
