@@ -15,6 +15,8 @@ shapes) or a single hash/window exchange on the grouping key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1024,5 +1026,124 @@ register(
            CAST(len(regexp_extract_all(p_name, '([a-z]{2,})', 1)) AS BIGINT)
              AS n_matches
     FROM part
+    """,
+)
+
+
+# ==========================================================================
+# null_semantics_q — the NULL-handling contract as data
+# ==========================================================================
+
+_NULL_SEMANTICS_SQL = """
+    SELECT COALESCE(CAST(NULLIF(l_linenumber, 1) AS STRING), 'line-1')
+             AS line_group,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+           round(AVG(NULLIF(l_discount, 0.0)), 9) + 0.0 AS avg_nonzero_disc,
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_disc,
+           MIN(NULLIF(l_quantity, 1.0)) AS min_qty_gt1
+    FROM lineitem
+    GROUP BY COALESCE(CAST(NULLIF(l_linenumber, 1) AS STRING), 'line-1')
+"""
+
+
+def null_semantics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-handling contract, demonstrated as checkable data:
+    ``NULLIF`` manufactures NULLs deterministically, then the query
+    pins that COUNT(col) skips them while COUNT(*) does not, AVG
+    ignores them (not zero-fills), MIN skips them, CASE sees them,
+    NULL group keys COALESCE into a named bucket, and GROUP BY treats
+    NULL keys as one group.  These are the exact semantics a user
+    silently relies on in every cleaning pipeline — identical ANSI
+    text on both engines makes the contract itself the tested value.
+    One partial+final aggregate; scales with the scan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_NULL_SEMANTICS_SQL)
+
+
+register("null_semantics_q", null_semantics_q, _NULL_SEMANTICS_SQL)
+
+
+# ==========================================================================
+# range_partition_write — repartitionByRange sorted layout
+# ==========================================================================
+
+RANGE_FILES = 8
+
+
+def range_partition_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned layout (``repartitionByRange`` +
+    ``sortWithinPartitions`` + write): orders are range-split on
+    o_totalprice into RANGE_FILES files and the emitted relation is
+    each FILE's row count and min/max price envelope read back from
+    the actual parquet footprint — completing the physical-layout
+    matrix (hash buckets: join_bucketed; partition dirs:
+    partitioned_write_prune; space-filling curve: zorder_layout;
+    range sort: here).
+
+    The envelope table is PAIRWISE DISJOINT across ranges (that is
+    what makes range layout skip files for a price predicate) — the
+    oracle re-derives each range from NTILE over the same total order,
+    so the written layout must land exactly on the quantile cut
+    points.
+
+    EXACT quantiles (ntile assignment) are used rather than
+    ``repartitionByRange``, which SAMPLES boundaries (reservoir per
+    input partition) and therefore produces only statistically
+    balanced files — measured here: 1730 vs the exact 1875 rows in
+    range 1 at sf0.01, which can never be oracle-exact.  Production
+    uses the sampled API when approximate balance suffices; the exact
+    form costs one total-order window, the same price a global sort
+    write pays anyway.
+    """
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window
+
+    out = os.path.join(
+        _tempfile.mkdtemp(prefix="range_write_"), "orders_by_price"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    assigned = orders.withColumn(
+        "range_id",
+        F.ntile(RANGE_FILES).over(Window.orderBy("o_totalprice", "o_orderkey")),
+    )
+    (
+        assigned.repartition("range_id")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("range_id")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+        )
+        .withColumn("range_id", F.col("range_id").cast("long"))
+    )
+
+
+register(
+    "range_partition_write",
+    range_partition_write,
+    f"""
+    WITH ranked AS (
+      SELECT o_totalprice, o_orderkey,
+             NTILE({RANGE_FILES}) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS range_id
+      FROM orders
+    )
+    SELECT range_id, COUNT(*) AS n,
+           MIN(o_totalprice) AS price_min,
+           MAX(o_totalprice) AS price_max
+    FROM ranked GROUP BY range_id
     """,
 )
