@@ -490,16 +490,9 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table.  Reuses the same partitioned layout as
     partitioned_write_prune (written once per session+sf).
     """
-    import os as _os
-    import tempfile as _tempfile
+    from .scale_surface import events_by_day_layout
 
-    from .scale_surface import partitioned_write_prune as _pwp  # layout owner
-
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    out = _os.path.join(_tempfile.gettempdir(), f"events_by_day_{tag}")
-    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
-        _pwp(spark, sf_dir).collect()  # writes + caches the layout
-    fact = spark.read.parquet(out)
+    fact = spark.read.parquet(events_by_day_layout(spark, sf_dir))
     # Calendar dimension: every date of January 2024 tagged with a week
     # index; the query filter is on week_idx, NOT on event_date.
     cal = spark.range(1, 32).select(
@@ -1102,9 +1095,12 @@ def range_partition_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    out = os.path.join(
-        _tempfile.mkdtemp(prefix="range_write_"), "orders_by_price"
-    )
+    # Deterministic per-sf path, overwritten in place each call — a
+    # fresh mkdtemp per invocation would leak one full parquet copy of
+    # orders per selfcheck/bench run (the temp-leak pattern already
+    # fixed once for sql_ddl_roundtrip; review finding).
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    out = os.path.join(_tempfile.gettempdir(), f"orders_by_price_{tag}")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )

@@ -1861,10 +1861,19 @@ def _pretrain_e2e_oracle() -> str:
                    CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
                      AS quality_micros
             FROM fin_docs GROUP BY lang)
-    SELECT raw.lang, n_raw, n_exact, n_near, n_final, total_tokens,
-           quality_micros
-    FROM raw JOIN ex USING (lang) JOIN nr USING (lang) JOIN fin USING (lang)
+    SELECT raw.lang, n_raw,
+           COALESCE(n_exact, 0) AS n_exact,
+           COALESCE(n_near, 0) AS n_near,
+           COALESCE(n_final, 0) AS n_final,
+           total_tokens, quality_micros
+    FROM raw LEFT JOIN ex USING (lang) LEFT JOIN nr USING (lang)
+             LEFT JOIN fin USING (lang)
     """
+    # LEFT joins from raw: the Spark side's conditional aggregates emit
+    # every language with zero counts (and NULL token/micros sums) even
+    # when a stage drops a language entirely; inner joins here would
+    # omit the row and diverge the moment a data vintage has such a
+    # language (review finding, this round).
 
 
 register("pipeline_pretrain_e2e", pipeline_pretrain_e2e, _pretrain_e2e_oracle())

@@ -170,6 +170,25 @@ register(
 )
 
 
+def events_by_day_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) and return the path of the
+    date-partitioned events layout shared by partitioned_write_prune
+    and dynamic_partition_pruning — single owner of the path scheme
+    and the _SUCCESS freshness check, so the two keys cannot drift
+    onto different layouts (review finding)."""
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"events_by_day_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
 def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned scan: events written partitioned by event date,
     then read back with a date predicate that prunes at the DIRECTORY
@@ -181,17 +200,7 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plans.py) so pruning happens in the file
     index, not per-row.
     """
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"events_by_day_{tag}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        (
-            load_table(spark, sf_dir, "events")
-            .withColumn("event_date", F.to_date("ts"))
-            .write.partitionBy("event_date")
-            .mode("overwrite")
-            .parquet(out)
-        )
+    out = events_by_day_layout(spark, sf_dir)
     got = spark.read.parquet(out).filter(
         (F.col("event_date") >= "2024-01-08") & (F.col("event_date") <= "2024-01-14")
     )

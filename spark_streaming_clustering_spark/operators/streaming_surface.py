@@ -996,10 +996,18 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, datetime.datetime(2024, 3, 1), -1, "__flush__", 0.0)],
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
+    existing = glob.glob(os.path.join(in_dir, "*.parquet"))
+    max_mtime = max(os.path.getmtime(p) for p in existing)
     sentinel.coalesce(1).write.mode("append").parquet(in_dir)
-    flush_mtime = 1_600_000_100
+    # Pin the sentinel strictly AFTER every real file, relative to the
+    # replay fixture's actual mtimes (a hard-coded constant would break
+    # silently if _replay_event_files changed its mtime scheme or file
+    # count — review finding): if the sentinel batch were read early,
+    # its 2024-03-01 timestamp would advance the watermark ~30 days and
+    # every real row after it would be dropped as late.
+    flush_mtime = max_mtime + 1
     for p in glob.glob(os.path.join(in_dir, "*.parquet")):
-        if os.path.getmtime(p) > flush_mtime:
+        if p not in existing:
             os.utime(p, (flush_mtime, flush_mtime))
     stream = (
         spark.readStream.schema(

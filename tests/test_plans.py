@@ -23,6 +23,12 @@ EAGER = {
     "streaming_window_agg",
     "stateful_running_agg",
     "mllib_kmeans_baseline",
+    # round-4 batch: each runs a real streaming query eagerly; the
+    # returned DataFrame is only the memory-sink/file read-back, so a
+    # plan assertion on it is vacuous while costing ~10-40 s apiece
+    "streaming_chained_windows",
+    "streaming_rocksdb_state",
+    "stream_idempotent_sink",
 }
 
 
