@@ -1143,3 +1143,220 @@ register(
     FROM ranked GROUP BY range_id
     """,
 )
+
+
+# ==========================================================================
+# union_by_name_q — schema-evolving union
+# ==========================================================================
+
+
+def union_by_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — the schema-evolving
+    union: two relations with overlapping-but-different columns (an
+    old extract without `region_hint`, a new one without `legacy_score`)
+    align by NAME, absent columns null-fill.  Positional UNION would
+    silently misalign or reject; by-name union is how multi-vintage
+    extracts concatenate in every lakehouse backfill.
+
+    The oracle is DuckDB's native ``UNION ALL BY NAME`` — same
+    semantics from the same relational idea.  Aggregated per source
+    tag so the null-fill itself is the checked value.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.lit("old").alias("vintage"),
+        (F.col("c_acctbal") * 2).alias("legacy_score"),
+    )
+    new = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        F.lit("new").alias("vintage"),
+        F.col("c_nationkey").alias("region_hint"),
+    )
+    both = old.unionByName(new, allowMissingColumns=True)
+    return both.groupBy("vintage").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("legacy_score").alias("n_legacy"),
+        F.count("region_hint").alias("n_hint"),
+        F.sum(F.col("legacy_score").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_legacy"),
+        F.sum("region_hint").cast("long").alias("sum_hint"),
+    )
+
+
+register(
+    "union_by_name_q",
+    union_by_name_q,
+    """
+    WITH old AS (
+      SELECT c_custkey, 'old' AS vintage, c_acctbal * 2 AS legacy_score
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    new AS (
+      SELECT c_custkey, 'new' AS vintage, c_nationkey AS region_hint
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    both_v AS (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+    SELECT vintage, COUNT(*) AS n,
+           COUNT(legacy_score) AS n_legacy,
+           COUNT(region_hint) AS n_hint,
+           CAST(SUM(CAST(legacy_score AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_legacy,
+           CAST(SUM(region_hint) AS BIGINT) AS sum_hint
+    FROM both_v GROUP BY vintage
+    """,
+)
+
+
+# ==========================================================================
+# sql_tpch_q8 — national market share
+# ==========================================================================
+
+_TPCH_Q8 = """
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                          THEN CAST(volume AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE),
+                 6) + 0.0 AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the 8-way star join —
+    nation plays both roles again (customer's region gate, supplier's
+    share attribution) and the share is a conditional-over-total
+    decimal-exact ratio per year.  All seven dimension joins
+    broadcast; the lone exchange is the year-cardinality aggregate.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q8)
+
+
+register("sql_tpch_q8", sql_tpch_q8, _TPCH_Q8)
+
+
+# ==========================================================================
+# sql_tpch_q13 — customer order-count distribution
+# ==========================================================================
+
+_TPCH_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): LEFT OUTER join with
+    the filter in the JOIN CONDITION (moving it to WHERE would turn
+    the outer join inner and silently drop zero-order customers — the
+    classic outer-join filter trap, kept here deliberately), then a
+    two-level aggregate: orders per customer, customers per order
+    count.  COUNT(o_orderkey) over the null-extended side counts 0
+    for order-less customers, which is the distribution's leftmost
+    bucket.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q13)
+
+
+register("sql_tpch_q13", sql_tpch_q13, _TPCH_Q13)
+
+
+# ==========================================================================
+# sql_tpch_q15 — top supplier (revenue view)
+# ==========================================================================
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a named revenue view consumed
+    TWICE — once joined to supplier, once inside a scalar MAX
+    subquery.  Decimal-exact revenue makes the equality predicate
+    against the subquery max well-defined (a float sum would make
+    "= MAX" flaky by summation order — the reason Q15 is the
+    canonical decimal-discipline test); ties on max revenue are all
+    returned, ordered by supplier key.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q15)
+
+
+register("sql_tpch_q15", sql_tpch_q15, _TPCH_Q15)
+
+
+# ==========================================================================
+# sql_tpch_q17 — small-quantity-order revenue
+# ==========================================================================
+
+_TPCH_Q17 = """
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 4) + 0.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): a CORRELATED scalar
+    aggregate subquery per part (20% of that part's average quantity)
+    gating the fact rows.  Catalyst decorrelates it into a per-part
+    average aggregate joined back — one pass over lineitem for the
+    averages, one for the probe — instead of a per-row re-scan; the
+    0.2*avg threshold is a pure double comparison identical on both
+    engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q17)
+
+
+register("sql_tpch_q17", sql_tpch_q17, _TPCH_Q17)
