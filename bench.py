@@ -198,7 +198,18 @@ def main() -> None:
     # samples regardless of the fast-exit: a single sub-2 s sample can't
     # distinguish host CPU steal from a real plan regression (VERDICT r3
     # measurement gap — tf_idf_topk "+113%" was one noisy sample).
-    force_full = {"tf_idf_topk", "dedup_embed_cosine", "flagship_revenue"}
+    force_full = {
+        "tf_idf_topk",
+        "dedup_embed_cosine",
+        "flagship_revenue",
+        # in-round delta >25% vs r3 on a 2-sample best while an
+        # isolated 4-sample repro (plans unchanged) sat on the r3
+        # floor (0.35 s vs bench's 1.39 s) — classic host steal at a
+        # fixed bench position; full 3 samples each
+        "vector_sum_agg",
+        "topk_q",
+        "shard_by_token_budget",
+    }
     times: dict[str, float] = {}
     for key in HEADLINE:
         best = float("inf")
@@ -206,7 +217,13 @@ def main() -> None:
             t0 = time.monotonic()
             _force(QUERIES[key](spark, SF_DIR))
             best = min(best, round(time.monotonic() - t0, 3))
-            if best <= fast_sec and key not in force_full:
+            # Fast-exit needs >= 2 samples: the FIRST run of a key pays
+            # one-time plan compilation/codegen, which for sub-second
+            # queries is up to 3x the steady-state floor while still
+            # under fast_sec (measured: vector_sum_agg 0.96 s cold vs
+            # 0.33 s warm — a single sample reported that as a fake
+            # +317% regression).  The second run is the floor.
+            if _run >= 1 and best <= fast_sec and key not in force_full:
                 break
         times[key] = best
 
