@@ -713,3 +713,147 @@ register(
     ORDER BY pmi DESC, bg ASC LIMIT {PMI_TOPK}
     """,
 )
+
+
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three exact integer
+    counts: words (whitespace tokens), sentences ([.!?]+ runs,
+    floored at 1), and a syllable proxy (vowel-group runs per word —
+    the standard dictionary-free approximation).  The score is one
+    double expression over exact integers, so both engines compute
+    bit-identical inputs; rounded at 3 dp.
+
+    Readability joins entropy/repetition/stopword signals in the
+    quality-gate family: template spam scores implausibly HIGH (short
+    uniform sentences), OCR noise implausibly LOW (unpronounceable
+    vowel runs) — both tails are filter candidates.  Pure map-side
+    projection + no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    w = F.greatest(words, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / w)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        syll.cast("long").alias("n_syll"),
+        (F.round(score, 3) + F.lit(0.0)).alias("flesch"),
+    )
+
+
+register(
+    "readability_score",
+    readability_score,
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syll
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           round(206.835
+                 - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / greatest(n_words, 1)), 3)
+             + 0.0 AS flesch
+    FROM c
+    """,
+)
+
+
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus vintages (even vs odd
+    doc_id halves): symmetric KL divergence of their term
+    distributions over the SHARED vocabulary — the monitoring signal a
+    training-data pipeline watches to catch a source going stale or a
+    scraper breaking.
+
+    Numerics: with Sa = sum(ca), Sb = sum(cb) over shared terms,
+    KL(A||B) = (sum(ca*log2(ca)) - sum(ca*log2(cb))) / Sa
+               + log2(Sb/Sa) — every term is log2 of an EXACT integer
+    count, so the whole signal reduces to ONE aggregate over the
+    joined term-count relation (same discipline as quality_entropy);
+    rounded at 4 dp.  Cost: two vocabulary-sized aggregates, one
+    equi-join, one global aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("term").agg(
+        F.count_if("is_a").alias("ca"), F.count_if(~F.col("is_a")).alias("cb")
+    )
+    shared = tf.filter((F.col("ca") > 0) & (F.col("cb") > 0))
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    agg = shared.agg(
+        F.count(F.lit(1)).alias("n_shared_terms"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(ca * F.log2(ca)).alias("ala"),
+        F.sum(ca * F.log2(cb)).alias("alb"),
+        F.sum(cb * F.log2(cb)).alias("blb"),
+        F.sum(cb * F.log2(ca)).alias("bla"),
+    )
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    kl_ab = (F.col("ala") - F.col("alb")) / sa + F.log2(sb / sa)
+    kl_ba = (F.col("blb") - F.col("bla")) / sb + F.log2(sa / sb)
+    return agg.select(
+        "n_shared_terms",
+        F.col("sa").cast("long").alias("n_tokens_a"),
+        F.col("sb").cast("long").alias("n_tokens_b"),
+        (F.round(kl_ab, 4) + F.lit(0.0)).alias("kl_ab"),
+        (F.round(kl_ba, 4) + F.lit(0.0)).alias("kl_ba"),
+    )
+
+
+register(
+    "corpus_drift_kl",
+    corpus_drift_kl,
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS is_a,
+             unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT term,
+             SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+      FROM toks GROUP BY term),
+    shared AS (SELECT * FROM tf WHERE ca > 0 AND cb > 0),
+    agg AS (
+      SELECT COUNT(*) AS n_shared_terms,
+             SUM(ca) AS sa, SUM(cb) AS sb,
+             SUM(ca * log2(CAST(ca AS DOUBLE))) AS ala,
+             SUM(ca * log2(CAST(cb AS DOUBLE))) AS alb,
+             SUM(cb * log2(CAST(cb AS DOUBLE))) AS blb,
+             SUM(cb * log2(CAST(ca AS DOUBLE))) AS bla
+      FROM shared)
+    SELECT CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+           CAST(sa AS BIGINT) AS n_tokens_a,
+           CAST(sb AS BIGINT) AS n_tokens_b,
+           round((ala - alb) / sa + log2(CAST(sb AS DOUBLE) / sa), 4) + 0.0
+             AS kl_ab,
+           round((blb - bla) / sb + log2(CAST(sa AS DOUBLE) / sb), 4) + 0.0
+             AS kl_ba
+    FROM agg
+    """,
+)

@@ -1220,3 +1220,96 @@ register(
     FROM events GROUP BY 1, 2
     """,
 )
+
+
+def stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fanout inside ONE foreachBatch: each micro-batch is
+    cached once and written to TWO sinks — the raw bronze layer
+    (batch-partitioned parquet) and a pre-aggregated silver layer
+    (per-batch, per-type counts and decimal sums) — the standard
+    medallion fanout where both sinks must observe the SAME batch
+    exactly once.
+
+    The returned relation joins the two sinks' read-backs and the
+    oracle checks them against the batch truth, so a fanout bug
+    (silver seeing a re-executed, differently-sampled batch — which
+    caching the input prevents; or one sink dropping a batch) breaks
+    the n_raw = n_agg equality the result carries.
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_fanout_")
+    base = os.path.dirname(ckpt)
+    raw_dir = os.path.join(base, "bronze")
+    agg_dir = os.path.join(base, "silver")
+
+    def write_batch(df, batch_id: int) -> None:
+        df = df.cache()
+        try:
+            (
+                df.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(raw_dir)
+            )
+            (
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+                )
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(agg_dir)
+            )
+        finally:
+            df.unpersist()
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    raw = (
+        spark.read.parquet(raw_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_raw"),
+        )
+    )
+    silver = (
+        spark.read.parquet(agg_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_agg"),
+            F.sum("sv").cast("double").alias("sum_agg"),
+        )
+    )
+    return raw.join(silver, "event_type")
+
+
+register(
+    "stream_fanout_sinks",
+    stream_fanout_sinks,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+           COUNT(*) AS n_agg,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_agg
+    FROM events GROUP BY event_type
+    """,
+)

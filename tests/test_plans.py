@@ -29,6 +29,7 @@ EAGER = {
     "streaming_chained_windows",
     "streaming_rocksdb_state",
     "stream_idempotent_sink",
+    "stream_fanout_sinks",
 }
 
 
