@@ -818,3 +818,206 @@ register(
     FROM cents GROUP BY event_type
     """,
 )
+
+
+# ==========================================================================
+# pandas_cogroup_q — the cogrouped-map Python boundary
+# ==========================================================================
+
+
+def pandas_cogroup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup(...).applyInPandas`` — the two-sided grouped Python
+    boundary: each customer's ORDERS and EVENTS arrive as two aligned
+    pandas frames in one call (the merge-per-entity shape that a
+    single-side grouped map cannot express without a pre-join).
+
+    The function computes, per customer, order count, event count, and
+    the integer-cent order total — deliberately simple arithmetic so
+    the boundary (co-partitioning, two-frame alignment, empty-side
+    handling: customers with orders but no events and vice versa) is
+    what the oracle checks, via a FULL OUTER per-entity aggregate
+    join.  Both sides shuffle S(entity) once — at 100 TB this is the
+    entity-resolution boundary (merge CRM + clickstream per user).
+    """
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cid"), "o_totalprice"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cid"), "value"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cid = int(left["cid"].iloc[0] if len(left) else right["cid"].iloc[0])
+        cents = int(
+            round(sum(round(float(v) * 100) for v in left["o_totalprice"]))
+        )
+        return pd.DataFrame(
+            {
+                "cid": [cid],
+                "n_orders": [len(left)],
+                "n_events": [len(right)],
+                "order_cents": [cents],
+            }
+        )
+
+    out = (
+        orders.groupBy("cid")
+        .cogroup(events.groupBy("cid"))
+        .applyInPandas(
+            merge, "cid long, n_orders long, n_events long, order_cents long"
+        )
+    )
+    return out
+
+
+register(
+    "pandas_cogroup_q",
+    pandas_cogroup_q,
+    """
+    WITH o AS (
+      SELECT o_custkey AS cid, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents
+      FROM orders GROUP BY o_custkey),
+    e AS (SELECT user_id AS cid, COUNT(*) AS n_events
+          FROM events GROUP BY user_id)
+    SELECT COALESCE(o.cid, e.cid) AS cid,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(order_cents, 0) AS order_cents
+    FROM o FULL OUTER JOIN e ON o.cid = e.cid
+    """,
+)
+
+
+# ==========================================================================
+# arrow_grouped_map — applyInArrow grouped map
+# ==========================================================================
+
+
+def arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy(...).applyInArrow`` (Spark 4) — the grouped-map
+    boundary WITHOUT the pandas conversion layer: each label group's
+    embeddings arrive as a pyarrow Table and the reduction runs on the
+    Arrow buffers directly (numpy view, no per-column Series
+    materialization) — the lowest-overhead grouped Python hook,
+    completing the matrix next to applyInPandas (grouped_map_normalize)
+    and mapInArrow (arrow_map_batch).
+
+    Per label: vector count and the integer sum of milli-quantized
+    coordinate means (quantized per the _proto_summary discipline so
+    the result is summation-order independent and hash-checkable).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        col = tbl.column("embedding").combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        n = len(tbl)
+        dim = len(flat) // n if n else 0
+        mat = flat.reshape(n, dim)
+        mean_q = int(np.rint(mat.mean(axis=0) * 1000).astype(np.int64).sum())
+        label = int(tbl.column("label")[0].as_py())
+        return pa.table(
+            {
+                "label": pa.array([label], pa.int32()),
+                "n_vecs": pa.array([n], pa.int64()),
+                "mean_q_sum": pa.array([mean_q], pa.int64()),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        stats, "label int, n_vecs long, mean_q_sum long"
+    )
+
+
+register(
+    "arrow_grouped_map",
+    arrow_grouped_map,
+    """
+    WITH expl AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings),
+    mean_pos AS (
+      SELECT label, pos, AVG(v) AS m FROM expl GROUP BY label, pos),
+    q AS (
+      SELECT label, CAST(SUM(CAST(round(m * 1000) AS BIGINT)) AS BIGINT)
+               AS mean_q_sum
+      FROM mean_pos GROUP BY label),
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT n.label, n.n_vecs, q.mean_q_sum
+    FROM n JOIN q ON n.label = q.label
+    """,
+)
+
+
+# ==========================================================================
+# udtf_polymorphic — UDTF with analyze()-computed output schema
+# ==========================================================================
+
+UDTF_POLY_N = 3
+
+
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 3.5+/4): the output SCHEMA is
+    computed at plan time by a static ``analyze()`` from the literal
+    argument — here ``lead_tokens(text, n)`` emits columns
+    ``tok1..tokN`` (first n whitespace tokens, null-padded), so the
+    same function is reusable at any width without re-registration.
+    The fixed-schema sibling is ``udtf_split_words``; this key pins
+    the analyze-time type computation, the remaining UDTF slot.
+
+    Runs as one projection-shaped generator per row — no shuffle;
+    the oracle reproduces n=UDTF_POLY_N with split_part columns.
+    """
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            schema = StructType()
+            for i in range(1, width + 1):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            row = tuple(toks[i] if i < len(toks) else None for i in range(n))
+            yield row
+
+    fn = udtf(LeadTokens)
+    spark.udtf.register("lead_tokens", fn)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_poly")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.*
+        FROM docs_poly d,
+             LATERAL lead_tokens(d.text, {UDTF_POLY_N}) t
+        """
+    )
+
+
+register(
+    "udtf_polymorphic",
+    udtf_polymorphic,
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+      FROM documents)
+    SELECT doc_id,
+           {", ".join(f"t[{i}] AS tok{i}" for i in range(1, UDTF_POLY_N + 1))}
+    FROM toks
+    """,
+)
