@@ -23,6 +23,10 @@ ORACLES: dict[str, str] = {}
 
 
 def register(key: str, fn: QueryFn, oracle: str | None = None) -> None:
+    if key in QUERIES:
+        # A silent overwrite would drop an operator from the surface
+        # while COVERAGE/SURVEY still list it — fail at import instead.
+        raise ValueError(f"duplicate query key registered: {key!r}")
     QUERIES[key] = fn
     if oracle is not None:
         ORACLES[key] = oracle
