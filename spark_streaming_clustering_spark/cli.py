@@ -101,8 +101,38 @@ def run(argv: list[str]) -> GStreamTrainer:
     return trainer
 
 
+def run_query(argv: list[str]) -> int:
+    """``cli query <key> [sf_dir] [limit]`` — run any registered
+    operator from the shell and print JSON lines (column-name keyed,
+    bounded by ``limit``, default 20).  ``cli query list`` prints the
+    registered keys.  This is the ad-hoc front door for the whole
+    SURVEY.md section-2 surface; the reference has no equivalent (its
+    only entry is the training run)."""
+    import json
+
+    from .operators.registry import QUERIES
+
+    if not argv or argv[0] == "list":
+        for k in sorted(QUERIES):
+            print(k)
+        return 0
+    key = argv[0]
+    if key not in QUERIES:
+        raise SystemExit(f"unknown query key {key!r}; try 'query list'")
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    limit = int(argv[2]) if len(argv) > 2 else 20
+    spark = get_spark(f"query-{key}")
+    df = QUERIES[key](spark, sf_dir)
+    for row in df.limit(limit).collect():
+        print(json.dumps(row.asDict(), default=str, sort_keys=True))
+    return 0
+
+
 def main() -> None:
-    run(sys.argv[1:])
+    if sys.argv[1:2] == ["query"]:
+        run_query(sys.argv[2:])
+    else:
+        run(sys.argv[1:])
 
 
 if __name__ == "__main__":

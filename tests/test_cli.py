@@ -79,3 +79,28 @@ def test_cli_custom_separator(spark, tmp_path):
     assert trainer.model.nodes.shape[1] == 2  # dim inferred with ';'
     # the batch was consumed: total weight grew beyond the 2 seed nodes
     assert trainer.model.weights.sum() > 2.0
+
+
+def test_cli_query_subcommand(spark):
+    """`cli query <key>` prints bounded JSON rows; `query list` prints
+    every registered key."""
+    import json
+
+    from spark_streaming_clustering_spark.cli import run_query
+    from spark_streaming_clustering_spark.operators.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_query(["count_star", SF_SMOKE, "5"])
+    rows = [json.loads(line) for line in buf.getvalue().splitlines()]
+    assert rows and all(isinstance(r, dict) for r in rows)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_query(["list"])
+    listed = buf.getvalue().split()
+    assert set(listed) == set(QUERIES)
