@@ -133,3 +133,30 @@ def test_bpe_pairs_match_python_counter(spark):
     expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
     got = [(r.pair, r.n) for r in bpe_pair_counts(spark, SF_SMOKE).collect()]
     assert got == expect
+
+
+def test_chained_windows_emit_each_window_once(spark):
+    """Append mode through two chained stateful operators must emit
+    each (day, type) window exactly once — a duplicate row means the
+    first-level aggregate re-emitted into a finalized day window."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.streaming_surface import (
+        streaming_chained_windows,
+    )
+
+    rows = streaming_chained_windows(spark, SF_SMOKE).collect()
+    keys = Counter((r.day_start, r.event_type) for r in rows)
+    dups = {k: c for k, c in keys.items() if c > 1}
+    assert not dups
+
+
+def test_idempotent_sink_partitions_and_no_dups(spark):
+    """After the deliberate batch-0 redelivery the sink still holds
+    exactly one copy of every event (n == n_distinct per type)."""
+    from spark_streaming_clustering_spark.operators.streaming_surface import (
+        stream_idempotent_sink,
+    )
+
+    for r in stream_idempotent_sink(spark, SF_SMOKE).collect():
+        assert r.n == r.n_distinct
