@@ -932,20 +932,22 @@ def stack_inline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal sums keep the unpivoted doubles order-independent.
     """
     register_views(spark, sf_dir)
+    # LATERAL VIEW stack: the actual stack() generator (review finding:
+    # an inline(array(named_struct...)) spelling covered only inline,
+    # leaving the claimed stack coverage untested).
     return spark.sql(
         """
-        SELECT flag, s.metric, CAST(s.val AS DOUBLE) AS val
+        SELECT flag, t.metric, CAST(t.val AS DOUBLE) AS val
         FROM (
           SELECT l_returnflag AS flag,
                  round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS qty,
                  round(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS disc,
                  CAST(COUNT(*) AS DECIMAL(18,2)) AS n
           FROM lineitem GROUP BY l_returnflag
-        ) wide,
-        LATERAL (SELECT inline(array(
-          named_struct('metric', 'qty',  'val', qty),
-          named_struct('metric', 'disc', 'val', disc),
-          named_struct('metric', 'n',    'val', n)))) s
+        ) wide
+        LATERAL VIEW stack(3, 'qty', CAST(qty AS DOUBLE),
+                           'disc', CAST(disc AS DOUBLE),
+                           'n', CAST(n AS DOUBLE)) t AS metric, val
         """
     )
 
@@ -1032,7 +1034,7 @@ _NULL_SEMANTICS_SQL = """
              AS line_group,
            COUNT(*) AS n_rows,
            COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
-           round(AVG(NULLIF(l_discount, 0.0)), 9) + 0.0 AS avg_nonzero_disc,
+           round(AVG(NULLIF(l_discount, 0.0)), 6) + 0.0 AS avg_nonzero_disc,
            CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_null_disc,
            MIN(NULLIF(l_quantity, 1.0)) AS min_qty_gt1
@@ -1101,20 +1103,27 @@ def range_partition_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed once for sql_ddl_roundtrip; review finding).
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     out = os.path.join(_tempfile.gettempdir(), f"orders_by_price_{tag}")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
-    )
-    assigned = orders.withColumn(
-        "range_id",
-        F.ntile(RANGE_FILES).over(Window.orderBy("o_totalprice", "o_orderkey")),
-    )
-    (
-        assigned.repartition("range_id")
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .write.mode("overwrite")
-        .partitionBy("range_id")
-        .parquet(out)
-    )
+    # Layout content is deterministic per sf, so write once per
+    # session/host and read back thereafter (the events_by_day_layout
+    # pattern) — plan-shape tests build every key and would otherwise
+    # pay the global sort + rewrite each time (review finding).
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        assigned = orders.withColumn(
+            "range_id",
+            F.ntile(RANGE_FILES).over(
+                Window.orderBy("o_totalprice", "o_orderkey")
+            ),
+        )
+        (
+            assigned.repartition("range_id")
+            .sortWithinPartitions("o_totalprice", "o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("range_id")
+            .parquet(out)
+        )
     return (
         spark.read.parquet(out)
         .groupBy("range_id")

@@ -23,6 +23,8 @@ they extend the engine surface per SURVEY.md section 2.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -850,9 +852,11 @@ def pandas_cogroup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cid = int(left["cid"].iloc[0] if len(left) else right["cid"].iloc[0])
-        cents = int(
-            round(sum(round(float(v) * 100) for v in left["o_totalprice"]))
-        )
+        # Half-AWAY rounding per price (prices are positive): Python's
+        # round() is banker's (half-to-even) and would diverge from the
+        # oracle's SQL round() on an exact .5 cent boundary (review
+        # finding — latent on this fixture, pinned anyway).
+        cents = int(sum(math.floor(float(v) * 100 + 0.5) for v in left["o_totalprice"]))
         return pd.DataFrame(
             {
                 "cid": [cid],
@@ -906,9 +910,14 @@ def arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     completing the matrix next to applyInPandas (grouped_map_normalize)
     and mapInArrow (arrow_map_batch).
 
-    Per label: vector count and the integer sum of milli-quantized
-    coordinate means (quantized per the _proto_summary discipline so
-    the result is summation-order independent and hash-checkable).
+    Per label: vector count and the integer sum of per-ELEMENT
+    milli-quantized coordinates — quantization happens on the raw
+    values BEFORE any reduction (the _proto_summary discipline), so
+    the integer sum is exactly order-independent; quantizing after a
+    float mean would leave np-pairwise vs SQL-sequential low-bit
+    drift at the rounding boundary (review finding), and np.rint's
+    half-to-even would diverge from SQL round()'s half-away ties, so
+    half-away is computed explicitly.
     """
     import numpy as np
     import pyarrow as pa
@@ -917,22 +926,21 @@ def arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(tbl: pa.Table) -> pa.Table:
         col = tbl.column("embedding").combine_chunks()
-        flat = np.asarray(col.flatten(), dtype=np.float64)
-        n = len(tbl)
-        dim = len(flat) // n if n else 0
-        mat = flat.reshape(n, dim)
-        mean_q = int(np.rint(mat.mean(axis=0) * 1000).astype(np.int64).sum())
+        flat = np.asarray(col.flatten(), dtype=np.float64) * 1000.0
+        q = np.where(
+            flat >= 0, np.floor(flat + 0.5), np.ceil(flat - 0.5)
+        ).astype(np.int64)
         label = int(tbl.column("label")[0].as_py())
         return pa.table(
             {
                 "label": pa.array([label], pa.int32()),
-                "n_vecs": pa.array([n], pa.int64()),
-                "mean_q_sum": pa.array([mean_q], pa.int64()),
+                "n_vecs": pa.array([len(tbl)], pa.int64()),
+                "coord_q_sum": pa.array([int(q.sum())], pa.int64()),
             }
         )
 
     return emb.groupBy("label").applyInArrow(
-        stats, "label int, n_vecs long, mean_q_sum long"
+        stats, "label int, n_vecs long, coord_q_sum long"
     )
 
 
@@ -942,17 +950,14 @@ register(
     """
     WITH expl AS (
       SELECT label,
-             unnest(generate_series(1, len(embedding))) AS pos,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
       FROM embeddings),
-    mean_pos AS (
-      SELECT label, pos, AVG(v) AS m FROM expl GROUP BY label, pos),
     q AS (
-      SELECT label, CAST(SUM(CAST(round(m * 1000) AS BIGINT)) AS BIGINT)
-               AS mean_q_sum
-      FROM mean_pos GROUP BY label),
+      SELECT label, CAST(SUM(CAST(round(v * 1000) AS BIGINT)) AS BIGINT)
+               AS coord_q_sum
+      FROM expl GROUP BY label),
     n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
-    SELECT n.label, n.n_vecs, q.mean_q_sum
+    SELECT n.label, n.n_vecs, q.coord_q_sum
     FROM n JOIN q ON n.label = q.label
     """,
 )
