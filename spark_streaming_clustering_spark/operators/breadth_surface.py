@@ -1369,3 +1369,111 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sql_tpch_q17", sql_tpch_q17, _TPCH_Q17)
+
+
+# ==========================================================================
+# ignore_nulls_nav_q — IGNORE NULLS navigation functions
+# ==========================================================================
+
+def ignore_nulls_nav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IGNORE NULLS`` navigation — the gap-filling LOCF primitive:
+    ``last_value ... IGNORE NULLS`` over a running frame carries the
+    most recent non-null observation forward (zero discounts
+    NULLIF'ed into gaps), and the whole-partition first_value picks
+    the earliest real observation.  Without IGNORE NULLS both return
+    the frame-edge row verbatim, nulls included — a silently different
+    answer, which is why the modifier earns its own key.
+
+    Dialect note: Spark parses the modifier OUTSIDE the call
+    (``last_value(x) IGNORE NULLS``), DuckDB INSIDE
+    (``last_value(x IGNORE NULLS)``) — same ANSI semantics, two
+    spellings, so this key carries separate texts.  One S(l_orderkey)
+    exchange serves both windows.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber,
+                 NULLIF(l_discount, 0.0) AS disc
+          FROM lineitem WHERE l_orderkey < 2000
+        )
+        SELECT l_orderkey, l_linenumber,
+               last_value(disc) IGNORE NULLS OVER w AS last_real_disc,
+               first_value(disc) IGNORE NULLS OVER (
+                 PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS first_real_disc
+        FROM s
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+register(
+    "ignore_nulls_nav_q",
+    ignore_nulls_nav_q,
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             NULLIF(l_discount, 0.0) AS disc
+      FROM lineitem WHERE l_orderkey < 2000
+    )
+    SELECT l_orderkey, l_linenumber,
+           last_value(disc IGNORE NULLS) OVER w AS last_real_disc,
+           first_value(disc IGNORE NULLS) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_real_disc
+    FROM s
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# ==========================================================================
+# like_family_q — pattern-match predicate family
+# ==========================================================================
+
+
+def like_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIKE predicate family beyond plain LIKE: case-insensitive
+    ``ILIKE``, conjunctive ``LIKE ALL`` and disjunctive ``LIKE ANY``
+    multi-pattern forms — censused over part names so every predicate's
+    selectivity is the checked value.  The oracle spells LIKE ALL/ANY
+    as explicit AND/OR chains (DuckDB has ILIKE but not the ALL/ANY
+    sugar), making the key a cross-engine semantics pin rather than a
+    syntax echo.  One partial+final aggregate, filters at the scan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_parts,
+               CAST(SUM(CASE WHEN p_name ILIKE '%STEEL%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ilike_steel,
+               CAST(SUM(CASE WHEN p_name LIKE ALL ('%a%', '%e%')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_like_all_ae,
+               CAST(SUM(CASE WHEN p_name LIKE ANY ('%zz%', '%qq%', 'a%')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_like_any
+        FROM part
+        """
+    )
+
+
+register(
+    "like_family_q",
+    like_family_q,
+    """
+    SELECT COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN p_name ILIKE '%STEEL%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ilike_steel,
+           CAST(SUM(CASE WHEN p_name LIKE '%a%' AND p_name LIKE '%e%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_like_all_ae,
+           CAST(SUM(CASE WHEN p_name LIKE '%zz%' OR p_name LIKE '%qq%'
+                         OR p_name LIKE 'a%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_like_any
+    FROM part
+    """,
+)
