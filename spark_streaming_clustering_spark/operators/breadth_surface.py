@@ -1477,3 +1477,111 @@ register(
     FROM part
     """,
 )
+
+
+# ==========================================================================
+# xpath_funcs_q — XPath extraction family
+# ==========================================================================
+
+
+def xpath_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XPath function family (``xpath_string`` / ``xpath_int`` /
+    ``xpath`` list form) over a deterministically constructed XML
+    fragment per order — the legacy-feed extraction path next to the
+    schema-typed ``from_xml_q``.  Pure map-side projection.
+
+    The oracle reconstructs each extraction from the same source
+    fields (a second implementation of the path semantics, not a
+    parrot of the XML parse).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    xml = F.concat(
+        F.lit("<order id='"),
+        F.col("o_orderkey"),
+        F.lit("'><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio><cust>"),
+        F.col("o_custkey"),
+        F.lit("</cust></order>"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.expr(f"xpath_string({_X}, '/order/status')").alias("status"),
+        F.expr(f"xpath_long({_X}, '/order/cust')").alias("cust"),
+        F.expr(
+            f"array_join(xpath({_X}, '/order/*/text()'), '|')"
+        ).alias("all_texts"),
+        F.length(xml).cast("long").alias("xml_len"),
+    )
+
+
+_X = (
+    "concat('<order id=\\'', o_orderkey, '\\'><status>', o_orderstatus,"
+    "'</status><prio>', o_orderpriority, '</prio><cust>', o_custkey,"
+    "'</cust></order>')"
+)
+
+
+register(
+    "xpath_funcs_q",
+    xpath_funcs_q,
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(o_custkey AS BIGINT) AS cust,
+           o_orderstatus || '|' || o_orderpriority || '|' || o_custkey
+             AS all_texts,
+           CAST(len('<order id=''' || o_orderkey || '''><status>'
+                || o_orderstatus || '</status><prio>' || o_orderpriority
+                || '</prio><cust>' || o_custkey || '</cust></order>')
+                AS BIGINT) AS xml_len
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+
+
+# ==========================================================================
+# aes_roundtrip_q — column encryption roundtrip
+# ==========================================================================
+
+_AES_KEY = "0123456789abcdef"  # 16-byte AES-128 test key
+
+
+def aes_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``aes_encrypt`` / ``aes_decrypt`` roundtrip in ECB mode (the
+    deterministic mode — GCM salts a random IV per call, so only ECB
+    is reproducible enough to check) over customer names, plus the
+    ciphertext length as evidence real encryption happened.
+
+    The oracle is the PLAINTEXT projection: decrypt(encrypt(x)) = x is
+    the contract under test, and a broken key path / charset mangling
+    breaks the equality.  Column-level crypto is how PII columns ship
+    in shared lakehouse tables; the key would come from a KMS, not a
+    literal.  Map-side only.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    enc = F.expr(f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'),"
+        f" '{_AES_KEY}', 'ECB') AS STRING)"
+    )
+    return cust.select(
+        "c_custkey",
+        dec.alias("name_roundtrip"),
+        F.length(enc).cast("long").alias("cipher_len"),
+    )
+
+
+register(
+    "aes_roundtrip_q",
+    aes_roundtrip_q,
+    """
+    SELECT c_custkey, c_name AS name_roundtrip,
+           CAST((len(c_name) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+    FROM customer
+    """,
+)
