@@ -1585,3 +1585,143 @@ register(
     FROM customer
     """,
 )
+
+
+# ==========================================================================
+# inline_structs_q — the inline generator (struct-array to rows)
+# ==========================================================================
+
+
+def inline_structs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inline(array(named_struct(...)))`` — the struct-array
+    generator (each struct becomes a row with its fields as columns),
+    the typed sibling of ``stack`` (stack_inline_q): build a (bound,
+    price band) struct pair per part and inline it to rows.  One
+    generator projection, no shuffle; the oracle spells the same flip
+    as UNION ALL.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, t.bound, t.price
+        FROM part
+        LATERAL VIEW inline(array(
+          named_struct('bound', 'floor',
+                       'price', CAST(floor(p_retailprice) AS DOUBLE)),
+          named_struct('bound', 'ceil',
+                       'price', CAST(ceil(p_retailprice) AS DOUBLE))
+        )) t AS bound, price
+        WHERE p_partkey < 500
+        """
+    )
+
+
+register(
+    "inline_structs_q",
+    inline_structs_q,
+    """
+    SELECT p_partkey, 'floor' AS bound, CAST(floor(p_retailprice) AS DOUBLE)
+             AS price
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'ceil' AS bound, CAST(ceil(p_retailprice) AS DOUBLE)
+             AS price
+    FROM part WHERE p_partkey < 500
+    """,
+)
+
+
+# ==========================================================================
+# array_hof_q — higher-order array functions (exists / forall / filter /
+#               aggregate-with-finish)
+# ==========================================================================
+
+
+def array_hof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function family over token arrays:
+    ``exists`` (any long token), ``forall`` (all alphabetic),
+    ``filter`` (count of capitalized), and ``aggregate`` with a FINISH
+    lambda (mean token length computed inside the array — accumulator
+    + divisor in one expression).  All whole-stage-codegen lambdas,
+    zero shuffle.  DuckDB spells them list_filter/len arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    mean_len = F.aggregate(
+        t,
+        F.struct(F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("n")),
+        lambda acc, x: F.struct(
+            (acc["s"] + F.length(x)).alias("s"), (acc["n"] + 1).alias("n")
+        ),
+        lambda acc: F.round(acc["s"] / acc["n"], 6) + F.lit(0.0),
+    )
+    return docs.select(
+        "doc_id",
+        F.exists(t, lambda x: F.length(x) > 10).alias("has_long_tok"),
+        F.forall(t, lambda x: x.rlike("^[a-zA-Z]*$")).alias("all_alpha"),
+        F.size(F.filter(t, lambda x: x.rlike("^[A-Z]"))).cast("long").alias(
+            "n_capitalized"
+        ),
+        mean_len.alias("mean_tok_len"),
+    )
+
+
+register(
+    "array_hof_q",
+    array_hof_q,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, x -> len(x) > 10)) > 0 AS has_long_tok,
+           len(list_filter(toks, x -> NOT regexp_matches(x, '^[a-zA-Z]*$')))
+             = 0 AS all_alpha,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Z]')))
+                AS BIGINT) AS n_capitalized,
+           round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks), 6) + 0.0 AS mean_tok_len
+    FROM t
+    """,
+)
+
+
+# ==========================================================================
+# bit_shift_q — bitwise shift / single-bit functions
+# ==========================================================================
+
+def bit_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar operators (shifts, and/or/xor masks) — the
+    flag-word and key-packing toolkit (zorder_layout's interleave is
+    built from exactly these).  Spark 4 supports the ``<<``/``>>``
+    operator spellings (SPARK-44160).  Dialect note: Spark spells
+    xor ``^`` while DuckDB's ``^`` is EXPONENTIATION and its xor is
+    the ``xor()`` function — a silent-wrong-answer trap if queries
+    are ported verbatim, which is exactly why the key exists.
+    Map-side only.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(l_linenumber << 4 AS BIGINT) AS shifted_left,
+               CAST(l_orderkey >> 2 AS BIGINT) AS shifted_right,
+               CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+               CAST(l_orderkey | 4096 AS BIGINT) AS with_flag,
+               CAST(l_orderkey ^ 21845 AS BIGINT) AS xored
+        FROM lineitem WHERE l_orderkey < 500
+        """
+    )
+
+
+register(
+    "bit_shift_q",
+    bit_shift_q,
+    """
+    SELECT l_orderkey,
+           CAST(l_linenumber << 4 AS BIGINT) AS shifted_left,
+           CAST(l_orderkey >> 2 AS BIGINT) AS shifted_right,
+           CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(l_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(l_orderkey, 21845) AS BIGINT) AS xored
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)

@@ -374,3 +374,31 @@ def test_pretrain_e2e_single_pass_funnel(spark):
     plan = _plan(spark, "pipeline_pretrain_e2e")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 3
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 8
+
+
+def test_tpch_q8_all_broadcast_star(spark):
+    """Q8's 8-way star broadcasts every dimension (nation twice); the
+    only exchange is the year-cardinality aggregate."""
+    plan = _plan(spark, "sql_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q13_outer_join_preserved(spark):
+    """Q13's join-condition filter must keep the join LEFT OUTER —
+    a WHERE placement would plan an Inner join and silently drop
+    zero-order customers."""
+    plan = _plan(spark, "sql_tpch_q13")
+    assert "LeftOuter" in plan
+
+
+def test_tpch_q17_decorrelates_no_rescan_per_row(spark):
+    """Q17's correlated scalar average decorrelates to a per-part
+    aggregate join-back: exactly two lineitem scans (probe + average),
+    never a per-row subquery re-execution shape."""
+    import re
+
+    plan = _plan(spark, "sql_tpch_q17")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) <= 3  # lineitem x2 + part
+    assert "BroadcastNestedLoopJoin" not in plan
