@@ -1725,3 +1725,161 @@ register(
     FROM lineitem WHERE l_orderkey < 500
     """,
 )
+
+
+# ==========================================================================
+# date_arith_q — calendar arithmetic family
+# ==========================================================================
+
+
+def date_arith_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: interval addition, month addition with
+    end-of-month CLAMPING (2024-01-30 + 1 month = 2024-02-29 — the
+    leap-year clamp both engines implement), last_day, month
+    truncation, and day deltas from a fixed anchor.  Dialects differ
+    (Spark add_months/datediff vs DuckDB interval arithmetic /
+    date_diff), so the key carries per-engine texts for the SAME
+    calendar semantics — the parity itself is what is checked.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    d = F.to_date(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        d.alias("day"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.add_months(d, 1).alias("plus_1m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "MM").alias("month_start"),
+        F.datediff(F.lit("2024-03-01").cast("date"), d)
+        .cast("long")
+        .alias("days_to_march"),
+    )
+
+
+register(
+    "date_arith_q",
+    date_arith_q,
+    """
+    SELECT event_id,
+           CAST(ts AS DATE) AS day,
+           CAST(ts AS DATE) + 45 AS plus_45d,
+           CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-03-01')
+                AS BIGINT) AS days_to_march
+    FROM events WHERE event_id < 3000
+    """,
+)
+
+
+# ==========================================================================
+# width_bucket_q — equi-width bucketing function
+# ==========================================================================
+
+
+def width_bucket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``width_bucket(x, lo, hi, n)`` — the SQL-standard equi-width
+    bucketing function (buckets 1..n, 0 below, n+1 above): order
+    totals into 10 buckets over [0, 500k).  DuckDB lacks the builtin,
+    so the oracle implements the standard's floor formula explicitly —
+    pinning the off-by-one conventions (inclusive lower, exclusive
+    upper, overflow bucket n+1) that hand-rolled histograms get wrong.
+    One partial+final aggregate over bucket cardinality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.expr("width_bucket(o_totalprice, 0.0, 500000.0, 10)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+register(
+    "width_bucket_q",
+    width_bucket_q,
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 11
+                ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END
+             AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+# ==========================================================================
+# sql_variables_q — SQL session variables (Spark 4)
+# ==========================================================================
+
+
+def sql_variables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (``DECLARE VARIABLE`` / ``SET VAR``,
+    Spark 4): a price threshold and a priority literal are declared
+    once and referenced from the query text — the parameterization
+    mechanism for SQL-only deployments (dashboards, scheduled SQL)
+    where a Python-side bind (``sql_parameterized``) is unavailable.
+    The oracle constant-folds the same values into plain SQL, so the
+    checked claim is that variable indirection is semantically
+    invisible.
+    """
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE prio STRING DEFAULT ''")
+    spark.sql("SET VAR price_floor = 150000.0")
+    spark.sql("SET VAR prio = '1-URGENT'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_totalprice > price_floor AND o_orderpriority <> prio
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+register(
+    "sql_variables_q",
+    sql_variables_q,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ==========================================================================
+# str_edit_funcs_q — string editing function family
+# ==========================================================================
+
+_STR_EDIT_SQL = """
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '01234') AS translated,
+           repeat(substr(p_name, 1, 3), 2) AS repeated,
+           reverse(p_name) AS reversed,
+           left(p_name, 5) AS first5,
+           right(p_name, 5) AS last5,
+           replace(p_name, ' ', '_') AS snaked
+    FROM part WHERE p_partkey < 500
+"""
+
+
+def str_edit_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String editing family: translate (char-map), repeat, reverse,
+    left/right slices, replace — the normalization toolkit next to
+    the regexp family.  Identical ANSI text on both engines;
+    map-side only.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_STR_EDIT_SQL)
+
+
+register("str_edit_funcs_q", str_edit_funcs_q, _STR_EDIT_SQL)
