@@ -1883,3 +1883,100 @@ def str_edit_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("str_edit_funcs_q", str_edit_funcs_q, _STR_EDIT_SQL)
+
+
+# ==========================================================================
+# greatest_least_q — n-ary comparison functions
+# ==========================================================================
+
+_GREATEST_LEAST_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100, l_tax * 100) AS g3,
+           least(l_quantity, l_discount * 100, l_tax * 100) AS l3,
+           greatest(l_quantity, NULLIF(l_discount, l_discount) * 0) AS g_null
+    FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+def greatest_least_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-ary ``greatest``/``least`` including the NULL rule both
+    engines share (NULL arguments are SKIPPED, unlike CASE-based
+    max chains which propagate them) — g_null manufactures an
+    always-NULL argument to pin exactly that.  Identical ANSI text;
+    map-side.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_GREATEST_LEAST_SQL)
+
+
+register("greatest_least_q", greatest_least_q, _GREATEST_LEAST_SQL)
+
+
+# ==========================================================================
+# char_ascii_q — character/byte inspection functions
+# ==========================================================================
+
+_CHAR_ASCII_SQL = """
+    SELECT doc_id,
+           ascii(substr(text, 1, 1)) AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS cycled_char,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(text) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+def char_ascii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character/byte inspection: ``ascii`` (first code point),
+    ``chr`` (code point to char), and the char-vs-byte length pair —
+    ``octet_length`` diverges from ``length`` exactly on multi-byte
+    UTF-8, which is how a pipeline detects non-ASCII content without
+    decoding it.  Identical ANSI text; map-side.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_CHAR_ASCII_SQL)
+
+
+register("char_ascii_q", char_ascii_q, _CHAR_ASCII_SQL)
+
+
+# ==========================================================================
+# array_lookup_q — positional array access family
+# ==========================================================================
+
+
+def array_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional array access: ``element_at`` (1-based),
+    ``try_element_at`` (NULL instead of ANSI error on out-of-bounds —
+    the safe accessor this ANSI-mode repo must use for ragged
+    arrays), ``get`` (0-based, NULL on OOB), ``array_position`` and
+    ``array_contains`` over token arrays.  The oracle spells the same
+    lookups with DuckDB's 1-based list indexing and list_position.
+    Map-side only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(t, 1).alias("first_tok"),
+        F.try_element_at(t, F.lit(9999)).alias("oob_tok"),
+        F.get(t, 1).alias("second_tok_0based"),
+        F.array_position(t, "the").cast("long").alias("pos_the"),
+        F.array_contains(t, "the").alias("has_the"),
+    )
+
+
+register(
+    "array_lookup_q",
+    array_lookup_q,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           toks[1] AS first_tok,
+           toks[9999] AS oob_tok,
+           toks[2] AS second_tok_0based,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+           list_contains(toks, 'the') AS has_the
+    FROM t
+    """,
+)
