@@ -1925,19 +1925,32 @@ _CHAR_ASCII_SQL = """
     FROM documents
 """
 
+# DuckDB only binds octet_length for BLOB/BIT; its byte-length over a
+# VARCHAR is strlen().  Same semantics (UTF-8 byte count), per-engine text.
+_CHAR_ASCII_ORACLE = """
+    SELECT doc_id,
+           ascii(substr(text, 1, 1)) AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS cycled_char,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
 
 def char_ascii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character/byte inspection: ``ascii`` (first code point),
     ``chr`` (code point to char), and the char-vs-byte length pair —
     ``octet_length`` diverges from ``length`` exactly on multi-byte
     UTF-8, which is how a pipeline detects non-ASCII content without
-    decoding it.  Identical ANSI text; map-side.
+    decoding it.  Spark text uses octet_length; the oracle spells the
+    same byte count as DuckDB's strlen (octet_length only binds for
+    BLOB there).  Map-side.
     """
     register_views(spark, sf_dir)
     return spark.sql(_CHAR_ASCII_SQL)
 
 
-register("char_ascii_q", char_ascii_q, _CHAR_ASCII_SQL)
+register("char_ascii_q", char_ascii_q, _CHAR_ASCII_ORACLE)
 
 
 # ==========================================================================

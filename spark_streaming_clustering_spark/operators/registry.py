@@ -46,3 +46,4 @@ from . import analytics_surface  # noqa: E402,F401
 from . import spark4_surface  # noqa: E402,F401
 from . import lakehouse_surface  # noqa: E402,F401
 from . import breadth_surface  # noqa: E402,F401
+from . import tpch_ext  # noqa: E402,F401

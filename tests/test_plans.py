@@ -402,3 +402,31 @@ def test_tpch_q17_decorrelates_no_rescan_per_row(spark):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) <= 3  # lineitem x2 + part
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q2_min_subquery_decorrelates(spark):
+    """Q2's correlated scalar MIN decorrelates to a per-part aggregate
+    joined back on ps_partkey — never a per-row partsupp re-scan (the
+    plan must contain a HashAggregate computing min(ps_supplycost) and
+    no nested-loop join)."""
+    plan = _plan(spark, "sql_tpch_q2")
+    assert "min(ps_supplycost" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_anti_pair(spark):
+    """Q21's EXISTS / NOT EXISTS pair plans as LeftSemi + LeftAnti on
+    l_orderkey with the l_suppkey <> residual — the decorrelation no
+    other key exercises."""
+    plan = _plan(spark, "sql_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_shape(spark):
+    """Q22's NOT EXISTS plans as a LeftAnti on o_custkey, and the
+    uncorrelated average is a scalar subquery evaluated once."""
+    plan = _plan(spark, "sql_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan or "subquery" in plan
