@@ -210,8 +210,23 @@ def main() -> None:
         "topk_q",
         "shard_by_token_budget",
     }
+    # Keys whose round-over-round delta exceeded +-25% in TWO separate
+    # rounds with an unchanged plan (VERDICT r4 item 5): best-of-N still
+    # tracks the floor, but the floor itself jitters when every sample
+    # in a burst is steal-hit.  Median of 5 discards both tails instead.
+    median5 = {
+        "token_count",  # 0.216 -> 0.435 s across r3/r4 on a pure map-side plan
+    }
     times: dict[str, float] = {}
     for key in HEADLINE:
+        if key in median5:
+            samples = []
+            for _run in range(5):
+                t0 = time.monotonic()
+                _force(QUERIES[key](spark, SF_DIR))
+                samples.append(round(time.monotonic() - t0, 3))
+            times[key] = sorted(samples)[2]
+            continue
         best = float("inf")
         for _run in range(3):
             t0 = time.monotonic()
@@ -242,7 +257,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # THE baseline-defined metric (BASELINE.md: reference
+                # timeUpdates ~58 ms/batch on local[2]; contract budget
+                # is 2x = 116 ms) — carried with its budget so the
+                # round-over-round record is self-describing.
                 "gstream_ms_per_batch": round(gstream_ms, 1),
+                "gstream_ms_per_batch_budget": 116.0,
                 "estep_points_per_sec": int(estep_pps),
             }
         )

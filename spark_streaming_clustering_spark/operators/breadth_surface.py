@@ -1101,8 +1101,17 @@ def range_partition_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh mkdtemp per invocation would leak one full parquet copy of
     # orders per selfcheck/bench run (the temp-leak pattern already
     # fixed once for sql_ddl_roundtrip; review finding).
+    from ..sources.tables import source_fingerprint
+
+    # Key = (session, sf_dir, source fingerprint): app id isolates
+    # concurrent sessions, the orders.parquet size+mtime invalidates a
+    # stale layout if the fixture is regenerated (review finding, r4).
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    out = os.path.join(_tempfile.gettempdir(), f"orders_by_price_{tag}")
+    fp = source_fingerprint(sf_dir, "orders")
+    out = os.path.join(
+        _tempfile.gettempdir(),
+        f"orders_by_price_{spark.sparkContext.applicationId}_{tag}_{fp}",
+    )
     # Layout content is deterministic per sf, so write once per
     # session/host and read back thereafter (the events_by_day_layout
     # pattern) — plan-shape tests build every key and would otherwise

@@ -1781,8 +1781,13 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = text_quality_score(spark, sf_dir).select("doc_id", "n_tok", "quality")
     per_doc = (
+        # LEFT join on quality: a document with empty/whitespace-only
+        # text produces no tokenizer row — it must still count in
+        # n_raw/n_exact/n_near (the oracle's raw/exact/near CTEs count
+        # all documents) and simply fail the quality gate (NULL
+        # quality -> final predicate NULL -> count_if skips it).
         flagged.join(near, "doc_id", "left")
-        .join(q, "doc_id")
+        .join(q, "doc_id", "left")
         .select(
             "lang",
             "is_keeper",

@@ -175,9 +175,20 @@ def events_by_day_layout(spark: SparkSession, sf_dir: str) -> str:
     date-partitioned events layout shared by partitioned_write_prune
     and dynamic_partition_pruning — single owner of the path scheme
     and the _SUCCESS freshness check, so the two keys cannot drift
-    onto different layouts (review finding)."""
+    onto different layouts (review finding).
+
+    Cache key = (session, sf_dir, source fingerprint): the app id keeps
+    concurrent sessions off each other's directories, and the
+    events.parquet size+mtime fingerprint invalidates the layout if the
+    fixture is regenerated in place (review finding, round 4)."""
+    from ..sources.tables import source_fingerprint
+
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"events_by_day_{tag}")
+    fp = source_fingerprint(sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"events_by_day_{spark.sparkContext.applicationId}_{tag}_{fp}",
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")

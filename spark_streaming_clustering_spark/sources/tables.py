@@ -62,6 +62,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def source_fingerprint(sf_dir: str, name: str) -> str:
+    """Size+mtime tag of a source parquet file, for keying derived
+    on-disk layouts.  A cached layout keyed only on the sf_dir STRING
+    silently reuses stale data if the fixture at that path is ever
+    regenerated; folding the source fingerprint into the cache path
+    invalidates it instead (review finding, round 4)."""
+    st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+    return f"{st.st_size}_{st.st_mtime_ns}"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql() queries."""
     for name in TABLES:

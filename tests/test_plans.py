@@ -7,12 +7,10 @@ pin the plan features that matter."""
 
 from __future__ import annotations
 
-import io
-import contextlib
-
 import pytest
 
 from spark_streaming_clustering_spark.operators.registry import QUERIES
+from spark_streaming_clustering_spark.plans import formatted_plan
 from tests.conftest import SF_ORACLE
 
 # keys whose builders execute work eagerly (streaming queries, trainers,
@@ -34,11 +32,7 @@ EAGER = {
 
 
 def _plan(spark, key: str) -> str:
-    df = QUERIES[key](spark, SF_ORACLE)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(QUERIES[key](spark, SF_ORACLE))
 
 
 def test_no_cartesian_product_anywhere(spark):
@@ -430,3 +424,16 @@ def test_tpch_q22_anti_join_shape(spark):
     plan = _plan(spark, "sql_tpch_q22")
     assert "LeftAnti" in plan
     assert "Subquery" in plan or "subquery" in plan
+
+
+def test_plans_helpers_read_real_plan(spark):
+    """The plans package helpers parse a live formatted plan: the
+    flagship query pushes its date filter to the scan and broadcasts
+    dimensions."""
+    from spark_streaming_clustering_spark import plans
+
+    p = _plan(spark, "flagship_revenue")
+    assert plans.count_scans(p) >= 2
+    assert plans.has_broadcast_join(p)
+    assert not plans.has_cartesian(p)
+    assert any("l_shipdate" in f or "IsNotNull" in f for f in plans.pushed_filters(p))
