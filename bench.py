@@ -85,6 +85,11 @@ HEADLINE = [
     # round-4 SQL-breadth batch: star top-k, bitmap distinct, vocab
     # pipeline, first-sighting window, decimal-quantized weighted sum
     "sql_tpch_q10",
+    # round-5 batch: partsupp star with composite key, semi/anti
+    # decorrelation pair, executed copy-on-write merge
+    "sql_tpch_q9",
+    "sql_tpch_q21",
+    "merge_into_upsert",
     "bitmap_funcs_q",
     "bpe_pair_counts",
     "running_distinct_users",

@@ -26,6 +26,8 @@ SURVEY.md section 2 scale-extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -314,5 +316,165 @@ register(
            a.n AS n_v1, b.n AS n_v2,
            a.total AS total_v1, b.total AS total_v2
     FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+
+
+# ==========================================================================
+# merge_into_upsert (round 5) — an EXECUTED merge over a writable table
+# ==========================================================================
+
+_MERGE_BUCKETS = 8
+
+
+def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, executed: a change feed is applied to a REAL
+    on-disk parquet table with all three clause kinds, and the checked
+    result is the post-merge table state READ BACK FROM DISK — the
+    lakehouse verb ``cdc_apply`` computes but does not execute
+    (VERDICT r4 item 8).
+
+    Target: ``customer`` materialized as a bucket-partitioned parquet
+    table (bkt = c_custkey % 8), balances held as integer CENTS so the
+    update arithmetic is exact on both engines.  Source: per-customer
+    H2-2001 order revenue for custkeys in buckets {1, 3}, plus
+    synthetic never-seen keys (k + 1_000_000 for k % 40 = 1 — the
+    +1M shift is ≡ 0 mod 8, so inserts stay inside the affected
+    buckets).  Clauses:
+
+    - WHEN MATCHED AND n_orders >= 2 THEN DELETE   (churn-out)
+    - WHEN MATCHED THEN UPDATE bal += rev_cents div 1000
+    - WHEN NOT MATCHED THEN INSERT (k, rev_cents div 1000, 'NEW')
+
+    Execution is partition-level COPY-ON-WRITE, the Iceberg/Delta
+    strategy: the affected-bucket set is computed from the source
+    (bounded by the bucket count — a metadata collect), ONLY those
+    buckets are rewritten into a v2 directory, and the final table is
+    {v1 untouched partitions} ∪ {v2 rewritten partitions} — exactly a
+    manifest swap.  At 100 TB with time-correlated keys the untouched
+    set dominates and the merge cost is proportional to touched data,
+    not table size.  The full-outer join inside the rewrite is
+    key-partitioned; nothing driver-side but the ≤8-row bucket list.
+    """
+    import tempfile as _tempfile
+
+    from ..sources.tables import source_fingerprint
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    fp = source_fingerprint(sf_dir, "customer")
+    base = os.path.join(
+        _tempfile.gettempdir(),
+        f"merge_tbl_{spark.sparkContext.applicationId}_{tag}_{fp}",
+    )
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+
+    tgt0 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        "c_mktsegment",
+        (F.col("c_custkey") % _MERGE_BUCKETS).alias("bkt"),
+    )
+    # v1 snapshot: written once per (session, sf, fixture-fingerprint)
+    if not os.path.exists(os.path.join(v1, "_SUCCESS")):
+        tgt0.write.mode("overwrite").partitionBy("bkt").parquet(v1)
+
+    src_base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "2001-06-01")
+            & ((F.col("o_custkey") % 8).isin(1, 3))
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    src = src_base.unionByName(
+        src_base.filter(F.col("k") % 40 == 1).withColumn(
+            "k", F.col("k") + 1_000_000
+        )
+    ).withColumn("bkt", F.col("k") % _MERGE_BUCKETS)
+
+    # affected-partition set: bounded by the bucket count (metadata)
+    affected = sorted(
+        r.bkt for r in src.select("bkt").distinct().collect()
+    )
+
+    tgt_aff = spark.read.parquet(v1).filter(F.col("bkt").isin(affected))
+    j = tgt_aff.alias("t").join(
+        src.alias("s"), F.col("t.c_custkey") == F.col("s.k"), "full_outer"
+    )
+    matched = F.col("t.c_custkey").isNotNull() & F.col("s.k").isNotNull()
+    merged = (
+        j.filter(~(matched & (F.col("s.n_orders") >= 2)))  # DELETE clause
+        .select(
+            F.coalesce(F.col("t.c_custkey"), F.col("s.k")).alias("c_custkey"),
+            F.when(
+                matched,
+                F.col("t.acctbal_cents")
+                + F.expr("s.rev_cents div 1000"),  # UPDATE clause
+            )
+            .when(
+                F.col("t.c_custkey").isNull(),
+                F.expr("s.rev_cents div 1000"),  # INSERT clause
+            )
+            .otherwise(F.col("t.acctbal_cents"))
+            .alias("acctbal_cents"),
+            F.coalesce(F.col("t.c_mktsegment"), F.lit("NEW")).alias(
+                "c_mktsegment"
+            ),
+            F.coalesce(F.col("t.bkt"), F.col("s.bkt")).alias("bkt"),
+        )
+    )
+    # v2: only the rewritten buckets, fresh each call (deterministic)
+    merged.write.mode("overwrite").partitionBy("bkt").parquet(v2)
+
+    # manifest union: untouched v1 files + rewritten v2 files
+    final = spark.read.parquet(v1).filter(
+        ~F.col("bkt").isin(affected)
+    ).unionByName(spark.read.parquet(v2))
+    return final.select("c_custkey", "acctbal_cents", "c_mktsegment")
+
+
+register(
+    "merge_into_upsert",
+    merge_into_upsert,
+    """
+    WITH src AS (
+      SELECT o_custkey AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+        AND o_custkey % 8 IN (1, 3)
+      GROUP BY 1),
+    srcall AS (
+      SELECT k, n_orders, rev_cents FROM src
+      UNION ALL
+      SELECT k + 1000000, n_orders, rev_cents FROM src WHERE k % 40 = 1),
+    tgt AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             c_mktsegment
+      FROM customer)
+    SELECT t.c_custkey, t.acctbal_cents, t.c_mktsegment
+    FROM tgt t LEFT JOIN srcall s ON t.c_custkey = s.k
+    WHERE s.k IS NULL
+    UNION ALL
+    SELECT t.c_custkey,
+           t.acctbal_cents + s.rev_cents // 1000 AS acctbal_cents,
+           t.c_mktsegment
+    FROM tgt t JOIN srcall s ON t.c_custkey = s.k
+    WHERE s.n_orders < 2
+    UNION ALL
+    SELECT s.k AS c_custkey,
+           s.rev_cents // 1000 AS acctbal_cents,
+           'NEW' AS c_mktsegment
+    FROM srcall s LEFT JOIN tgt t ON t.c_custkey = s.k
+    WHERE t.c_custkey IS NULL
     """,
 )

@@ -13,7 +13,7 @@ import math
 
 import pytest
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 np = pytest.importorskip("numpy")
 
@@ -205,3 +205,53 @@ def test_snapshot_diff_census(spark):
         elif r.status == "unchanged":
             assert (r.n_v1, r.total_v1) == (r.n_v2, r.total_v2)
     assert "changed" in statuses or "added" in statuses
+
+
+def test_merge_into_upsert_copy_on_write(spark):
+    """The merge must be partition-level copy-on-write: v2 holds ONLY
+    the affected buckets {1, 3}, v1 keeps all 8; and all three clause
+    kinds are visible in the read-back state."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.operators.lakehouse_surface import (
+        merge_into_upsert,
+    )
+    from spark_streaming_clustering_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
+
+    final = merge_into_upsert(spark, SF_ORACLE)
+
+    tag = "".join(c if c.isalnum() else "_" for c in SF_ORACLE.strip("/"))
+    fp = source_fingerprint(SF_ORACLE, "customer")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"merge_tbl_{spark.sparkContext.applicationId}_{tag}_{fp}",
+    )
+    v1_bkts = {d for d in os.listdir(os.path.join(base, "v1")) if d.startswith("bkt=")}
+    v2_bkts = {d for d in os.listdir(os.path.join(base, "v2")) if d.startswith("bkt=")}
+    assert v1_bkts == {f"bkt={i}" for i in range(8)}
+    assert v2_bkts == {"bkt=1", "bkt=3"}  # copy-on-write: only touched buckets
+
+    rows = final.collect()
+    keys = {r.c_custkey for r in rows}
+    base_keys = {
+        r.c_custkey
+        for r in load_table(spark, SF_ORACLE, "customer").select("c_custkey").collect()
+    }
+    inserted = keys - base_keys
+    deleted = base_keys - keys
+    assert inserted and all(k >= 1_000_000 for k in inserted)  # INSERT clause ran
+    assert deleted and all(k % 8 in (1, 3) for k in deleted)  # DELETE clause ran
+    # UPDATE clause ran: some surviving matched row has a shifted balance
+    orig = {
+        r.c_custkey: int(round(r.c_acctbal * 100))
+        for r in load_table(spark, SF_ORACLE, "customer").collect()
+    }
+    updated = [r for r in rows if r.c_custkey in orig and r.acctbal_cents != orig[r.c_custkey]]
+    assert updated
+    assert all(r.c_mktsegment == "NEW" for r in rows if r.c_custkey in inserted)
