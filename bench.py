@@ -90,6 +90,9 @@ HEADLINE = [
     "sql_tpch_q9",
     "sql_tpch_q21",
     "merge_into_upsert",
+    "embed_pq_codes",
+    "graph_jaccard_neighbors",
+    "quality_gopher_rules",
     "bitmap_funcs_q",
     "bpe_pair_counts",
     "running_distinct_users",

@@ -1,0 +1,287 @@
+"""Corpus-construction operators (round 5 additions).
+
+Three first-class training-data-pipeline operators extending the
+round 2-4 families, each oracle-checked:
+
+- ``quality_gopher_rules``  — the published Gopher-style quality rule
+                              census as exact integer predicates.
+- ``corpus_mixture_sample`` — deterministic hash-rate sampling to a
+                              target source mixture (the data-recipe
+                              step of every pretraining run).
+- ``embed_pq_codes``        — product-quantization code assignment, the
+                              memory path that makes billion-vector ANN
+                              fit in RAM.
+
+Cross-engine determinism follows the house rules (pipeline_surface.py):
+hashing is md5-hex-prefix -> BIGINT, ratio thresholds are cross-
+multiplied into INTEGER comparisons wherever possible, float reductions
+share the exact same operation order on both engines.
+
+Reference parity note: the reference (G-Stream) has no corpus surface;
+these extend SURVEY.md section 2's "LLM-pipeline extensions" family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .pipeline_surface import _DK_HASH, _hash28, _tokens
+from .registry import register
+
+# ==========================================================================
+# quality_gopher_rules
+# ==========================================================================
+
+# Rule constants (Gopher-style bounds, adapted to the fixture corpus's
+# token-soup scale).  All thresholds are cross-multiplied to integer
+# comparisons so no float ratio ever reaches a boundary.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 300
+GOPHER_MIN_MEANLEN = 2  # mean word length bounds: 2 <= sum_len/n <= 10
+GOPHER_MAX_MEANLEN = 10
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords required
+GOPHER_MAX_WORDLEN = 20  # longest token
+GOPHER_TOP_SHARE_DEN = 5  # top-token share <= 1/5 of tokens
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule census (Rae et al. 2021, 'Scaling
+    Language Models' appendix A: word-count bounds, mean-word-length
+    bounds, stopword requirement, max-word-length and repetition
+    caps), evaluated per document as EXACT integer predicates:
+    every ratio threshold is cross-multiplied (mean length in [2,10]
+    becomes ``2*n <= sum_len AND sum_len <= 10*n``; top-token share
+    <= 1/5 becomes ``5*max_cnt <= n``), so the booleans are
+    bit-identical on any engine.
+
+    One token explode -> one (doc_id, tok) count -> one doc_id
+    aggregate: two key-partitioned exchanges, everything else
+    map-side.  At 100 TB the rule census is the cheap gate that runs
+    BEFORE expensive dedup/scoring; emitting per-rule booleans (not
+    just the conjunction) is what makes the filter auditable.
+    """
+    from .pipeline_surface import STOPWORDS
+
+    tok = _tokens(spark, sf_dir)
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tok"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("sum_len"),
+        F.max(F.length("tok")).alias("max_len"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)
+        ).alias("n_stop_kinds"),
+    )
+    r_words = (F.col("n_tok") >= GOPHER_MIN_WORDS) & (
+        F.col("n_tok") <= GOPHER_MAX_WORDS
+    )
+    r_meanlen = (
+        F.col("sum_len") >= GOPHER_MIN_MEANLEN * F.col("n_tok")
+    ) & (F.col("sum_len") <= GOPHER_MAX_MEANLEN * F.col("n_tok"))
+    r_stop = F.col("n_stop_kinds") >= GOPHER_MIN_STOPWORDS
+    r_maxword = F.col("max_len") <= GOPHER_MAX_WORDLEN
+    r_repeat = GOPHER_TOP_SHARE_DEN * F.col("max_cnt") <= F.col("n_tok")
+    return stats.select(
+        "doc_id",
+        r_words.alias("r_words"),
+        r_meanlen.alias("r_meanlen"),
+        r_stop.alias("r_stop"),
+        r_maxword.alias("r_maxword"),
+        r_repeat.alias("r_repeat"),
+        (r_words & r_meanlen & r_stop & r_maxword & r_repeat).alias("passes"),
+    )
+
+
+def _gopher_oracle() -> str:
+    from .pipeline_surface import _SW
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok),
+    stats AS (
+      SELECT doc_id,
+             SUM(cnt) AS n_tok,
+             SUM(length(tok) * cnt) AS sum_len,
+             MAX(length(tok)) AS max_len,
+             MAX(cnt) AS max_cnt,
+             SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop_kinds
+      FROM per_tok GROUP BY doc_id)
+    SELECT doc_id,
+           (n_tok >= {GOPHER_MIN_WORDS} AND n_tok <= {GOPHER_MAX_WORDS})
+             AS r_words,
+           (sum_len >= {GOPHER_MIN_MEANLEN} * n_tok
+            AND sum_len <= {GOPHER_MAX_MEANLEN} * n_tok) AS r_meanlen,
+           (n_stop_kinds >= {GOPHER_MIN_STOPWORDS}) AS r_stop,
+           (max_len <= {GOPHER_MAX_WORDLEN}) AS r_maxword,
+           ({GOPHER_TOP_SHARE_DEN} * max_cnt <= n_tok) AS r_repeat,
+           ((n_tok >= {GOPHER_MIN_WORDS} AND n_tok <= {GOPHER_MAX_WORDS})
+            AND (sum_len >= {GOPHER_MIN_MEANLEN} * n_tok
+                 AND sum_len <= {GOPHER_MAX_MEANLEN} * n_tok)
+            AND n_stop_kinds >= {GOPHER_MIN_STOPWORDS}
+            AND max_len <= {GOPHER_MAX_WORDLEN}
+            AND {GOPHER_TOP_SHARE_DEN} * max_cnt <= n_tok) AS passes
+    FROM stats
+    """
+
+
+register("quality_gopher_rules", quality_gopher_rules, _gopher_oracle())
+
+
+# ==========================================================================
+# corpus_mixture_sample
+# ==========================================================================
+
+# Target per-source keep rates in integer percent (the data recipe).
+# Unlisted sources fall to the default rate.
+MIXTURE_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+MIXTURE_DEFAULT_RATE = 5
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture sampling: each source gets a target
+    keep-rate (the pretraining data recipe — e.g. wiki at 100%, web at
+    5%), and a document is kept iff its md5-prefix hash lands under the
+    rate.  Pure function of (doc_id): stable across runs, engines,
+    repartitions and corpus growth — a doc never flips in or out when
+    other data arrives, which is what makes mixtures reproducible and
+    ablations comparable.  Zero shuffle for the assignment; one
+    source-cardinality aggregate for the recipe audit (n_docs, n_kept
+    per source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIXTURE_DEFAULT_RATE)
+    for src, pct in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("source") == src, pct).otherwise(rate)
+    h = _hash28(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    kept = h < rate
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
+def _mixture_oracle() -> str:
+    whens = "\n                  ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in sorted(MIXTURE_RATES.items())
+    )
+    h = _DK_HASH.format(c="concat('mix:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN {h} % 100 <
+                    CASE {whens} ELSE {MIXTURE_DEFAULT_RATE} END
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept
+    FROM s GROUP BY source
+    """
+
+
+register("corpus_mixture_sample", corpus_mixture_sample, _mixture_oracle())
+
+
+# ==========================================================================
+# embed_pq_codes — product quantization
+# ==========================================================================
+
+PQ_SUBSPACES = 8  # 64-dim vectors -> 8 subvectors of 8 dims
+PQ_SUBDIM = 8
+PQ_CODEBOOK_K = 4  # centroids per subspace = subvectors of vec_id 0..3
+
+
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split each 64-dim
+    embedding into 8 subvectors of 8 dims and store, per subspace, the
+    index of the nearest codebook centroid — 8 small ints instead of
+    64 floats, the ~30x compression that lets billion-vector ANN
+    indexes live in RAM with distances computed from lookup tables.
+
+    Codebook here = the subvectors of reference vectors 0..3 (a
+    deterministic stand-in for the k-means codebook a production
+    pipeline trains offline); assignment is exact nearest-centroid by
+    squared L2, ties broken toward the lower centroid id on BOTH
+    engines (row_number ordered by (distance, id)).  Distances are
+    summed in fixed index order with identical IEEE double ops, so the
+    argmin is engine-independent.
+
+    Plan: the 4-row codebook and 8-row subspace index broadcast onto
+    the embedding scan (data x 32 expansion, all map-side), then one
+    vec_id-keyed pivot aggregate.  At 100 TB: broadcast-join + single
+    exchange — the same shape as ann_ivf's probe step.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    refs = (
+        emb.filter(F.col("vec_id") < PQ_CODEBOOK_K)
+        .select(F.col("vec_id").cast("int").alias("c"), F.col("v").alias("rv"))
+    )
+    subs = spark.range(PQ_SUBSPACES).select(F.col("id").cast("int").alias("j"))
+    # squared L2 over the j-th 8-dim slice, accumulated in index order
+    d_expr = F.expr(
+        f"""aggregate(sequence(0, {PQ_SUBDIM - 1}),
+                      CAST(0.0 AS DOUBLE),
+                      (acc, d) -> acc + (element_at(v, {PQ_SUBDIM}*j + d + 1)
+                                         - element_at(rv, {PQ_SUBDIM}*j + d + 1))
+                                      * (element_at(v, {PQ_SUBDIM}*j + d + 1)
+                                         - element_at(rv, {PQ_SUBDIM}*j + d + 1)))"""
+    )
+    from pyspark.sql.window import Window
+
+    dists = (
+        emb.crossJoin(F.broadcast(subs))
+        .crossJoin(F.broadcast(refs))
+        .select("vec_id", "j", "c", d_expr.alias("d"))
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy("d", "c")
+    best = dists.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    code_cols = [
+        F.max(F.when(F.col("j") == j, F.col("c"))).alias(f"code{j}")
+        for j in range(PQ_SUBSPACES)
+    ]
+    return best.groupBy("vec_id").agg(*code_cols)
+
+
+def _pq_oracle() -> str:
+    codes = ",\n           ".join(
+        f"MAX(CASE WHEN j = {j} THEN c END) AS code{j}"
+        for j in range(PQ_SUBSPACES)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    refs AS (
+      SELECT CAST(vec_id AS INT) AS c, v AS rv FROM emb
+      WHERE vec_id < {PQ_CODEBOOK_K}),
+    subs AS (SELECT unnest(range({PQ_SUBSPACES})) AS j),
+    dists AS (
+      SELECT e.vec_id, CAST(s.j AS INT) AS j, r.c,
+             list_sum(list_transform(
+               generate_series(0, {PQ_SUBDIM - 1}),
+               d -> (e.v[{PQ_SUBDIM}*s.j + d + 1] - r.rv[{PQ_SUBDIM}*s.j + d + 1])
+                  * (e.v[{PQ_SUBDIM}*s.j + d + 1] - r.rv[{PQ_SUBDIM}*s.j + d + 1])
+             )) AS d
+      FROM emb e CROSS JOIN subs s CROSS JOIN refs r),
+    best AS (
+      SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+      FROM dists)
+    SELECT vec_id,
+           {codes}
+    FROM best WHERE rk = 1 GROUP BY vec_id
+    """
+
+
+register("embed_pq_codes", embed_pq_codes, _pq_oracle())

@@ -47,3 +47,4 @@ from . import spark4_surface  # noqa: E402,F401
 from . import lakehouse_surface  # noqa: E402,F401
 from . import breadth_surface  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
+from . import corpus_surface  # noqa: E402,F401

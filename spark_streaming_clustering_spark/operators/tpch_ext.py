@@ -150,8 +150,13 @@ def register_ext_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _oracle(body: str, *ctes: str) -> str:
-    """Prefix the query body with the DuckDB-dialect derived CTEs it uses."""
+    """Prefix the query body with the DuckDB-dialect derived CTEs it
+    uses; a body carrying its own WITH clause has the derived CTEs
+    spliced onto the front of its list."""
     with_list = ", ".join(f"{n} AS ({_DUCK_DERIVED[n]})" for n in ctes)
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH "):
+        return f"WITH {with_list}, {stripped[5:]}"
     return f"WITH {with_list} {body}"
 
 
@@ -511,4 +516,47 @@ sql_tpch_q22 = _make(
     decimal-exact SUM / COUNT so both engines derive the identical
     double threshold regardless of accumulation order; the NOT EXISTS
     is a LeftAnti on o_custkey.""",
+)
+
+
+# --------------------------------------------------------------------------
+# graph_jaccard_neighbors — neighbor-set similarity (link prediction)
+# --------------------------------------------------------------------------
+
+_JACCARD_NEIGHBORS = """
+    WITH deg AS (
+      SELECT ps_suppkey AS s, COUNT(DISTINCT ps_partkey) AS n
+      FROM partsupp GROUP BY ps_suppkey),
+    pairs AS (
+      SELECT a.ps_suppkey AS s_a, b.ps_suppkey AS s_b,
+             COUNT(DISTINCT a.ps_partkey) AS n_inter
+      FROM partsupp a
+      JOIN partsupp b ON a.ps_partkey = b.ps_partkey
+                     AND a.ps_suppkey < b.ps_suppkey
+      GROUP BY a.ps_suppkey, b.ps_suppkey)
+    SELECT s_a, s_b, n_inter, da.n AS n_a, db.n AS n_b,
+           CAST(floor((1000.0 * n_inter) / (da.n + db.n - n_inter))
+                AS BIGINT) AS jaccard_milli
+    FROM pairs
+    JOIN deg da ON da.s = s_a
+    JOIN deg db ON db.s = s_b
+    WHERE n_inter >= 3
+    ORDER BY jaccard_milli DESC, s_a, s_b
+"""
+
+graph_jaccard_neighbors = _make(
+    "graph_jaccard_neighbors",
+    _JACCARD_NEIGHBORS,
+    ("partsupp",),
+    """Neighbor-set Jaccard similarity over the supplier-part
+    bipartite graph — the link-prediction / entity-similarity
+    primitive (suppliers are 'similar' when their part catalogs
+    overlap).  Candidate pairs come ONLY from the shared-neighbor
+    self-join on ps_partkey, which the fixture bounds at 4 suppliers
+    per part (4x4 pairs per part) — the same bounded-candidates
+    discipline as the dedup family: no all-pairs expansion, ever.
+    The n_inter >= 3 floor prunes noise pairs before the degree join;
+    jaccard_milli = floor(1000*|A∩B| / |A∪B|) stays integer-exact.
+    At 100 TB: two partkey/pair-keyed aggregates + two supplier-sized
+    broadcast joins.""",
 )
