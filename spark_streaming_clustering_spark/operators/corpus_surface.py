@@ -285,3 +285,83 @@ def _pq_oracle() -> str:
 
 
 register("embed_pq_codes", embed_pq_codes, _pq_oracle())
+
+
+# ==========================================================================
+# sql_udf_q — Spark 4 SQL-defined functions
+# ==========================================================================
+
+
+def sql_udf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr):
+    a scalar function, a COMPOSED scalar function calling it, and a
+    table-valued SQL function — all resolved and inlined by Catalyst
+    at plan time, so the abstraction must be semantically invisible
+    and cost-free (no Python boundary, full codegen).  The oracle is
+    the same query with every UDF body inlined by hand (the
+    sql_variables_q pattern): equality proves the inlining.
+
+    The TVF drives a lateral repeat: each doc row joins
+    ``seqn(n_chars div 100)`` — a correlated table-function argument,
+    the shape DuckDB spells with an unnested range.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION clip01(x DOUBLE)
+           RETURNS DOUBLE
+           RETURN CASE WHEN x < 0 THEN CAST(0 AS DOUBLE)
+                       WHEN x > 1 THEN CAST(1 AS DOUBLE) ELSE x END"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION len_score(n BIGINT)
+           RETURNS DOUBLE
+           RETURN clip01(CAST(n AS DOUBLE) / 400.0)"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION seqn(n INT)
+           RETURNS TABLE (i INT)
+           RETURN SELECT explode(sequence(1, n)) AS i"""
+    )
+    # Outer round() sits ABOVE the aggregate subquery: inside the
+    # aggregate projection the analyzer folds the literal scale into a
+    # grouped alias and rejects it as non-foldable (Spark 4.1 analyzer
+    # quirk with SQLFunctionNode in aggregates).  greatest(..., 1)
+    # guards the Spark sequence(1, 0)-descends trap for short docs.
+    return spark.sql(
+        """
+        SELECT doc_id, round(len_score(n_chars), 6) AS len_score,
+               n_repeats, sum_i
+        FROM (
+          SELECT d.doc_id, d.n_chars,
+                 CAST(COUNT(s.i) AS BIGINT) AS n_repeats,
+                 CAST(SUM(s.i) AS BIGINT) AS sum_i
+          FROM documents d
+          JOIN LATERAL seqn(greatest(CAST(d.n_chars div 100 AS INT), 1)) s
+          GROUP BY d.doc_id, d.n_chars
+        )
+        """
+    )
+
+
+register(
+    "sql_udf_q",
+    sql_udf_q,
+    """
+    SELECT d.doc_id,
+           round(CASE WHEN CAST(d.n_chars AS DOUBLE) / 400.0 < 0
+                        THEN CAST(0 AS DOUBLE)
+                      WHEN CAST(d.n_chars AS DOUBLE) / 400.0 > 1
+                        THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(d.n_chars AS DOUBLE) / 400.0 END, 6)
+             AS len_score,
+           CAST(COUNT(s.i) AS BIGINT) AS n_repeats,
+           CAST(SUM(s.i) AS BIGINT) AS sum_i
+    FROM documents d
+    JOIN (SELECT doc_id,
+                 unnest(range(1, greatest(n_chars // 100, 1) + 1)) AS i
+          FROM documents) s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n_chars
+    """,
+)
