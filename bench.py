@@ -224,6 +224,12 @@ def main() -> None:
     # in a burst is steal-hit.  Median of 5 discards both tails instead.
     median5 = {
         "token_count",  # 0.216 -> 0.435 s across r3/r4 on a pure map-side plan
+        # r5 calibration: two back-to-back identical-code runs flipped
+        # these >25% in OPPOSITE directions (host steal at fixed bench
+        # positions, plans unchanged) — medians, not minima, for them
+        "flagship_revenue",
+        "groupby_agg_sums",
+        "join_bucketed",
     }
     times: dict[str, float] = {}
     for key in HEADLINE:

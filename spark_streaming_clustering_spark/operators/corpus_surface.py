@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .pipeline_surface import _DK_HASH, _hash28, _tokens
+from ._idioms import _DK_HASH, _SW, STOPWORDS, _hash28, _tokens
 from .registry import register
 
 # ==========================================================================
@@ -62,8 +62,6 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE expensive dedup/scoring; emitting per-rule booleans (not
     just the conjunction) is what makes the filter auditable.
     """
-    from .pipeline_surface import STOPWORDS
-
     tok = _tokens(spark, sf_dir)
     per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     stats = per_tok.groupBy("doc_id").agg(
@@ -96,8 +94,6 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_oracle() -> str:
-    from .pipeline_surface import _SW
-
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -253,20 +249,21 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("vec_id").agg(*code_cols)
 
 
-def _pq_oracle() -> str:
-    codes = ",\n           ".join(
+def _pq_codes_ctes() -> str:
+    """The DuckDB CTE chain computing (vec_id, code0..code7) — shared
+    between the embed_pq_codes oracle and the ann_pq_search oracle."""
+    codes = ",\n             ".join(
         f"MAX(CASE WHEN j = {j} THEN c END) AS code{j}"
         for j in range(PQ_SUBSPACES)
     )
-    return f"""
-    WITH emb AS (
+    return f"""emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
     refs AS (
       SELECT CAST(vec_id AS INT) AS c, v AS rv FROM emb
       WHERE vec_id < {PQ_CODEBOOK_K}),
     subs AS (SELECT unnest(range({PQ_SUBSPACES})) AS j),
-    dists AS (
+    pqdists AS (
       SELECT e.vec_id, CAST(s.j AS INT) AS j, r.c,
              list_sum(list_transform(
                generate_series(0, {PQ_SUBDIM - 1}),
@@ -277,11 +274,15 @@ def _pq_oracle() -> str:
     best AS (
       SELECT vec_id, j, c,
              row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
-      FROM dists)
-    SELECT vec_id,
-           {codes}
-    FROM best WHERE rk = 1 GROUP BY vec_id
-    """
+      FROM pqdists),
+    codes AS (
+      SELECT vec_id,
+             {codes}
+      FROM best WHERE rk = 1 GROUP BY vec_id)"""
+
+
+def _pq_oracle() -> str:
+    return f"WITH {_pq_codes_ctes()} SELECT * FROM codes"
 
 
 register("embed_pq_codes", embed_pq_codes, _pq_oracle())
@@ -365,3 +366,116 @@ register(
     GROUP BY d.doc_id, d.n_chars
     """,
 )
+
+
+# ==========================================================================
+# ann_pq_search — asymmetric-distance search over PQ codes
+# ==========================================================================
+
+PQ_QUERY_IDS = (100, 101, 102, 103)
+PQ_TOPK = 5
+
+
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over the PQ-compressed index (asymmetric distance
+    computation): the corpus exists ONLY as 8 codebook indices per
+    vector — the query's exact subvectors are compared against the
+    centroids those codes name, never against the original corpus
+    floats.  This is the memory-bound regime of billion-scale ANN:
+    RAM holds 8 bytes/vector, the scan is a table lookup per
+    subspace, and recall is bounded by quantization error (measured
+    against ann_bruteforce_topk in tests).
+
+    Determinism: the 8 per-subspace distances are computed in fixed
+    subspace order and added in fixed order (no group-by sum over
+    floats anywhere), so both engines produce bit-identical doubles;
+    ranking ties break on vec_id.  dist_micro = floor(d * 1e6) of an
+    identical double is engine-safe.
+
+    Plan: 4-query x corpus-codes broadcast cross join, all map-side
+    expression; one window exchange for the per-query top-k.  At
+    100 TB the codes relation is ~1000x smaller than the embeddings
+    it replaces — the whole search reads no vector data.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    codes = embed_pq_codes(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(*PQ_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # codebook as a nested array literal (4 refs x 64 dims, bounded)
+    refs = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < PQ_CODEBOOK_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    ref_arr = F.array(*[F.array(*[F.lit(x) for x in rv]) for rv in refs])
+    # per-subspace ADC term, added in FIXED j order (one expression,
+    # no float aggregation across rows)
+    terms = [
+        f"""aggregate(sequence(0, {PQ_SUBDIM - 1}),
+                      CAST(0.0 AS DOUBLE),
+                      (acc, d) -> acc
+                        + (element_at(qv, {PQ_SUBDIM * j} + d + 1)
+                           - element_at(element_at(ref_arr, code{j} + 1),
+                                        {PQ_SUBDIM * j} + d + 1))
+                        * (element_at(qv, {PQ_SUBDIM * j} + d + 1)
+                           - element_at(element_at(ref_arr, code{j} + 1),
+                                        {PQ_SUBDIM * j} + d + 1)))"""
+        for j in range(PQ_SUBSPACES)
+    ]
+    dist = F.expr(" + ".join(f"({t})" for t in terms))
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(codes)
+        .withColumn("ref_arr", ref_arr)
+        .select("q_id", "vec_id", dist.alias("d"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            F.floor(F.col("d") * 1e6).cast("bigint").alias("dist_micro"),
+        )
+    )
+
+
+def _pq_search_oracle() -> str:
+    qids = ", ".join(str(q) for q in PQ_QUERY_IDS)
+    terms = [
+        f"""(list_sum(list_transform(
+               generate_series(0, {PQ_SUBDIM - 1}),
+               d -> (qv[{PQ_SUBDIM * j} + d + 1]
+                     - ra[code{j} + 1][{PQ_SUBDIM * j} + d + 1])
+                  * (qv[{PQ_SUBDIM * j} + d + 1]
+                     - ra[code{j} + 1][{PQ_SUBDIM * j} + d + 1]))))"""
+        for j in range(PQ_SUBSPACES)
+    ]
+    dist = " + ".join(terms)
+    return f"""
+    WITH {_pq_codes_ctes()},
+    refarr AS (SELECT list(rv ORDER BY c) AS ra FROM refs),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id IN ({qids})),
+    pairs AS (
+      SELECT q.q_id, c.vec_id, {dist} AS d
+      FROM q CROSS JOIN codes c CROSS JOIN refarr),
+    ranked AS (
+      SELECT q_id, vec_id, d,
+             row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
+      FROM pairs)
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(floor(d * 1e6) AS BIGINT) AS dist_micro
+    FROM ranked WHERE rank <= {PQ_TOPK}
+    """
+
+
+register("ann_pq_search", ann_pq_search, _pq_search_oracle())

@@ -63,28 +63,18 @@ PLANES = [
     for p in range(N_PLANES)
 ]
 
-STOPWORDS = ("the", "a", "of", "to", "and", "in")
-
-# --- shared Spark fragments ----------------------------------------------
-
-
-def _hash28(col) -> F.Column:
-    """28-bit cross-engine string hash: first 7 hex chars of md5."""
-    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
-
-
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
-
-
-# --- shared DuckDB fragments ----------------------------------------------
-_DK_HASH = "CAST(('0x' || substr(md5({c}), 1, 7)) AS BIGINT)"
-_DK_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-_DK_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
-_DK_NORM = "sqrt(list_sum(list_transform({a}, x -> x*x)))"
+# House idioms live in _idioms.py (leaf module, no registry cycle);
+# re-exported here because tests and older surface modules import them
+# from this module.
+from ._idioms import (  # noqa: F401
+    _DK_DOT,
+    _DK_DVEC,
+    _DK_HASH,
+    _DK_NORM,
+    STOPWORDS,
+    _hash28,
+    _tokens,
+)
 
 
 def _duck_plane(p: int) -> str:
