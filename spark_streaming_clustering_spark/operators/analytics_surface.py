@@ -1273,3 +1273,95 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ==========================================================================
+# funnel_attribution (round 5)
+# ==========================================================================
+
+ATTRIB_WINDOW_US = 86_400_000_000  # 24 h last-touch lookback
+
+
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the
+    user's most recent preceding click or view within a 24 h lookback,
+    else 'direct' — the marketing-analytics sibling of the as-of join
+    (join_asof matches one quote stream; attribution navigates within
+    one partitioned event stream, which is why it's a window, not a
+    join).
+
+    Plan: ONE (user_id)-keyed exchange; the IGNORE NULLS last_value
+    over (unbounded preceding, 1 preceding) carries (ts, id, type) as
+    a struct so all three attributes come from the SAME touch row —
+    two parallel last_values could mix rows under equal timestamps.
+    Age math in integer micros on both engines (epoch_us house rule:
+    DuckDB epoch() keeps fractional seconds, Spark unix_timestamp
+    truncates — micros sidestep both).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch.t"))
+    valid = F.col("touch").isNotNull() & (lag_us <= ATTRIB_WINDOW_US)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(valid, F.col("touch.et")).otherwise("direct").alias("channel"),
+            F.when(valid, F.col("touch.eid")).alias("touch_id"),
+            F.when(valid, lag_us).cast("bigint").alias("lag_us"),
+        )
+    )
+
+
+register(
+    "funnel_attribution",
+    funnel_attribution,
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events),
+    w AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN {{'t': ts, 'eid': event_id, 'et': event_type}}
+                             END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN touch IS NULL
+                  OR epoch_us(ts) - epoch_us(touch.t) > {ATTRIB_WINDOW_US}
+                THEN 'direct' ELSE touch.et END AS channel,
+           CASE WHEN touch IS NULL
+                  OR epoch_us(ts) - epoch_us(touch.t) > {ATTRIB_WINDOW_US}
+                THEN NULL ELSE touch.eid END AS touch_id,
+           CASE WHEN touch IS NULL
+                  OR epoch_us(ts) - epoch_us(touch.t) > {ATTRIB_WINDOW_US}
+                THEN NULL
+                ELSE CAST(epoch_us(ts) - epoch_us(touch.t) AS BIGINT)
+                END AS lag_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)

@@ -479,3 +479,121 @@ def _pq_search_oracle() -> str:
 
 
 register("ann_pq_search", ann_pq_search, _pq_search_oracle())
+
+
+# ==========================================================================
+# dedup_incremental — new-vintage dedup against an existing corpus
+# ==========================================================================
+
+INCR_VINTAGE_MOD = 5  # hash % 5 == 0 -> "incoming" vintage (~20%)
+INCR_MIN_AGREE = 4  # signature agreement floor (same as dedup_minhash_lsh)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: an INCOMING vintage (hash-selected ~20%
+    of documents — the deterministic stand-in for today's crawl) is
+    checked against the EXISTING base corpus only, never against
+    itself — the production shape for corpus updates, where the base
+    side is a persisted signature/bucket index and the daily job's
+    cost is proportional to the NEW data, not the corpus.
+
+    Same MinHash machinery as dedup_minhash_lsh (16 hashes, 8 bands x
+    2 rows), but candidates come from an incoming->base band-bucket
+    equi-join instead of in-bucket pair expansion; verification keeps
+    pairs with >= 4/16 signature agreement, reported as the INTEGER
+    agreement count (no float ratio to diverge on).
+
+    At 100 TB: the base bands/signatures are a bucketed table written
+    once and appended per vintage; each increment shuffles only the
+    incoming side's bands (one small equi-join against the index).
+    """
+    from ._idioms import N_BANDS, NUM_HASHES, ROWS_PER_BAND, _signatures
+
+    sig = _signatures(spark, sf_dir)
+    incoming_flag = (
+        _hash28(F.concat(F.lit("vin:"), F.col("doc_id").cast("string")))
+        % INCR_VINTAGE_MOD
+        == 0
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    sig_arr = F.array(*[f"m{i}" for i in range(NUM_HASHES)])
+    bands = sig.select(
+        "doc_id",
+        incoming_flag.alias("incoming"),
+        sig_arr.alias("sig"),
+        F.posexplode(band_keys).alias("band", "bkey"),
+    )
+    new_side = bands.filter(F.col("incoming")).select(
+        F.col("doc_id").alias("new_doc"), "band", "bkey", F.col("sig").alias("nsig")
+    )
+    base_side = bands.filter(~F.col("incoming")).select(
+        F.col("doc_id").alias("base_doc"), "band", "bkey", F.col("sig").alias("bsig")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("nsig", "bsig", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("bigint")
+    return (
+        new_side.join(base_side, ["band", "bkey"])
+        .select("new_doc", "base_doc", agree.alias("agree"))
+        .filter(F.col("agree") >= INCR_MIN_AGREE)
+        .distinct()
+    )
+
+
+def _incremental_oracle() -> str:
+    from ._idioms import (
+        MINHASH_AB,
+        N_BANDS,
+        NUM_HASHES,
+        P_MINHASH,
+        ROWS_PER_BAND,
+    )
+    from ._text import _DK_SHINGLES
+
+    h = _DK_HASH.format(c="sh")
+    mins = ",\n           ".join(
+        f"MIN(({a} * {h} + {b}) % {P_MINHASH}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1}) AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )
+    vin = _DK_HASH.format(c="concat('vin:', CAST(doc_id AS VARCHAR))")
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_selects}),
+    vin AS (SELECT doc_id,
+                   CASE WHEN {vin} % {INCR_VINTAGE_MOD} = 0 THEN 1 ELSE 0 END
+                     AS incoming
+            FROM documents),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS new_doc, b.doc_id AS base_doc
+      FROM bands i
+      JOIN vin vi ON i.doc_id = vi.doc_id AND vi.incoming = 1
+      JOIN bands b ON i.band = b.band AND i.bkey = b.bkey
+      JOIN vin vb ON b.doc_id = vb.doc_id AND vb.incoming = 0)
+    SELECT new_doc, base_doc, CAST(({eq}) AS BIGINT) AS agree
+    FROM cand
+    JOIN sig sa ON new_doc = sa.doc_id
+    JOIN sig sb ON base_doc = sb.doc_id
+    WHERE ({eq}) >= {INCR_MIN_AGREE}
+    """
+
+
+register("dedup_incremental", dedup_incremental, _incremental_oracle())

@@ -29,21 +29,16 @@ from ..sources.tables import load_table
 from .registry import register
 from ._text import _DK_SHINGLES, _shingles, shared_tf  # noqa: F401  (shared shingle/tf relations)
 
-# --- deterministic constants (pure integer LCG; no RNG library) -----------
-P_MINHASH = 268_435_399  # prime < 2^28; token hashes are 28-bit so a*h < 2^56
-
-
-def _lcg(seed: int):
-    x = seed
-    while True:
-        x = (1_103_515_245 * x + 12_345) % 2_147_483_648
-        yield x
-
-
-_g = _lcg(7)
-NUM_HASHES = 16
-MINHASH_AB = [(1 + next(_g) % (P_MINHASH - 1), next(_g) % P_MINHASH) for _ in range(NUM_HASHES)]
-N_BANDS, ROWS_PER_BAND = 8, 2  # 8 bands x 2 rows over the 16-component signature
+# --- deterministic constants: MinHash machinery lives in _idioms.py -------
+from ._idioms import (  # noqa: F401
+    MINHASH_AB,
+    N_BANDS,
+    NUM_HASHES,
+    P_MINHASH,
+    ROWS_PER_BAND,
+    _lcg,
+    _signatures,
+)
 
 # Multi-table random-hyperplane LSH: N_LSH_TABLES independent tables of
 # N_PLANES_PER_TABLE sign bits each (32 hyperplane bits total).  One
@@ -101,19 +96,6 @@ register(
     "SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS n_copies "
     "FROM documents GROUP BY md5(text)",
 )
-
-
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No distinct on shingles: MIN is duplicate-insensitive, so deduping
-    # first would only add a full shuffle of the exploded shingle rows.
-    # The md5 is hoisted into a pre-aggregate projection — inside the
-    # agg each of the 16 min() expressions would recompute it per row.
-    sh = _shingles(spark, sf_dir).select("doc_id", _hash28(F.col("sh")).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P_MINHASH).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
