@@ -244,8 +244,38 @@ def main() -> int:
                 key=lambda kv: order[kv[0]],
             )
         )
+    # Provenance header (close-out gate, VERDICT r4 item 2): the
+    # artifact states the exact tree it was produced at, whether it was
+    # a full single-vintage run, and the pass count — so "selfcheck is
+    # green" is checkable against the commit it claims to cover.
+    import subprocess
+
+    try:
+        tree = subprocess.run(
+            ["git", "-C", _HERE, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "-C", _HERE, "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        tree, dirty = "unknown", True
+    meta = {
+        "_provenance": True,
+        "git_head": tree,
+        "tree_dirty_at_run": dirty,
+        "sf_dir": args.sf_dir,
+        "single_vintage_full_run": not (args.only or args.start),
+        "n_keys": len(out),
+        "n_checked_this_run": len(keys),
+        "n_failed_this_run": n_bad,
+        "finished_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
     with open(out_path, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump({"_meta": meta, **out}, f, indent=2)
     print(f"\n{len(keys) - n_bad}/{len(keys)} pass -> {args.out} ({len(out)} keys)")
     return 1 if n_bad else 0
 
