@@ -1758,3 +1758,62 @@ register(
     SELECT user_id, COUNT(*) AS n_common FROM both_rows GROUP BY user_id
     """,
 )
+
+
+# ==========================================================================
+# window_range_value_q (round 5) — true value-RANGE window frame
+# ==========================================================================
+
+RANGE_TRAIL_US = 3_600_000_000  # trailing 1 h in integer micros
+
+
+def window_range_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (the one frame kind window_frame_range's
+    ROWS running total does not cover): per event, the count and value
+    mass of the SAME USER's events in the trailing one hour — frame
+    bounds are ORDER-VALUE offsets, not row counts, so peers at equal
+    timestamps are all in-frame and the result is set-determined (no
+    tie-break needed, unlike every ROWS frame).
+
+    Ordering column is integer micros (epoch_us house rule) and the
+    value mass is integer cents, so the frame bound comparison and the
+    aggregates are both exact on either engine.  One (user_id)-keyed
+    exchange; RANGE frames cost a per-partition two-pointer scan, same
+    as ROWS, at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RANGE_TRAIL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trail_1h"),
+        F.sum("cents").over(w).alias("cents_trail_1h"),
+    )
+
+
+register(
+    "window_range_value_q",
+    window_range_value_q,
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trail_1h,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_trail_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {RANGE_TRAIL_US} PRECEDING AND CURRENT ROW)
+    """,
+)

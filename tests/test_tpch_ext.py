@@ -80,3 +80,131 @@ def test_tpch_queries_nondegenerate_at_oracle_sf(spark):
                 "sql_tpch_q12", "sql_tpch_q16", "sql_tpch_q19", "sql_tpch_q20",
                 "sql_tpch_q21", "sql_tpch_q22"):
         assert QUERIES[key](spark, SF_ORACLE).count() > 0, key
+
+
+def test_funnel_attribution_boundary_semantics(spark):
+    """Hand-built event stream pinning the three attribution edges the
+    fixture can't isolate: (a) a purchase with NO preceding touch is
+    'direct'; (b) a touch at EXACTLY the 24 h bound attributes (<=,
+    not <); (c) one microsecond past the bound is 'direct'; (d) the
+    most RECENT touch wins over earlier ones."""
+    import datetime as dt
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        ATTRIB_WINDOW_US,
+        funnel_attribution,
+    )
+    from spark_streaming_clustering_spark.sources import tables as tables_mod
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    day = dt.timedelta(microseconds=ATTRIB_WINDOW_US)
+    rows = [
+        # user 1: purchase first (no touch) -> direct
+        (10, 1, t0, "purchase", 1.0, "{}"),
+        # user 2: click exactly 24h before purchase -> attributes
+        (20, 2, t0, "click", 1.0, "{}"),
+        (21, 2, t0 + day, "purchase", 1.0, "{}"),
+        # user 3: view 24h+1us before purchase -> direct
+        (30, 3, t0, "view", 1.0, "{}"),
+        (31, 3, t0 + day + us, "purchase", 1.0, "{}"),
+        # user 4: click then later view -> most recent (view) wins
+        (40, 4, t0, "click", 1.0, "{}"),
+        (41, 4, t0 + dt.timedelta(minutes=5), "view", 1.0, "{}"),
+        (42, 4, t0 + dt.timedelta(minutes=10), "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string"
+    )
+    orig = tables_mod.load_table
+    try:
+        tables_mod.load_table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+        import spark_streaming_clustering_spark.operators.analytics_surface as an
+        orig_an = an.load_table
+        an.load_table = tables_mod.load_table
+        try:
+            got = {r.purchase_id: r for r in funnel_attribution(spark, SF_SMOKE).collect()}
+        finally:
+            an.load_table = orig_an
+    finally:
+        tables_mod.load_table = orig
+    assert got[10].channel == "direct" and got[10].touch_id is None
+    assert got[21].channel == "click" and got[21].touch_id == 20
+    assert got[21].lag_us == ATTRIB_WINDOW_US
+    assert got[31].channel == "direct"
+    assert got[42].channel == "view" and got[42].touch_id == 41
+
+
+def test_gopher_rules_python_recompute(spark):
+    """quality_gopher_rules vs a pure-python recompute on hand-built
+    hostile documents (repetition-dominated, one-word, long-word,
+    stopword-free) — the fixture corpus never hits most rule
+    boundaries."""
+    from spark_streaming_clustering_spark.operators.corpus_surface import (
+        GOPHER_MAX_MEANLEN,
+        GOPHER_MAX_WORDLEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEANLEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_TOP_SHARE_DEN,
+        quality_gopher_rules,
+    )
+    from spark_streaming_clustering_spark.operators._idioms import STOPWORDS
+    from spark_streaming_clustering_spark.sources import tables as tables_mod
+
+    docs = [
+        (1, "the spam spam spam spam spam of light"),  # repetition fail
+        (2, "word"),  # too few words
+        (3, "the of " + " ".join(f"w{i}" for i in range(10))),  # passes
+        (4, "the of " + "x" * 30 + " tail words here now"),  # long word
+        (5, "alpha beta gamma delta epsilon zeta"),  # no stopwords
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def py_rules(text):
+        toks = text.split(" ")
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        max_len = max(len(t) for t in toks)
+        from collections import Counter
+        cnt = Counter(toks)
+        max_cnt = max(cnt.values())
+        n_stop = sum(1 for t, c in cnt.items() if t in STOPWORDS)
+        r = dict(
+            r_words=GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+            r_meanlen=GOPHER_MIN_MEANLEN * n <= sum_len <= GOPHER_MAX_MEANLEN * n,
+            r_stop=n_stop >= GOPHER_MIN_STOPWORDS,
+            r_maxword=max_len <= GOPHER_MAX_WORDLEN,
+            r_repeat=GOPHER_TOP_SHARE_DEN * max_cnt <= n,
+        )
+        r["passes"] = all(r.values())
+        return r
+
+    orig = tables_mod.load_table
+    try:
+        tables_mod.load_table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+        import spark_streaming_clustering_spark.operators._idioms as idioms
+        orig_i = idioms.load_table
+        idioms.load_table = tables_mod.load_table
+        try:
+            got = {r.doc_id: r.asDict() for r in
+                   quality_gopher_rules(spark, SF_SMOKE).collect()}
+        finally:
+            idioms.load_table = orig_i
+    finally:
+        tables_mod.load_table = orig
+
+    for doc_id, text in docs:
+        want = py_rules(text)
+        have = {k: got[doc_id][k] for k in want}
+        assert have == want, f"doc {doc_id}: {have} != {want}"
+    assert not got[1]["r_repeat"]
+    assert not got[2]["r_words"]
+    assert got[3]["passes"]
+    assert not got[4]["r_maxword"]
+    assert not got[5]["r_stop"]
