@@ -5,9 +5,9 @@
 SURVEY.md section 2 for the sf0.01 DuckDB-oracle correctness gate.
 
 Key ordering: the round driver records CORRECTNESS rows for only the
-FIRST 50 keys of ``queries()`` (observed: CORRECTNESS_r01.json and
-CORRECTNESS_r02.json each contain exactly the first 50 registry keys in
-dict order; the registry holds 190 as of round 4, ALL 190 oracle-backed).
+FIRST 50 keys of ``queries()`` (observed: each CORRECTNESS_r0N.json
+contains exactly the first 50 registry keys in dict order; the registry
+holds 263 as of round 5, ALL oracle-backed).
 To hard-verify the whole surface
 across rounds, ``queries()`` returns keys ordered so that keys WITHOUT a
 green row in any committed ``CORRECTNESS_r*.json`` come first

@@ -1817,3 +1817,37 @@ register(
                  RANGE BETWEEN {RANGE_TRAIL_US} PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+# ==========================================================================
+# grouping_id_q (round 5) — grouping marker functions
+# ==========================================================================
+
+_GROUPING_ID_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+"""
+
+
+def grouping_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING_ID() marker functions — the ONLY reliable
+    way to distinguish a NULL group key from a super-aggregate row in
+    a GROUPING SETS result (grouping_sets_q emits the sets; this key
+    pins the markers both engines derive for them: per-column 0/1
+    flags and the packed bitmask, identical ANSI text).  Map-side
+    Expand + one aggregate exchange, same plan as grouping_sets_q.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_ID_SQL)
+
+
+register("grouping_id_q", grouping_id_q, _GROUPING_ID_SQL)
