@@ -902,15 +902,32 @@ register(
 )
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality: uniqueness, stopword ratio, avg token length."""
+# Per-doc token-stats cache: (applicationId, sf_dir) -> persisted DF.
+# The tokenize + doc aggregate feeds text_quality_score itself plus the
+# keep-best survivor pick, the clean-corpus gate and the pretrain-e2e
+# funnel — the shared_tf/_signatures pattern applied a third time.
+_QSTATS_CACHE: dict = {}
+
+
+def _quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stats = _QSTATS_CACHE.get(key)
+    if stats is not None:
+        return stats
     tok = _tokens(spark, sf_dir)
     stats = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         F.countDistinct("tok").alias("n_uniq"),
         F.sum(F.length("tok")).alias("sum_len"),
         F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
-    )
+    ).persist()
+    _QSTATS_CACHE[key] = stats
+    return stats
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: uniqueness, stopword ratio, avg token length."""
+    stats = _quality_stats(spark, sf_dir)
     uniq_ratio = F.col("n_uniq") / F.col("n_tok")
     stop_ratio = F.col("n_stop") / F.col("n_tok")
     avg_len = F.col("sum_len") / F.col("n_tok")
