@@ -267,3 +267,39 @@ def test_pq_search_recall_and_self_retrieval(spark):
         assert got[q][0] == q, f"query {q} does not self-retrieve: {got[q]}"
     recall = hits / (5 * len(PQ_QUERY_IDS))
     assert recall >= 0.15, f"PQ recall@5 collapsed: {recall:.2f}"
+
+
+def test_results_invariant_under_aqe_toggle(spark):
+    """AQE rewrites plans at runtime (coalesced partitions, demoted or
+    promoted joins), which reorders float accumulation — the partition
+    -count test cannot catch an order-dependence AQE exposes.  Every
+    float-emitting family representative must return identical rows
+    with AQE on and off (the decimal/integer-quantization discipline
+    is exactly what makes this hold)."""
+    from spark_streaming_clustering_spark.operators.registry import QUERIES
+
+    keys = [
+        "flagship_revenue",       # decimal-exact star aggregate
+        "sql_tpch_q9",            # decimal profit over composite join
+        "sql_tpch_q22",           # decimal-exact AVG threshold
+        "tf_idf_topk",            # float scores, quantized rank
+        "text_quality_score",     # rounded ratio scores
+        "funnel_attribution",     # struct window navigation
+        "window_range_value_q",   # RANGE frame aggregates
+        "embed_pq_codes",         # float argmin -> int codes
+        "merge_into_upsert",      # integer-cents merge arithmetic
+        "graph_jaccard_neighbors",  # floor-quantized jaccard
+    ]
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        results = {}
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", mode)
+            results[mode] = {
+                k: sorted(map(tuple, QUERIES[k](spark, SF_SMOKE).collect()))
+                for k in keys
+            }
+        for k in keys:
+            assert results["true"][k] == results["false"][k], k
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
