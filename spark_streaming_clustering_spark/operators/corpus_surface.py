@@ -597,3 +597,167 @@ def _incremental_oracle() -> str:
 
 
 register("dedup_incremental", dedup_incremental, _incremental_oracle())
+
+
+# ==========================================================================
+# corpus_stats_summary — the dataset-card panel
+# ==========================================================================
+
+
+def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card, as a query: per language — document count,
+    token mass, byte mass, exact-duplicate count (docs whose text md5
+    appears more than once), and integer-milli quality mass — the
+    one-screen panel every corpus release ships with.  Composes the
+    session-cached token-stats relation with the md5 keeper rule, so
+    on a warm session the whole card costs two small aggregates; at
+    100 TB each input is a manifest/feature table maintained
+    incrementally and the card is a metadata query.
+
+    All sums integer (tokens, bytes, quality millis): no float
+    accumulation anywhere.
+    """
+    from .pipeline_surface import _quality_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("h"), F.length("text").alias("n_bytes")
+    )
+    from pyspark.sql.window import Window
+
+    dup = docs.withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    stats = _quality_stats(spark, sf_dir)
+    q = stats.select(
+        "doc_id",
+        "n_tok",
+        # quality formula shared with text_quality_score, quantized to
+        # integer millis BEFORE summation (order-independence)
+        F.round(
+            (
+                F.lit(0.4) * (F.col("n_uniq") / F.col("n_tok"))
+                + F.lit(0.3) * (F.lit(1.0) - F.col("n_stop") / F.col("n_tok"))
+                + F.lit(0.3)
+                * F.least(
+                    F.col("sum_len") / F.col("n_tok") / F.lit(10.0), F.lit(1.0)
+                )
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("q_milli"),
+    )
+    return (
+        dup.join(q, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_exact_dup_docs"
+            ),
+            F.sum("q_milli").alias("quality_milli_sum"),
+        )
+    )
+
+
+register(
+    "corpus_stats_summary",
+    corpus_stats_summary,
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, md5(text) AS h, length(text) AS n_bytes
+      FROM documents),
+    dup AS (
+      SELECT doc_id, lang, n_bytes,
+             COUNT(*) OVER (PARTITION BY h) AS n_copies
+      FROM d),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_uniq,
+             SUM(length(tok)) AS sum_len,
+             SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY doc_id),
+    q AS (
+      SELECT doc_id, n_tok,
+             CAST(round((0.4 * (n_uniq / n_tok)
+                         + 0.3 * (1.0 - n_stop / n_tok)
+                         + 0.3 * least(sum_len / n_tok / 10.0, 1.0))
+                        * 1000) AS BIGINT) AS q_milli
+      FROM stats)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(SUM(q_milli) AS BIGINT) AS quality_milli_sum
+    FROM dup JOIN q USING (doc_id)
+    GROUP BY lang
+    """,
+)
+
+
+# ==========================================================================
+# k_anonymity_check — quasi-identifier group-size audit
+# ==========================================================================
+
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group the customer table by
+    its quasi-identifier tuple (market segment, nation, account-balance
+    decile) and report every group's size with a below-k flag — the
+    release gate that catches rows re-identifiable by attribute
+    combination even after direct identifiers are scrubbed (the
+    governance sibling of pii_redact, which only handles direct
+    identifiers).
+
+    The decile uses width_bucket over a FIXED literal range; DuckDB
+    has no width_bucket, so the oracle spells the identical floor
+    formula (the width_bucket_q precedent — bucket edges land on
+    exactly representable 2-dp doubles, so the two spellings agree).
+    One group-cardinality aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_mktsegment",
+        F.col("c_nationkey").alias("nation"),
+        F.expr("width_bucket(c_acctbal, -1000.0, 10000.0, 10)").alias(
+            "bal_decile"
+        ),
+    )
+    return (
+        qi.groupBy("c_mktsegment", "nation", "bal_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_mktsegment",
+            "nation",
+            F.col("bal_decile").cast("bigint").alias("bal_decile"),
+            "n",
+            (F.col("n") >= K_ANON_THRESHOLD).alias("k_anonymous"),
+        )
+    )
+
+
+register(
+    "k_anonymity_check",
+    k_anonymity_check,
+    f"""
+    WITH qi AS (
+      SELECT c_mktsegment, CAST(c_nationkey AS INT) AS nation,
+             CASE WHEN c_acctbal < -1000.0 THEN 0
+                  WHEN c_acctbal >= 10000.0 THEN 11
+                  ELSE CAST(floor((c_acctbal + 1000.0) / 1100.0) AS BIGINT) + 1
+                  END AS bal_decile
+      FROM customer)
+    SELECT c_mktsegment, nation, bal_decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) >= {K_ANON_THRESHOLD} AS k_anonymous
+    FROM qi
+    GROUP BY c_mktsegment, nation, bal_decile
+    """,
+)
