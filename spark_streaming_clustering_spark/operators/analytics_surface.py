@@ -1365,3 +1365,82 @@ register(
     FROM w WHERE event_type = 'purchase'
     """,
 )
+
+
+# ==========================================================================
+# ts_similarity_search (round 5)
+# ==========================================================================
+
+TS_PATTERN = (50.0, 150.0, 300.0, 150.0, 50.0)  # the query spike shape
+TS_TOPK = 20
+
+
+def ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the EDBT'19
+    streaming-similarity shape, PAPERS.md): slide a length-5 query
+    pattern over every user's value series and return the TS_TOPK
+    closest windows by squared Euclidean distance — pattern-matching
+    over telemetry (spike detection, motif search) as one declarative
+    plan.
+
+    Mechanics: a per-user ordered ROWS frame materializes each
+    5-point window as an array (one user-keyed exchange); the SSE is
+    expanded term by term in FIXED index order (identical IEEE adds
+    on both engines) and quantized to integer millis before ranking;
+    the global top-k rides orderBy+limit -> TakeOrderedAndProject, so
+    no global sort materializes at scale.  Ties break on
+    (user_id, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(len(TS_PATTERN) - 1), 0)
+    )
+    sse = " + ".join(
+        f"(element_at(w5, {i + 1}) - {p!r}) * (element_at(w5, {i + 1}) - {p!r})"
+        for i, p in enumerate(TS_PATTERN)
+    )
+    return (
+        ev.withColumn("w5", F.collect_list("value").over(w))
+        .filter(F.size("w5") == len(TS_PATTERN))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"CAST(floor(({sse}) * 1000) AS BIGINT)").alias("dist_milli"),
+        )
+        .orderBy("dist_milli", "user_id", "event_id")
+        .limit(TS_TOPK)
+    )
+
+
+def _ts_search_oracle() -> str:
+    n = len(TS_PATTERN)
+    sse = " + ".join(
+        f"(w5[{i + 1}] - {p!r}) * (w5[{i + 1}] - {p!r})"
+        for i, p in enumerate(TS_PATTERN)
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events),
+    w AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+               AS w5
+      FROM e)
+    SELECT user_id, event_id,
+           CAST(floor(({sse}) * 1000) AS BIGINT) AS dist_milli
+    FROM w WHERE len(w5) = {n}
+    ORDER BY dist_milli, user_id, event_id
+    LIMIT {TS_TOPK}
+    """
+
+
+register("ts_similarity_search", ts_similarity_search, _ts_search_oracle())
