@@ -1444,3 +1444,82 @@ def _ts_search_oracle() -> str:
 
 
 register("ts_similarity_search", ts_similarity_search, _ts_search_oracle())
+
+
+# ==========================================================================
+# sssp_bellman_ford (round 5, batch 2)
+# ==========================================================================
+
+SSSP_ITERS = 4
+SSSP_SEED_MAX = 10  # seed set: part ids < 10, distance 0
+SSSP_W_MOD = 9  # edge weight: 1 + (a + b) % SSSP_W_MOD
+
+
+def sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source (multi-seed) WEIGHTED shortest paths on the part
+    co-purchase graph — distributed Bellman-Ford, the weighted upgrade
+    of ``graph_bfs``.
+
+    Edge weights are deterministic integers derived from the canonical
+    endpoint pair (1 + (a+b) % SSSP_W_MOD, symmetric by construction),
+    so every relaxation is exact integer arithmetic and bit-identical
+    across engines.  Each of the SSSP_ITERS rounds is one edge-sized
+    equi-join (frontier x edges) followed by a MIN re-aggregation over
+    the union with the previous state — the same bounded-iteration
+    relax shape as ``graph_bfs`` / ``dedup_connected_components``;
+    at cluster scale each round shuffles on the node key only, and
+    the iteration count is a fixed constant (k-hop-bounded SSSP), so
+    lineage stays shallow without checkpointing.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    w = F.lit(1) + (F.col("a") + F.col("b")) % SSSP_W_MOD
+    half = e.select("a", "b", w.cast("bigint").alias("w"))
+    edges = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") < SSSP_SEED_MAX).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(SSSP_ITERS):
+        relaxed = dist.join(edges, dist.node == edges.a).select(
+            F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def _sssp_oracle() -> str:
+    prev = "it0"
+    steps = []
+    for i in range(1, SSSP_ITERS + 1):
+        steps.append(
+            f"""it{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.b AS node, r.dist + e.w AS dist
+        FROM {prev} r JOIN edges e ON r.node = e.a)
+      GROUP BY node)"""
+        )
+        prev = f"it{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH half0 AS ({_DK_COPURCHASE}),
+    half AS (SELECT a, b, CAST(1 + (a + b) % {SSSP_W_MOD} AS BIGINT) AS w
+             FROM half0),
+    edges AS (SELECT a, b, w FROM half
+              UNION ALL SELECT b AS a, a AS b, w FROM half),
+    it0 AS (
+      SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+      FROM edges WHERE a < {SSSP_SEED_MAX}),
+    {steps_sql}
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+    """
+
+
+register("sssp_bellman_ford", sssp_bellman_ford, _sssp_oracle())

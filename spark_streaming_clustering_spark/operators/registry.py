@@ -48,3 +48,4 @@ from . import lakehouse_surface  # noqa: E402,F401
 from . import breadth_surface  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import corpus_surface  # noqa: E402,F401
+from . import timeseries_surface  # noqa: E402,F401

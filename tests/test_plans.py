@@ -62,6 +62,15 @@ def test_flagship_plan_shape(spark):
 def test_minhash_lsh_single_pipeline(spark):
     import re
 
+    # The shared signature relation is session-cached (_idioms._SIG_CACHE);
+    # if an earlier test already materialized it, the plan shows an
+    # InMemoryTableScan instead of the parquet scan this test pins.
+    # Clear it so the assertion sees the cold-session plan.
+    from spark_streaming_clustering_spark.operators._idioms import (
+        clear_sig_cache,
+    )
+
+    clear_sig_cache()
     plan = _plan(spark, "dedup_minhash_lsh")
     # "(n) Node" detail headers count each physical node exactly once
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
@@ -437,3 +446,31 @@ def test_plans_helpers_read_real_plan(spark):
     assert plans.has_broadcast_join(p)
     assert not plans.has_cartesian(p)
     assert any("l_shipdate" in f or "IsNotNull" in f for f in plans.pushed_filters(p))
+
+
+def test_range_join_interval_is_bucketed_equi_join(spark):
+    """range_join_interval must NEVER plan an inequality join: the
+    bucketed recipe meets candidates in a (user_id, bucket) equi-join.
+    A regression to a raw theta-join would plan BroadcastNestedLoopJoin
+    (or CartesianProduct) — the exact scale-killer the tiling avoids."""
+    plan = _plan(spark, "range_join_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the overlap predicate is applied AFTER an equi-join on the tile
+    assert "Join" in plan
+
+
+def test_sssp_relaxation_count(spark):
+    """Bellman-Ford unrolls exactly SSSP_ITERS relax rounds: each round
+    is one frontier-x-edges join; more joins would mean lineage blowup,
+    fewer would change the answer."""
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        SSSP_ITERS,
+    )
+
+    plan = _plan(spark, "sssp_bellman_ford")
+    # SSSP_ITERS relax joins; the edge list itself is built from one
+    # self-join of lineitem (the co-purchase edge construction).
+    assert plan.count("SortMergeJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) + plan.count("ShuffledHashJoin") >= SSSP_ITERS
