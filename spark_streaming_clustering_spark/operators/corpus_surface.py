@@ -761,3 +761,171 @@ register(
     GROUP BY c_mktsegment, nation, bal_decile
     """,
 )
+
+
+# ==========================================================================
+# bpe_apply_merge (round 5, batch 3)
+# ==========================================================================
+#
+# The tokenizer-training step AFTER ``bpe_pair_counts``: pick the most
+# frequent adjacent token pair and APPLY the merge to every document's
+# token stream.  The selected pair is constrained to a != b, which makes
+# the greedy left-to-right merge POSITION-PARALLEL: for a != b two
+# matches can never overlap (a match at i needs tok[i]=a, a match at
+# i-1 forces tok[i]=b), so every occurrence merges simultaneously —
+# no sequential fold, no per-document recursion, zero extra shuffle.
+# (Self-pairs a = b DO need run-length tie-breaking; real BPE trainers
+# hit that rarely and handle it in the run domain — out of scope for
+# the single-merge step exhibited here.)
+
+BPE_MERGE_SEP = "_"  # merged token spelling: a || '_' || b
+
+
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round over ``documents``: find the globally most
+    frequent adjacent pair (a != b; ties broken lexicographically),
+    replace every occurrence in every token stream, and report per-doc
+    before/after token counts plus a 28-bit fingerprint of the merged
+    stream (the value check that the merge was applied exactly).
+
+    Scale: pair counting is explode + groupBy (map-side combinable);
+    the 1-row winner broadcasts to a per-document ``transform`` +
+    ``filter`` evaluated entirely inside the array domain — the merge
+    itself adds NO shuffle at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pair = F.expr(
+        "filter(transform(t, (x, i) -> IF(i < size(t) - 1,"
+        " struct(x AS a, element_at(t, i + 2) AS b), NULL)),"
+        " p -> p IS NOT NULL)"
+    )
+    top = (
+        docs.select(F.explode(pair).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+    merged = F.expr(
+        f"""filter(transform(t, (x, i) -> CASE
+            WHEN x = a AND i < size(t) - 1 AND element_at(t, i + 2) = b
+              THEN concat(a, '{BPE_MERGE_SEP}', b)
+            WHEN i > 0 AND element_at(t, i) = a AND x = b THEN NULL
+            ELSE x END), y -> y IS NOT NULL)"""
+    )
+    return (
+        docs.join(F.broadcast(top))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_before"),
+            merged.alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_before",
+            F.size("m").alias("n_after"),
+            (F.col("n_before") - F.size("m")).alias("n_merges"),
+            _hash28(F.array_join("m", " ")).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "bpe_apply_merge",
+    bpe_apply_merge,
+    f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM docs, unnest(range(1, len(t))) AS u(i)
+      WHERE t[i] <> t[i + 1]),
+    top AS (
+      SELECT a, b FROM (
+        SELECT a, b, COUNT(*) AS cnt FROM pairs GROUP BY a, b)
+      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    m AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_before,
+             list_filter(
+               list_transform(t, (x, i) -> CASE
+                 WHEN x = a AND i < len(t) AND t[i + 1] = b
+                   THEN a || '{BPE_MERGE_SEP}' || b
+                 WHEN i > 1 AND t[i - 1] = a AND x = b THEN NULL
+                 ELSE x END),
+               y -> y IS NOT NULL) AS m
+      FROM docs CROSS JOIN top)
+    SELECT doc_id, n_before, CAST(len(m) AS BIGINT) AS n_after,
+           CAST(n_before - len(m) AS BIGINT) AS n_merges,
+           {_DK_HASH.format(c="array_to_string(m, ' ')")} AS fp
+    FROM m ORDER BY doc_id
+    """,
+)
+
+
+# ==========================================================================
+# sample_importance (round 5, batch 3)
+# ==========================================================================
+#
+# Quality-weighted deterministic rejection sampling: every document is
+# kept with probability proportional to an exact integer quality score,
+# decided by a content-independent hash — the per-row-weighted
+# counterpart of ``corpus_mixture_sample``'s fixed per-source rates.
+
+IMP_SCALE = 1000  # quality granularity: acceptance threshold in millis
+
+
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling of ``documents`` by lexical uniqueness:
+    quality q_millis = floor(1000 * distinct_tokens / tokens) and the
+    doc is kept iff ``hash28(doc_id) % 1000 < q_millis`` — i.e. with
+    probability q_millis/1000, decided deterministically per row, so
+    the sample is reproducible across runs/engines and needs NO global
+    coordination.
+
+    Scale: both the quality score (array ops on the split column) and
+    the acceptance test are pure map-side expressions — a zero-shuffle
+    corpus pass regardless of size, the property that makes hash-gated
+    sampling THE way to downsample 100 TB (vs. rand(), which is
+    neither reproducible nor partition-stable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    q = F.expr(
+        f"CAST(size(array_distinct(split(text, ' '))) * {IMP_SCALE} AS BIGINT)"
+        " div size(split(text, ' '))"
+    )
+    keep = _hash28(F.col("doc_id").cast("string")) % IMP_SCALE < F.col(
+        "q_millis"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(t).alias("n_tok"),
+            q.alias("q_millis"),
+        )
+        .filter(keep)
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "sample_importance",
+    sample_importance,
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) * {IMP_SCALE}
+                  AS BIGINT) // CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS q_millis
+      FROM documents)
+    SELECT doc_id, n_tok, q_millis
+    FROM q
+    WHERE {_DK_HASH.format(c="CAST(doc_id AS STRING)")} % {IMP_SCALE} < q_millis
+    ORDER BY doc_id
+    """,
+)
