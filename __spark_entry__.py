@@ -6,8 +6,9 @@ SURVEY.md section 2 for the sf0.01 DuckDB-oracle correctness gate.
 
 Key ordering: the round driver records CORRECTNESS rows for only the
 FIRST 50 keys of ``queries()`` (observed: each CORRECTNESS_r0N.json
-contains exactly the first 50 registry keys in dict order; the registry
-holds 263 as of round 5, ALL oracle-backed).
+contains exactly the first 50 registry keys in dict order; the live
+registry size is ``len(QUERIES)`` — see ``CORRECTNESS_SELF.json``'s
+``_meta.n_keys`` for the last verified count, ALL oracle-backed).
 To hard-verify the whole surface
 across rounds, ``queries()`` returns keys ordered so that keys WITHOUT a
 green row in any committed ``CORRECTNESS_r*.json`` come first

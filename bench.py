@@ -106,6 +106,50 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _auto_median5_keys() -> set[str]:
+    """Derive the median-of-5 set from the committed record instead of a
+    hand-maintained list (VERDICT r5 item 2: 15 keys moved >25% r4->r5
+    with provably unchanged plans and only 4 had noise controls).
+
+    Rule: any key whose wall-clock moved more than +-25% between the two
+    most recent BENCH_r*.json files runs median-of-5 this round — a real
+    plan regression stays visible in the median, while a steal-hit burst
+    at a fixed bench position is discarded with both tails.  The set
+    self-clears: once a key's median is stable across two rounds it
+    drops back to adaptive best-of-3.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if len(benches) < 2:
+        return set()
+    def _queries(path: str) -> dict:
+        # the round driver wraps bench.py's JSON line under "parsed"
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        q = d.get("queries")
+        return q if isinstance(q, dict) else {}
+
+    prev, last = _queries(benches[-2]), _queries(benches[-1])
+    movers = set()
+    for key, cur in last.items():
+        old = prev.get(key)
+        if (
+            isinstance(old, (int, float))
+            and isinstance(cur, (int, float))
+            and old > 0
+            and abs(cur - old) / old > 0.25
+        ):
+            movers.add(key)
+    return movers
+
+
 def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 20) -> float:
     """Mean model-update ms per ~100-point micro-batch (BASELINE metric).
 
@@ -230,7 +274,12 @@ def main() -> None:
         "flagship_revenue",
         "groupby_agg_sums",
         "join_bucketed",
-    }
+        # r5 verdict item 2: the one driver-paced loop in the headline
+        # set — most steal-sensitive row (0.71 -> 2.05 s r4->r5 with
+        # unchanged code); input prep is now session-cached so 5
+        # samples cost one bounded collect + 5 trainer loops
+        "gstream_epoch",
+    } | _auto_median5_keys()
     times: dict[str, float] = {}
     for key in HEADLINE:
         if key in median5:

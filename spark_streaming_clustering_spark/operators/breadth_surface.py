@@ -1093,25 +1093,17 @@ def range_partition_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     form costs one total-order window, the same price a global sort
     write pays anyway.
     """
-    import tempfile as _tempfile
-
     from pyspark.sql import Window
-
-    # Deterministic per-sf path, overwritten in place each call — a
-    # fresh mkdtemp per invocation would leak one full parquet copy of
-    # orders per selfcheck/bench run (the temp-leak pattern already
-    # fixed once for sql_ddl_roundtrip; review finding).
-    from ..sources.tables import source_fingerprint
 
     # Key = (session, sf_dir, source fingerprint): app id isolates
     # concurrent sessions, the orders.parquet size+mtime invalidates a
     # stale layout if the fixture is regenerated (review finding, r4).
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    fp = source_fingerprint(sf_dir, "orders")
-    out = os.path.join(
-        _tempfile.gettempdir(),
-        f"orders_by_price_{spark.sparkContext.applicationId}_{tag}_{fp}",
-    )
+    # derived_layout_path prunes dead-session siblings and atexit-cleans
+    # this session's copy (review finding, r5: appId keying otherwise
+    # leaks one parquet copy of orders per session).
+    from ..sources.tables import derived_layout_path
+
+    out = derived_layout_path(spark, "orders_by_price", sf_dir, "orders")
     # Layout content is deterministic per sf, so write once per
     # session/host and read back thereafter (the events_by_day_layout
     # pattern) — plan-shape tests build every key and would otherwise

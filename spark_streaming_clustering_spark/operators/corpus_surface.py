@@ -606,7 +606,7 @@ register("dedup_incremental", dedup_incremental, _incremental_oracle())
 
 def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card, as a query: per language — document count,
-    token mass, byte mass, exact-duplicate count (docs whose text md5
+    token mass, byte mass (octet_length/strlen — real bytes), exact-duplicate count (docs whose text md5
     appears more than once), and integer-milli quality mass — the
     one-screen panel every corpus release ships with.  Composes the
     session-cached token-stats relation with the md5 keeper rule, so
@@ -620,7 +620,14 @@ def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_surface import _quality_stats
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.md5("text").alias("h"), F.length("text").alias("n_bytes")
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        # octet_length, not length: length() counts CHARACTERS on both
+        # engines, so labeling it byte mass is wrong for any multi-byte
+        # text — and the oracle repeating the spelling hides it (the
+        # char_ascii_q octet_length/strlen precedent; review finding r5)
+        F.octet_length("text").alias("n_bytes"),
     )
     from pyspark.sql.window import Window
 
@@ -667,7 +674,7 @@ register(
     corpus_stats_summary,
     f"""
     WITH d AS (
-      SELECT doc_id, lang, md5(text) AS h, length(text) AS n_bytes
+      SELECT doc_id, lang, md5(text) AS h, strlen(text) AS n_bytes
       FROM documents),
     dup AS (
       SELECT doc_id, lang, n_bytes,

@@ -356,16 +356,9 @@ def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     not table size.  The full-outer join inside the rewrite is
     key-partitioned; nothing driver-side but the ≤8-row bucket list.
     """
-    import tempfile as _tempfile
+    from ..sources.tables import derived_layout_path
 
-    from ..sources.tables import source_fingerprint
-
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    fp = source_fingerprint(sf_dir, "customer")
-    base = os.path.join(
-        _tempfile.gettempdir(),
-        f"merge_tbl_{spark.sparkContext.applicationId}_{tag}_{fp}",
-    )
+    base = derived_layout_path(spark, "merge_tbl", sf_dir, "customer")
     v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
 
     tgt0 = load_table(spark, sf_dir, "customer").select(

@@ -16,12 +16,11 @@ applied to Spark's storage layer.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import derived_layout_path, load_table, scratch_dir
 from .registry import register
 
 _N_BUCKETS = 8
@@ -49,7 +48,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # warehouse dir (cwd-relative by default — may be read-only or
         # carry a stale table dir from an earlier session, either of
         # which fails saveAsTable)
-        loc = os.path.join(tempfile.mkdtemp(prefix=f"bkt_{table}_"), "t")
+        loc = os.path.join(scratch_dir(f"bkt_{table}_"), "t")
         (
             load_table(spark, sf_dir, source)
             .select(*cols)
@@ -180,15 +179,11 @@ def events_by_day_layout(spark: SparkSession, sf_dir: str) -> str:
     Cache key = (session, sf_dir, source fingerprint): the app id keeps
     concurrent sessions off each other's directories, and the
     events.parquet size+mtime fingerprint invalidates the layout if the
-    fixture is regenerated in place (review finding, round 4)."""
-    from ..sources.tables import source_fingerprint
-
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    fp = source_fingerprint(sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"events_by_day_{spark.sparkContext.applicationId}_{tag}_{fp}",
-    )
+    fixture is regenerated in place (review finding, round 4).
+    Stale siblings from dead sessions are pruned and this session's
+    path is atexit-cleaned (derived_layout_path; review finding r5:
+    the appId keying otherwise leaks one copy per session)."""
+    out = derived_layout_path(spark, "events_by_day", sf_dir, "events")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "events")
@@ -267,7 +262,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source roundtrip.  JSONL is the interchange
     format of LLM corpus tooling; one file per task on write, splittable
     line-oriented reads at any scale."""
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "docs")
+    path = os.path.join(scratch_dir("sink_json_"), "docs")
     _docs_subset(spark, sf_dir).write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id long, lang string, text string").json(path)
     return _roundtrip_check(back)
@@ -280,7 +275,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source roundtrip with header and explicit read schema
     (quoting/escaping handled by the writer; the hash check would catch
     any mangling)."""
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_csv_"), "docs")
+    path = os.path.join(scratch_dir("sink_csv_"), "docs")
     _docs_subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
     back = (
         spark.read.schema("doc_id long, lang string, text string")
@@ -296,7 +291,7 @@ register("sink_csv_roundtrip", sink_csv_roundtrip, _ROUNDTRIP_ORACLE)
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source roundtrip — the columnar alternative to
     parquet, same pushdown/pruning machinery on read."""
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "docs")
+    path = os.path.join(scratch_dir("sink_orc_"), "docs")
     _docs_subset(spark, sf_dir).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return _roundtrip_check(back)
@@ -318,7 +313,7 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     production datasets keep it off and pin the merged schema in the
     catalog — both paths produce this exact result.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "docs")
+    path = os.path.join(scratch_dir("schema_evo_"), "docs")
     docs = load_table(spark, sf_dir, "documents")
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").coalesce(
         1
@@ -360,7 +355,7 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .collect()
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="csv_corrupt_"), "in")
+    path = os.path.join(scratch_dir("csv_corrupt_"), "in")
     os.makedirs(path)
     with open(os.path.join(path, "feed.csv"), "w") as f:
         for r in rows:
@@ -488,7 +483,7 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from file splits exactly like CSV, and the parse is one
     whole-stage-codegen projection.
     """
-    path = os.path.join(tempfile.mkdtemp(prefix="src_text_"), "docs")
+    path = os.path.join(scratch_dir("src_text_"), "docs")
     (
         _docs_subset(spark, sf_dir)
         .select(
@@ -523,7 +518,7 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test and is fully distributed (one task per file; at 100 TB,
     maxPartitionBytes groups small files per task).
     """
-    tmp = tempfile.mkdtemp(prefix="src_bin_")
+    tmp = scratch_dir("src_bin_")
     per_lang = (
         _docs_subset(spark, sf_dir)
         .groupBy("lang")
@@ -661,7 +656,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The read-back aggregate proves partition-level surgery: week-2
     values are doubled, every other day is untouched.
     """
-    tmp = os.path.join(tempfile.mkdtemp(prefix="dyn_overwrite_"), "events_by_day")
+    tmp = os.path.join(scratch_dir("dyn_overwrite_"), "events_by_day")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -730,11 +725,7 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        f"ddl_rt_{spark.sparkContext.applicationId}_{tag}",
-    )
+    loc = derived_layout_path(spark, "ddl_rt", sf_dir, None)
     spark.sql("DROP TABLE IF EXISTS ddl_docs")
     shutil.rmtree(loc, ignore_errors=True)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_src")
@@ -887,11 +878,7 @@ def analyze_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import shutil
 
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        f"analyze_t_{spark.sparkContext.applicationId}_{tag}",
-    )
+    loc = derived_layout_path(spark, "analyze_t", sf_dir, None)
     spark.sql("DROP TABLE IF EXISTS stats_events")
     shutil.rmtree(loc, ignore_errors=True)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_an")

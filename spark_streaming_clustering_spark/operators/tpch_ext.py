@@ -43,8 +43,15 @@ from .registry import register
 
 # partsupp: 4 suppliers per part (TPC-H cardinality), supplier keys mapped
 # into the live supplier key space (0-based contiguous in the fixtures) via
-# coprime stride 17 so each part's 4 suppliers are distinct for any supplier
-# count >= 5.  availqty/supplycost are hash-style integer arithmetic.
+# stride 17.  The 4 keys (p*4 + n*17 + 3) mod S collide exactly when S
+# divides a pairwise stride difference (17, 34, or 51) — i.e. when
+# S ∈ {17, 34, 51} or S ∈ {1, 2, 3} (where <4 distinct keys exist anyway);
+# every other supplier count yields 4 distinct suppliers per part.  The
+# fixture supplier counts (sf-scaled, not multiples of 17) are safe, and
+# tests/test_tpch_ext.py pins the 4-distinct property per checked sf so a
+# regenerated fixture landing on a degenerate count fails loudly rather
+# than silently flattening Q2/Q9/Q11/Q16/Q20 (review finding, round 5).
+# availqty/supplycost are hash-style integer arithmetic.
 _PARTSUPP = """
     SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
            CAST((p_partkey * 4 + g.n * 17 + 3)

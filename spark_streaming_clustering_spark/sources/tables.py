@@ -76,3 +76,86 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql() queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- bounded /tmp discipline for derived on-disk layouts ----------------
+#
+# Every key that materializes a derived layout (partitioned rewrite,
+# bucketed warehouse table, CTAS location) keys the path on
+# (appId, sf tag, source fingerprint) so concurrent sessions and
+# regenerated fixtures never collide — but that very keying means each
+# NEW session writes a fresh copy and the old one leaks forever (review
+# finding, round 5: the exact leak once fixed for sql_ddl_roundtrip,
+# reintroduced one level up).  Two complementary fixes, both here so
+# every call site shares them:
+#
+# * ``derived_layout_path`` prunes SIBLING directories (same prefix +
+#   sf tag, different appId/fingerprint) at path-computation time —
+#   stale copies from dead sessions are reclaimed the next time any
+#   session derives that layout.  Safe in this repo because Spark
+#   sessions are never run concurrently (bench/selfcheck house rule);
+#   a concurrent-session deployment would key the prune on dir age.
+# * every path (and every ``scratch_dir`` mkdtemp) is registered for
+#   atexit removal, so even a single session leaves /tmp clean.
+
+_SESSION_TMP_PATHS: set[str] = set()
+
+
+def _cleanup_session_tmp() -> None:
+    import shutil
+
+    for p in list(_SESSION_TMP_PATHS):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _track_tmp(path: str) -> str:
+    import atexit
+
+    if not _SESSION_TMP_PATHS:
+        atexit.register(_cleanup_session_tmp)
+    _SESSION_TMP_PATHS.add(path)
+    return path
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag of an sf directory (single owner of the
+    spelling — three operator modules used to inline it)."""
+    return "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+
+
+def derived_layout_path(
+    spark: SparkSession, prefix: str, sf_dir: str, table: str | None
+) -> str:
+    """Deterministic per-(session, sf, fixture) path for a derived
+    on-disk layout, with leak control: stale siblings pruned, own path
+    atexit-cleaned.  ``table=None`` drops the fingerprint component
+    (for layouts rewritten from scratch on every call, e.g. CTAS)."""
+    import glob as _glob
+    import re
+    import shutil
+    import tempfile
+
+    tag = sf_tag(sf_dir)
+    parts = [prefix, spark.sparkContext.applicationId, tag]
+    if table is not None:
+        parts.append(source_fingerprint(sf_dir, table))
+    out = os.path.join(tempfile.gettempdir(), "_".join(parts))
+    # Exact-tag match (not substring): sf tags can be prefixes of each
+    # other ("sf0_1" vs "sf0_12"), so a glob-only prune could reclaim a
+    # LIVE layout of a different scale factor.
+    sib_re = re.compile(
+        rf"^{re.escape(prefix)}_.+_{re.escape(tag)}(_\d+_\d+)?$"
+    )
+    for sib in _glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        if sib != out and sib_re.match(os.path.basename(sib)):
+            shutil.rmtree(sib, ignore_errors=True)
+    return _track_tmp(out)
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit — per-invocation
+    scratch for sink/source round-trip keys (each used to leak one
+    directory per call across a long driver session)."""
+    import tempfile
+
+    return _track_tmp(tempfile.mkdtemp(prefix=prefix))
