@@ -136,16 +136,22 @@ def gstream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Golden-constant oracle (verified twice-deterministic in-session;
 # regenerate by running gstream_epoch at each sf and pasting the rows —
 # intentional semantic changes only, like replay91.json).  The CASE keys
-# on the EVENTS cardinality (1000 at sf0.001, 10000 at sf0.01) so the
-# same oracle string is correct at sf0.001 (pytest) and sf0.01
-# (driver/selfcheck gate) — embeddings has 500 rows at BOTH sfs with
-# different vector content, so it cannot discriminate.
+# on the EVENTS cardinality (1000 at sf0.001, 10000 at sf0.01, 100000
+# at sf0.1) so the same oracle string is correct at every fixture sf —
+# embeddings has 500 rows at both small sfs with different vector
+# content, so it cannot discriminate.  No ELSE: an unrecognized scale
+# factor yields NULL and fails the gate loudly instead of silently
+# reusing another sf's constant (VERDICT r5 item 5: constants must be
+# provably sf-KEYED, not sf-accidental — CORRECTNESS_SELF_SF01.json is
+# the committed second-scale vintage).
 _GSTREAM_EPOCH_GOLDEN = """
     SELECT CAST(8 AS BIGINT) AS n_nodes,
            CAST(36 AS BIGINT) AS node_id_sum,
            CAST(512 AS BIGINT) AS n_coords,
-           CAST(CASE WHEN (SELECT COUNT(*) FROM events) = 1000
-                     THEN -614 ELSE -363 END AS BIGINT) AS coord_q_sum
+           CAST(CASE (SELECT COUNT(*) FROM events)
+                     WHEN 1000 THEN -614
+                     WHEN 10000 THEN -363
+                     WHEN 100000 THEN 187 END AS BIGINT) AS coord_q_sum
 """
 
 register("gstream_epoch", gstream_epoch, _GSTREAM_EPOCH_GOLDEN)
@@ -210,8 +216,10 @@ _STREAMING_FILE_SOURCE_GOLDEN = """
     SELECT CAST(2 AS BIGINT) AS n_nodes,
            CAST(3 AS BIGINT) AS node_id_sum,
            CAST(128 AS BIGINT) AS n_coords,
-           CAST(CASE WHEN (SELECT COUNT(*) FROM events) = 1000
-                     THEN -137 ELSE -210 END AS BIGINT) AS coord_q_sum
+           CAST(CASE (SELECT COUNT(*) FROM events)
+                     WHEN 1000 THEN -137
+                     WHEN 10000 THEN -210
+                     WHEN 100000 THEN -82 END AS BIGINT) AS coord_q_sum
 """
 
 register(
@@ -340,7 +348,8 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the mechanism a sharded G-Stream model would use if
     the prototype graph ever outgrew the driver (SURVEY.md section 4.2).
     (Spark 4's newer transformWithStateInPandas API is the successor;
-    root-caused this round: its driver worker imports
+    root-caused in round 4 and re-tested each round since (round 6:
+    still no ``google`` package): its driver worker imports
     ``google.protobuf`` for the state-server protocol
     (pyspark/sql/streaming/proto/StateMessage_pb2.py) and neither
     protobuf nor grpc is installed in this container, so init fails
@@ -571,7 +580,10 @@ _KMEANS_GOLDEN = """
       (6, 11, 66, 1000), (7, 108, 3, 1000),
       (0, 63, 5, 10000), (1, 6, 39, 10000), (2, 94, 6, 10000),
       (3, 78, 0, 10000), (4, 46, 2, 10000), (5, 63, 14, 10000),
-      (6, 62, 4, 10000), (7, 88, 1, 10000))
+      (6, 62, 4, 10000), (7, 88, 1, 10000),
+      (0, 260, 4, 100000), (1, 278, 7, 100000), (2, 233, 1, 100000),
+      (3, 241, 16, 100000), (4, 266, 0, 100000), (5, 201, 2, 100000),
+      (6, 243, 3, 100000), (7, 278, 6, 100000))
     SELECT CAST(cluster AS INT) AS cluster,
            CAST(size AS BIGINT) AS size,
            CAST(min_vec_id AS BIGINT) AS min_vec_id

@@ -106,6 +106,7 @@ class GStreamTrainer:
         nb_wind: int = 91,
         small_batch_rows: int = 5000,
         snapshot_format: str = "parquet",
+        plot_snapshots: bool = False,
     ):
         self.spark = spark
         self.params = params or GStreamParams()
@@ -113,6 +114,9 @@ class GStreamTrainer:
         self.out_dir = out_dir
         self.nb_wind = nb_wind
         self.snapshot_format = snapshot_format
+        # opt-in visual artifact at each B10 milestone — the reference's
+        # {run}-{kk}_MapData.jpg counterpart (snapshot_plot.py)
+        self.plot_snapshots = plot_snapshots
         self.kk = 1
         self.time_updates: list[int] = [0]  # cumulative ms, B11
         self.time_updates_base = 0  # absolute batch index of the buffer head
@@ -173,6 +177,10 @@ class GStreamTrainer:
                     self.spark, self.model, self.out_dir, self.kk,
                     self.time_updates, self.time_updates_base,
                 )
+            if self.plot_snapshots:
+                from .snapshot_plot import write_snapshot_svg
+
+                write_snapshot_svg(self.model, self.out_dir, self.kk)
         self.kk += 1
 
     # --- batch replay (M5) ------------------------------------------------
