@@ -49,3 +49,8 @@ from . import breadth_surface  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import corpus_surface  # noqa: E402,F401
 from . import timeseries_surface  # noqa: E402,F401
+
+# extras_surface MUST stay the LAST import: its keys are the newest and
+# must sort behind every earlier never-driver-verified key so the
+# rotating driver window drains the old queue first (VERDICT r5 item 1).
+from . import extras_surface  # noqa: E402,F401
