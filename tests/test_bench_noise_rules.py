@@ -1,0 +1,73 @@
+"""bench.py noise-control rules (VERDICT r5 item 2).
+
+The median-of-5 set must derive from the two newest committed BENCH
+files — in BOTH formats that exist on disk (bench.py's raw JSON line
+and the round driver's wrapper with the line under "parsed") — and
+_previous_bench_times must read the newest file for the in-run
+escalation rule.  Pure unit tests (no Spark)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+
+def _bench_module():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(here, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_auto_median5_flags_both_directions(tmp_path, monkeypatch):
+    m = _bench_module()
+    raw = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}}
+    wrapped = {
+        "n": "5",
+        "parsed": {"queries": {"a": 1.3, "b": 0.7, "c": 1.1, "e": 9.9}},
+    }
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(raw))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(wrapped))
+    monkeypatch.setattr(
+        os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    got = m._auto_median5_keys()
+    # a regressed +30%, b improved -30% -> both flagged; c moved 10% ->
+    # not flagged; d/e lack a pair -> not flagged
+    assert got == {"a", "b"}
+
+
+def test_previous_bench_times_reads_newest_wrapped(tmp_path, monkeypatch):
+    m = _bench_module()
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"queries": {"x": 5.0}}))
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"x": 2.0}}})
+    )
+    monkeypatch.setattr(os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    assert m._previous_bench_times() == {"x": 2.0}
+
+
+def test_bench_queries_tolerates_garbage(tmp_path):
+    m = _bench_module()
+    p = tmp_path / "BENCH_bad.json"
+    p.write_text("{not json")
+    assert m._bench_queries(str(p)) == {}
+    assert m._bench_queries(str(tmp_path / "missing.json")) == {}
+    p2 = tmp_path / "BENCH_list.json"
+    p2.write_text(json.dumps({"queries": [1, 2]}))
+    assert m._bench_queries(str(p2)) == {}
+
+
+def test_committed_bench_files_parse():
+    """The real committed artifacts must yield usable per-key walls."""
+    m = _bench_module()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import glob
+
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    assert files, "no committed BENCH files"
+    q = m._bench_queries(files[-1])
+    assert isinstance(q, dict) and len(q) > 10
+    assert all(isinstance(v, (int, float)) for v in q.values())

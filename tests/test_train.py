@@ -442,3 +442,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # emitted exactly once, with only the on-time 1.0 — the 100.0 arriving
     # after eviction was dropped
     assert [r.s for r in ten_oclock] == [1.0]
+
+
+def test_point_batches_cache_hands_out_copies(spark, sf_dir):
+    """gstream_epoch's input batches are session-cached (r6: one
+    bounded collect replaces the per-invocation count+toLocalIterator
+    loop); consumers get COPIES, so a mutating consumer cannot poison
+    the cache and repeated invocations stay byte-identical."""
+    from spark_streaming_clustering_spark.operators.streaming_surface import (
+        _point_batches,
+    )
+
+    b1 = list(_point_batches(spark, sf_dir))
+    assert len(b1) == 10 and all(len(df) == len(b1[0]) for df in b1)
+    # vandalize the handed-out frames
+    for df in b1:
+        df["features"] = None
+        df["id"] = -1
+    b2 = list(_point_batches(spark, sf_dir))
+    assert (b2[0]["id"] >= 0).all() and b2[0]["features"].iloc[0] is not None
+    # deterministic across invocations
+    b3 = list(_point_batches(spark, sf_dir))
+    assert all((x["id"] == y["id"]).all() for x, y in zip(b2, b3))
+
+
+def test_gstream_epoch_repeat_invocation_stable(spark, sf_dir):
+    """Two in-session runs of the full epoch must produce the identical
+    summary row (guards the batch cache against consumer mutation)."""
+    from spark_streaming_clustering_spark.operators.registry import QUERIES
+
+    r1 = QUERIES["gstream_epoch"](spark, sf_dir).collect()
+    r2 = QUERIES["gstream_epoch"](spark, sf_dir).collect()
+    assert r1 == r2 and r1[0].n_nodes >= 2
