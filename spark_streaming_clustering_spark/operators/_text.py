@@ -82,3 +82,28 @@ def _shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return toks.select("doc_id", F.posexplode(sh).alias("pos0", "sh")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "sh"
     )
+
+
+# Exact INTEGER document-quality score in micro-units, shared by every
+# scoring key (text_quality_score, dedup_keep_best,
+# pipeline_clean_corpus, pipeline_pretrain_e2e, corpus_stats_summary).
+# quality = 0.4*uniq/tok + 0.3*(1 - stop/tok) + 0.3*min(len/tok/10, 1)
+# re-expressed as floor-division rationals over the integer token
+# stats, so NO float path exists anywhere: the r6 second-scale vintage
+# (sf0.1) caught Spark's BigDecimal-exact HALF_UP round() and DuckDB's
+# multiply-based round() disagreeing by 1 micro on a tie — the same
+# double, two engines, two last digits.  Integer rationals cannot tie.
+# Per-engine text differs only in the floor-division spelling (Spark
+# `div`, DuckDB `//`).  Lives in this LEAF module so corpus_surface can
+# import it at top level (surface->surface imports break under the
+# registry's import order — house discipline).
+QMICRO_SPARK = (
+    "((400000*n_uniq + 300000*(n_tok - n_stop)) div n_tok"
+    " + least((30000*sum_len) div n_tok, 300000))"
+)
+QMICRO_DUCK = (
+    "((400000*n_uniq + 300000*(n_tok - n_stop)) // n_tok"
+    " + least((30000*sum_len) // n_tok, 300000))"
+)
+# the >= 0.5 quality gate in integer micro-units
+Q_GATE_MICRO = 500_000

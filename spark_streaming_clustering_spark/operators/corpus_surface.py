@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ._idioms import _DK_HASH, _SW, STOPWORDS, _hash28, _tokens
+from ._text import QMICRO_DUCK, QMICRO_SPARK
 from .registry import register
 
 # ==========================================================================
@@ -638,21 +639,10 @@ def corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stats.select(
         "doc_id",
         "n_tok",
-        # quality formula shared with text_quality_score, quantized to
-        # integer millis BEFORE summation (order-independence)
-        F.round(
-            (
-                F.lit(0.4) * (F.col("n_uniq") / F.col("n_tok"))
-                + F.lit(0.3) * (F.lit(1.0) - F.col("n_stop") / F.col("n_tok"))
-                + F.lit(0.3)
-                * F.least(
-                    F.col("sum_len") / F.col("n_tok") / F.lit(10.0), F.lit(1.0)
-                )
-            )
-            * 1000
-        )
-        .cast("bigint")
-        .alias("q_milli"),
+        # quality formula shared with text_quality_score — the exact
+        # integer micro-unit rational (no float path; see
+        # pipeline_surface._QMICRO_SPARK), floored to millis
+        F.expr(f"({QMICRO_SPARK}) div 1000").cast("bigint").alias("q_milli"),
     )
     return (
         dup.join(q, "doc_id")
@@ -689,10 +679,7 @@ register(
       FROM tok GROUP BY doc_id),
     q AS (
       SELECT doc_id, n_tok,
-             CAST(round((0.4 * (n_uniq / n_tok)
-                         + 0.3 * (1.0 - n_stop / n_tok)
-                         + 0.3 * least(sum_len / n_tok / 10.0, 1.0))
-                        * 1000) AS BIGINT) AS q_milli
+             CAST(({QMICRO_DUCK}) // 1000 AS BIGINT) AS q_milli
       FROM stats)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

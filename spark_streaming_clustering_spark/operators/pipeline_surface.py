@@ -28,6 +28,7 @@ from ..functions import vec
 from ..sources.tables import load_table
 from .registry import register
 from ._text import _DK_SHINGLES, _shingles, shared_tf  # noqa: F401  (shared shingle/tf relations)
+from ._text import Q_GATE_MICRO, QMICRO_DUCK as _QMICRO_DUCK, QMICRO_SPARK as _QMICRO_SPARK
 
 # --- deterministic constants: MinHash machinery lives in _idioms.py -------
 from ._idioms import (  # noqa: F401
@@ -366,15 +367,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc quality aggregate, then one argmax window per component.
     Components are bounded by the LSH bucket cap, so the per-component
     window never sees a skewed partition; everything shuffles on
-    doc_id/component only.  Tie-break on (quality DESC, doc_id ASC)
-    over the ROUNDED score so both engines pick the same survivor.
+    doc_id/component only.  Tie-break on (quality_micro DESC, doc_id
+    ASC) over the integer-exact score so both engines pick the same
+    survivor.
     """
     labels = dedup_connected_components(spark, sf_dir)
-    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_micro")
     member = labels.join(quality, "doc_id")
     w = Window.partitionBy("component")
     wr = Window.partitionBy("component").orderBy(
-        F.desc("quality"), F.asc("doc_id")
+        F.desc("quality_micro"), F.asc("doc_id")
     )
     return (
         member.withColumn("n_members", F.count(F.lit(1)).over(w))
@@ -384,7 +386,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component",
             "n_members",
             F.col("doc_id").alias("kept_doc"),
-            F.col("quality").alias("kept_quality"),
+            F.col("quality_micro").alias("kept_quality_micro"),
         )
     )
 
@@ -404,18 +406,17 @@ def _keep_best_oracle() -> str:
              SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
       FROM tok GROUP BY doc_id),
     q AS (SELECT doc_id,
-                 round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
-                       + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+                 CAST({_QMICRO_DUCK} AS BIGINT) AS quality_micro
           FROM stats),
-    member AS (SELECT comp.doc_id, component, quality
+    member AS (SELECT comp.doc_id, component, quality_micro
                FROM comp JOIN q USING (doc_id)),
-    ranked AS (SELECT component, doc_id, quality,
+    ranked AS (SELECT component, doc_id, quality_micro,
                       COUNT(*) OVER (PARTITION BY component) AS n_members,
                       row_number() OVER (PARTITION BY component
-                                         ORDER BY quality DESC, doc_id ASC) AS rn
+                                         ORDER BY quality_micro DESC, doc_id ASC) AS rn
                FROM member)
     SELECT component, CAST(n_members AS BIGINT) AS n_members,
-           doc_id AS kept_doc, quality AS kept_quality
+           doc_id AS kept_doc, quality_micro AS kept_quality_micro
     FROM ranked WHERE rn = 1
     """
 
@@ -926,22 +927,17 @@ def _quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality: uniqueness, stopword ratio, avg token length."""
+    """Heuristic quality: uniqueness, stopword ratio, avg token length —
+    emitted as exact integer micro-units (see _QMICRO_SPARK above; the
+    float formulation with round(x, 6) was retired after the sf0.1
+    vintage exposed a cross-engine rounding-tie divergence)."""
     stats = _quality_stats(spark, sf_dir)
-    uniq_ratio = F.col("n_uniq") / F.col("n_tok")
-    stop_ratio = F.col("n_stop") / F.col("n_tok")
-    avg_len = F.col("sum_len") / F.col("n_tok")
-    score = (
-        F.lit(0.4) * uniq_ratio
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.3) * F.least(avg_len / F.lit(10.0), F.lit(1.0))
-    )
     return stats.select(
         "doc_id",
         "n_tok",
         "n_uniq",
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.expr("(1000000*n_stop) div n_tok").cast("bigint").alias("stop_micro"),
+        F.expr(_QMICRO_SPARK).cast("bigint").alias("quality_micro"),
     )
 
 
@@ -957,9 +953,8 @@ register(
              SUM(CASE WHEN tok IN ({_SW}) THEN 1 ELSE 0 END) AS n_stop
       FROM tok GROUP BY doc_id)
     SELECT doc_id, n_tok, n_uniq,
-           round(n_stop / n_tok, 6) AS stop_ratio,
-           round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
-                 + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+           CAST((1000000*n_stop) // n_tok AS BIGINT) AS stop_micro,
+           CAST({_QMICRO_DUCK} AS BIGINT) AS quality_micro
     FROM stats
     """,
 )
@@ -1271,15 +1266,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         docs.join(keepers, "doc_id")
         .join(q, "doc_id")
-        .filter(F.col("quality") >= 0.5)
+        .filter(F.col("quality_micro") >= Q_GATE_MICRO)
     )
-    # quality is pre-rounded to 6 decimals, so summing micro-units is
-    # integer-exact in both engines; an avg of rounded values would sit
-    # on round-half boundaries and flip between summation orders.
+    # quality_micro is integer-exact (no float path), so both the gate
+    # and the micro-unit sum are order-independent by construction.
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
-        F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("quality_micros"),
+        F.sum("quality_micro").alias("quality_micros"),
     )
 
 
@@ -1292,14 +1286,13 @@ _Q_ORACLE_BODY = f"""
       FROM tok GROUP BY doc_id),
     quality AS (
       SELECT doc_id, n_tok,
-             round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
-                   + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+             CAST({_QMICRO_DUCK} AS BIGINT) AS quality_micro
       FROM stats),
     keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_micros
+           CAST(SUM(quality_micro) AS BIGINT) AS quality_micros
     FROM documents JOIN keepers USING (doc_id) JOIN quality USING (doc_id)
-    WHERE quality >= 0.5
+    WHERE quality_micro >= 500000
     GROUP BY lang
 """
 
@@ -1768,7 +1761,7 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_near_dup", F.lit(True))
     )
-    q = text_quality_score(spark, sf_dir).select("doc_id", "n_tok", "quality")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "n_tok", "quality_micro")
     per_doc = (
         # LEFT join on quality: a document with empty/whitespace-only
         # text produces no tokenizer row — it must still count in
@@ -1782,20 +1775,18 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_keeper",
             F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
             "n_tok",
-            "quality",
+            "quality_micro",
         )
     )
     surviving = F.col("is_keeper") & ~F.col("is_near_dup")
-    final = surviving & (F.col("quality") >= 0.5)
+    final = surviving & (F.col("quality_micro") >= Q_GATE_MICRO)
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count_if("is_keeper").alias("n_exact"),
         F.count_if(surviving).alias("n_near"),
         F.count_if(final).alias("n_final"),
         F.sum(F.when(final, F.col("n_tok"))).alias("total_tokens"),
-        F.sum(
-            F.when(final, F.round(F.col("quality") * 1e6).cast("bigint"))
-        ).alias("quality_micros"),
+        F.sum(F.when(final, F.col("quality_micro"))).alias("quality_micros"),
     )
 
 
@@ -1837,23 +1828,21 @@ def _pretrain_e2e_oracle() -> str:
       FROM tok GROUP BY doc_id),
     quality AS (
       SELECT doc_id, n_tok,
-             round(0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
-                   + 0.3 * least(sum_len / n_tok / 10.0, 1.0), 6) AS quality
+             CAST({_QMICRO_DUCK} AS BIGINT) AS quality_micro
       FROM stats),
     exact_docs AS (SELECT d.doc_id, d.lang FROM documents d
                    JOIN keepers USING (doc_id)),
     nr_docs AS (SELECT e.doc_id, e.lang FROM exact_docs e
                 WHERE e.doc_id NOT IN (SELECT doc_id FROM near)),
-    fin_docs AS (SELECT n.doc_id, n.lang, q.n_tok, q.quality
+    fin_docs AS (SELECT n.doc_id, n.lang, q.n_tok, q.quality_micro
                  FROM nr_docs n JOIN quality q USING (doc_id)
-                 WHERE q.quality >= 0.5),
+                 WHERE q.quality_micro >= 500000),
     raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
     ex AS (SELECT lang, COUNT(*) AS n_exact FROM exact_docs GROUP BY lang),
     nr AS (SELECT lang, COUNT(*) AS n_near FROM nr_docs GROUP BY lang),
     fin AS (SELECT lang, COUNT(*) AS n_final,
                    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-                   CAST(SUM(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
-                     AS quality_micros
+                   CAST(SUM(quality_micro) AS BIGINT) AS quality_micros
             FROM fin_docs GROUP BY lang)
     SELECT raw.lang, n_raw,
            COALESCE(n_exact, 0) AS n_exact,

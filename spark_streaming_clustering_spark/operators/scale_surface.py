@@ -867,10 +867,13 @@ def analyze_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-threshold decisions consume.  The relation returned IS
     the stats readback, checked against a relational recompute.  NDV
     comes from HLL++ and is an ESTIMATE (measured: 151 vs 150 exact at
-    sf0.01), so it ships as an accuracy CERTIFICATE (relative error
-    within 5% of the exact distinct count) — the same checkable-approx
-    pattern as ``approx_count_distinct_q``; min/max/nulls/rowcount are
-    exact and compared as values.
+    sf0.01; 1418 vs 1500 at sf0.1), so it ships as an accuracy
+    CERTIFICATE at TWO SIGMA of ANALYZE's fixed default precision
+    (rsd = 0.05 -> bound 10%): a one-sigma bound is exceeded ~32% of
+    the time by construction, and did fail at sf0.1 (r6 second-scale
+    vintage) — the same checkable-approx pattern as
+    ``approx_count_distinct_q``; min/max/nulls/rowcount are exact and
+    compared as values.
 
     Same bounded external-LOCATION discipline as sql_ddl_roundtrip
     (per-session deterministic path, cleaned before CTAS).
@@ -904,7 +907,7 @@ def analyze_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndv_exact = (
         spark.table("stats_events").select("user_id").distinct().count()
     )
-    ndv_ok = abs(ndv_est - ndv_exact) <= 0.05 * ndv_exact
+    ndv_ok = abs(ndv_est - ndv_exact) <= 0.10 * ndv_exact
     return spark.createDataFrame(
         [
             (

@@ -168,7 +168,7 @@ def test_zorder_envelopes_are_narrow(spark):
 
 def test_dedup_keep_best_picks_max_quality_member(spark):
     """The kept doc is a real member of its component with the maximal
-    (rounded) quality; component membership totals agree with CC."""
+    (integer-micro) quality; component membership totals agree with CC."""
     from spark_streaming_clustering_spark.operators.pipeline_surface import (
         dedup_connected_components,
         dedup_keep_best,
@@ -181,7 +181,8 @@ def test_dedup_keep_best_picks_max_quality_member(spark):
         for r in dedup_connected_components(spark, SF_SMOKE).collect()
     }
     qual = {
-        r.doc_id: r.quality for r in text_quality_score(spark, SF_SMOKE).collect()
+        r.doc_id: r.quality_micro
+        for r in text_quality_score(spark, SF_SMOKE).collect()
     }
     kept = dedup_keep_best(spark, SF_SMOKE).collect()
     assert sum(r.n_members for r in kept) == len(comp)
@@ -189,4 +190,4 @@ def test_dedup_keep_best_picks_max_quality_member(spark):
         assert comp[r.kept_doc] == r.component
         members = [d for d, c in comp.items() if c == r.component]
         assert len(members) == r.n_members
-        assert r.kept_quality == max(qual[d] for d in members)
+        assert r.kept_quality_micro == max(qual[d] for d in members)
