@@ -333,10 +333,13 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: bigram construction is a map-side higher-order
     transform over the token array (no self-join, no window over the
-    corpus), then ONE count aggregate at vocabulary^2-bounded (in
-    practice Zipf-bounded) cardinality, and a final single-partition
-    top-k over the tiny aggregate — the global sort touches counts,
-    never the corpus.
+    corpus), then ONE count aggregate.  The top-20 is taken with
+    ``orderBy().limit()`` — Spark compiles that to
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver), so even a 100 TB corpus whose bigram vocabulary is
+    billions of keys never funnels the counts relation into a single
+    partition; the unpartitioned rank window then runs over exactly
+    the 20 surviving rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -355,11 +358,12 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # TakeOrderedAndProject: the ORDER BY chain is total (cnt DESC,
+    # bigram ASC), so limit(20) selects exactly the rows rank<=20
+    # would — then the rank window runs over those 20 rows only.
+    top = counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(20)
     w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 register(

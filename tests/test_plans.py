@@ -474,3 +474,41 @@ def test_sssp_relaxation_count(spark):
     assert plan.count("SortMergeJoin") + plan.count(
         "BroadcastHashJoin"
     ) + plan.count("ShuffledHashJoin") >= SSSP_ITERS
+
+
+def test_ngram_counts_takeordered_top20(spark):
+    """The bigram top-20 rides TakeOrderedAndProject (per-partition
+    partial top-k) — the counts relation (vocabulary^2 keys at scale)
+    never funnels into a single-partition global sort; the rank window
+    runs after the limit, over 20 rows."""
+    plan = _plan(spark, "ngram_counts")
+    assert "TakeOrderedAndProject" in plan
+    # exactly one Window node, and it sits above the TakeOrdered
+    assert plan.count("Window (") == 1
+    assert plan.index("Window (") < plan.index("TakeOrderedAndProject")
+
+
+def test_plan_audit_eager_set_in_lockstep():
+    """scripts/plan_audit.py sweeps every key tests/test_plans.py does;
+    its skip-set must stay identical to EAGER here or the inventory
+    silently loses (or double-counts) keys."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.EAGER == EAGER
+    # fingerprint() parses a representative formatted plan
+    fp = mod.fingerprint(
+        "(1) Scan parquet t\n(2) Exchange\n(3) BroadcastExchange\n"
+        "(4) BroadcastHashJoin\n(5) Window\n(6) Sort\nTakeOrderedAndProject\n"
+    )
+    assert fp["shuffle_exchanges"] == 1
+    assert fp["broadcast_exchanges"] == 1
+    assert fp["scans"] == 1
+    assert fp["take_ordered"] == 1
+    assert fp["cartesian"] == 0
