@@ -848,6 +848,15 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Profile = top-20 tokens per language by frequency (ties: token asc);
     prediction = language with max distinct-token overlap (ties: lang
     asc).  Docs with zero overlap with every profile are dropped.
+
+    Plan shape: the profile (20 tokens x language count — bounded) is
+    BROADCAST against the raw token stream, so non-profile tokens die
+    map-side before any shuffle; the distinct-overlap count then runs
+    as countDistinct over the surviving (matched) tokens only.  The
+    naive order — distinct() over every corpus token, then join —
+    shuffles the whole tokenized corpus; at 100 TB that exchange is
+    the entire job, and it exists only to dedup tokens the profile
+    join would discard anyway.
     """
     tok = _tokens(spark, sf_dir)
     counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -857,9 +866,11 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select(F.col("lang").alias("plang"), "tok")
     )
-    doc_tok = tok.select("doc_id", "lang", "tok").distinct()
-    ov = doc_tok.join(profile, "tok").groupBy("doc_id", "lang", "plang").agg(
-        F.count(F.lit(1)).alias("overlap")
+    ov = (
+        tok.select("doc_id", "lang", "tok")
+        .join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.countDistinct("tok").alias("overlap"))
     )
     wd = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("plang"))
     return (

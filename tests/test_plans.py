@@ -512,3 +512,18 @@ def test_plan_audit_eager_set_in_lockstep():
     assert fp["scans"] == 1
     assert fp["take_ordered"] == 1
     assert fp["cartesian"] == 0
+
+
+def test_lang_id_profile_broadcast_no_corpus_distinct(spark):
+    """lang_id_ngram joins the bounded per-language profile BROADCAST
+    against the raw token stream — non-profile tokens die map-side.
+    The scale regression this pins against: a distinct() over every
+    corpus token (an exchange carrying the whole tokenized corpus)
+    upstream of the profile join."""
+    plan = _plan(spark, "lang_id_ngram")
+    assert "BroadcastHashJoin" in plan
+    # the overlap count is a distinct-aggregate AFTER the join, so the
+    # only corpus-sized shuffles are the profile build + overlap agg
+    from spark_streaming_clustering_spark.plans import count_exchanges
+
+    assert count_exchanges(plan) <= 5
