@@ -691,32 +691,49 @@ def cms_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 4x1024 table regardless of key cardinality, and a rollup
     across time/sources is counter addition.  Hashes are the house
     md5-prefix construction evaluated identically in both engines.
+
+    Plan shape: ONE events scan.  Per-key exact counts aggregate
+    first; the 4 (row, pos) cells are then derived from the key — a
+    map-side explode over the ALREADY-AGGREGATED key-cardinality
+    relation, so neither the 4x cell expansion nor the distinct ever
+    touches event-cardinality data (the naive cells-as-union form
+    scanned events 4x for cells, twice over, plus once for truth = 9
+    scans).  Each event contributes exactly one cell per sketch row,
+    so counter c[i][p] = SUM of true_n over keys hashing there, and
+    truth itself is just the per-key aggregate — no separate branch.
+    The 4x1024 counter table broadcasts back; at runtime AQE reuses
+    the per-key shuffle stage for both its consumers (verified:
+    ReusedExchange in the final adaptive plan), so events is read
+    once and every post-scan exchange carries key-cardinality or
+    4x1024 rows.
     """
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("key")
     )
-    rows = []
+    perkey = ev.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
+    structs = []
     for i in range(CMS_DEPTH):
         h = F.conv(
             F.substring(F.md5(F.concat(F.lit(f"cms{i}|"), F.col("key"))), 1, 7),
             16,
             10,
         ).cast("bigint")
-        rows.append(
-            ev.select(
-                "key", F.lit(i).alias("row"), (h % CMS_WIDTH).alias("pos")
+        structs.append(
+            F.struct(
+                F.lit(i).alias("row"), (h % CMS_WIDTH).alias("pos")
             )
         )
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionAll(r)
-    counters = cells.groupBy("row", "pos").agg(F.count(F.lit(1)).alias("c"))
-    keyed = cells.distinct().join(counters, ["row", "pos"])
-    est = keyed.groupBy("key").agg(F.min("c").alias("cms_est"))
-    truth = ev.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
-    return (
-        truth.join(est, "key")
-        .select(F.col("key").cast("bigint").alias("user_id"), "true_n", "cms_est")
+    cells = perkey.select(
+        "key", "true_n", F.explode(F.array(*structs)).alias("s")
+    ).select("key", "true_n", F.col("s.row").alias("row"), F.col("s.pos").alias("pos"))
+    counters = cells.groupBy("row", "pos").agg(F.sum("true_n").alias("c"))
+    est = (
+        cells.join(F.broadcast(counters), ["row", "pos"])
+        .groupBy("key", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("key").cast("bigint").alias("user_id"), "true_n", "cms_est"
     )
 
 

@@ -527,3 +527,16 @@ def test_lang_id_profile_broadcast_no_corpus_distinct(spark):
     from spark_streaming_clustering_spark.plans import count_exchanges
 
     assert count_exchanges(plan) <= 5
+
+
+def test_cms_single_scan_shape(spark):
+    """The count-min sketch derives its 4 (row, pos) cells from the
+    ALREADY-AGGREGATED per-key relation — no per-depth union of event
+    scans (the retired shape read events 9x), and the counter table
+    joins back broadcast."""
+    plan = _plan(spark, "cms_sketch_q")
+    from spark_streaming_clustering_spark.plans import count_scans
+
+    assert count_scans(plan) <= 2  # static plan; AQE reuses the shuffle
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
