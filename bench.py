@@ -106,6 +106,23 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_files() -> list[str]:
+    """Committed BENCH_r*.json paths sorted by PARSED round number —
+    lexicographic filename sort breaks at r100 ('BENCH_r100' <
+    'BENCH_r11'), silently pointing the median-of-5 derivation and the
+    1.25x escalation at the wrong round (review finding r6)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def rnum(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=rnum)
+
+
 def _auto_median5_keys() -> set[str]:
     """Derive the median-of-5 set from the committed record instead of a
     hand-maintained list (VERDICT r5 item 2: 15 keys moved >25% r4->r5
@@ -118,10 +135,7 @@ def _auto_median5_keys() -> set[str]:
     self-clears: once a key's median is stable across two rounds it
     drops back to adaptive best-of-3.
     """
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    benches = _bench_files()
     if len(benches) < 2:
         return set()
     prev, last = _bench_queries(benches[-2]), _bench_queries(benches[-1])
@@ -155,10 +169,7 @@ def _bench_queries(path: str) -> dict:
 def _previous_bench_times() -> dict:
     """Per-key walls from the NEWEST committed BENCH_r*.json (the
     comparison base the verdict's +-25% rule is evaluated against)."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    benches = _bench_files()
     return _bench_queries(benches[-1]) if benches else {}
 
 
@@ -300,6 +311,11 @@ def main() -> None:
     # 3-sample best (VERDICT r5 item 2's actual requirement).
     prev_times = _previous_bench_times()
     times: dict[str, float] = {}
+    # Per-key sampling provenance, committed alongside the walls so a
+    # mover is self-adjudicating from the artifact: an auditor reading
+    # BENCH_rN.json alone can tell an escalated median from a raw
+    # minimum and see every raw sample (VERDICT r6 item 3).
+    methods: dict[str, dict] = {}
     for key in HEADLINE:
         samples: list[float] = []
 
@@ -312,6 +328,7 @@ def main() -> None:
             for _run in range(5):
                 _sample()
             times[key] = sorted(samples)[2]
+            methods[key] = {"method": "median5", "samples": samples}
             continue
         for _run in range(3):
             _sample()
@@ -329,14 +346,24 @@ def main() -> None:
             while len(samples) < 5:
                 _sample()
             times[key] = sorted(samples)[2]
+            methods[key] = {"method": "escalated-median5", "samples": samples}
         else:
             times[key] = best
+            methods[key] = {"method": f"best{len(samples)}", "samples": samples}
 
     gstream_ms = bench_gstream(spark, SF_DIR)
     times["gstream_epoch_20x100"] = round(gstream_ms * 20 / 1000.0, 3)
+    methods["gstream_epoch_20x100"] = {
+        "method": "derived",  # 20 batches x mean ms/batch, one trial
+        "samples": [times["gstream_epoch_20x100"]],
+    }
 
     estep_sec, estep_pps = bench_estep_distributed(spark, SF_DIR)
     times["gstream_estep_distributed"] = round(estep_sec, 3)
+    methods["gstream_estep_distributed"] = {
+        "method": "single",
+        "samples": [times["gstream_estep_distributed"]],
+    }
 
     total = round(sum(times.values()), 3)
     print(
@@ -346,6 +373,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # how each "queries" value was sampled + every raw
+                # sample — movers self-adjudicate from the artifact
+                "methods": methods,
                 "sf": sf,
                 # THE baseline-defined metric (BASELINE.md: reference
                 # timeUpdates ~58 ms/batch on local[2]; contract budget

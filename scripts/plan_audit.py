@@ -113,9 +113,11 @@ def main() -> int:
             failed.append(k)
             print(f"EXPLAIN-FAIL {k}: {exc}", file=sys.stderr)
 
-    totals = {
-        f: sum(v[f] for v in keys.values()) for f in next(iter(keys.values()))
-    }
+    # keys can be empty (every explain failed, or an empty registry) —
+    # next(iter(...)) would raise a confusing RuntimeError inside the
+    # comprehension (review finding r6)
+    first = next(iter(keys.values()), {})
+    totals = {f: sum(v[f] for v in keys.values()) for f in first}
     out = {
         "_meta": {
             "n_keys": len(keys),
@@ -134,7 +136,7 @@ def main() -> int:
         f"{args.out}; totals: {totals}"
     )
 
-    rc = 1 if (failed or totals["cartesian"]) else 0
+    rc = 1 if (failed or totals.get("cartesian", 0) or not keys) else 0
     if prev is not None:
         regressions = []
         for k, fp in keys.items():
@@ -142,9 +144,13 @@ def main() -> int:
                 print(f"NEW {k}: {fp}")
                 continue
             for field, direction in WORSE.items():
-                delta = fp[field] - prev[k][field]
+                # an older artifact may predate a fingerprint field —
+                # treat the missing value as 0 rather than KeyError
+                # (review finding r6)
+                prev_v = prev[k].get(field, 0)
+                delta = fp[field] - prev_v
                 if delta * direction > 0:
-                    regressions.append((k, field, prev[k][field], fp[field]))
+                    regressions.append((k, field, prev_v, fp[field]))
         for k in prev:
             if k not in keys and k not in EAGER:
                 print(f"REMOVED {k}")

@@ -86,7 +86,13 @@ def _point_batches(spark: SparkSession, sf_dir: str, n_batches: int = 10):
                 )
             )
         _POINT_BATCH_CACHE[key] = cached
-    return (df.copy() for df in cached)
+    # pandas copy(deep=True) does NOT deep-copy object-dtype cells, so
+    # the feature LISTS would still be shared with the cache; rebuild
+    # them per hand-out so even in-place list mutation can't poison it
+    # (review finding r6).
+    return (
+        df.assign(features=[list(v) for v in df["features"]]) for df in cached
+    )
 
 
 def _proto_summary(proto: DataFrame) -> DataFrame:

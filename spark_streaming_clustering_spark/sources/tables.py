@@ -130,24 +130,31 @@ def derived_layout_path(
     on-disk layout, with leak control: stale siblings pruned, own path
     atexit-cleaned.  ``table=None`` drops the fingerprint component
     (for layouts rewritten from scratch on every call, e.g. CTAS)."""
-    import glob as _glob
     import re
     import shutil
     import tempfile
 
     tag = sf_tag(sf_dir)
-    parts = [prefix, spark.sparkContext.applicationId, tag]
+    # Each prefix family lives in its own subdirectory so pruning for
+    # prefix X can never touch a layout of any OTHER prefix, even one
+    # spelled as a "_"-extension of X (review finding r6: a flat
+    # "{prefix}_*" glob plus a greedy appId slot would let an "events"
+    # prune rmtree a live "events_by_day_..." layout; appIds themselves
+    # may contain underscores on YARN, so anchoring that slot is not
+    # delimiter-safe either).
+    fam_dir = os.path.join(tempfile.gettempdir(), "spark_graft_layouts", prefix)
+    os.makedirs(fam_dir, exist_ok=True)
+    parts = [spark.sparkContext.applicationId, tag]
     if table is not None:
         parts.append(source_fingerprint(sf_dir, table))
-    out = os.path.join(tempfile.gettempdir(), "_".join(parts))
+    out = os.path.join(fam_dir, "_".join(parts))
     # Exact-tag match (not substring): sf tags can be prefixes of each
     # other ("sf0_1" vs "sf0_12"), so a glob-only prune could reclaim a
     # LIVE layout of a different scale factor.
-    sib_re = re.compile(
-        rf"^{re.escape(prefix)}_.+_{re.escape(tag)}(_\d+_\d+)?$"
-    )
-    for sib in _glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
-        if sib != out and sib_re.match(os.path.basename(sib)):
+    sib_re = re.compile(rf"^.+_{re.escape(tag)}(_\d+_\d+)?$")
+    for name in os.listdir(fam_dir):
+        sib = os.path.join(fam_dir, name)
+        if sib != out and sib_re.match(name):
             shutil.rmtree(sib, ignore_errors=True)
     return _track_tmp(out)
 

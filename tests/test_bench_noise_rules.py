@@ -60,6 +60,21 @@ def test_bench_queries_tolerates_garbage(tmp_path):
     assert m._bench_queries(str(p2)) == {}
 
 
+def test_bench_files_sort_by_round_number(tmp_path, monkeypatch):
+    """Lexicographic filename sort breaks at r100 ('BENCH_r100' <
+    'BENCH_r11'); the newest-round pick must use the parsed round
+    number (review finding r6)."""
+    m = _bench_module()
+    for r, x in [(9, 1.0), (11, 2.0), (100, 3.0)]:
+        (tmp_path / f"BENCH_r{r:02d}.json").write_text(
+            json.dumps({"queries": {"x": x}})
+        )
+    monkeypatch.setattr(os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    assert m._previous_bench_times() == {"x": 3.0}  # r100 is newest
+    # median5 derivation compares r100 vs r11 (x: 2.0 -> 3.0 = +50%)
+    assert m._auto_median5_keys() == {"x"}
+
+
 def test_committed_bench_files_parse():
     """The real committed artifacts must yield usable per-key walls."""
     m = _bench_module()

@@ -455,12 +455,16 @@ def test_point_batches_cache_hands_out_copies(spark, sf_dir):
 
     b1 = list(_point_batches(spark, sf_dir))
     assert len(b1) == 10 and all(len(df) == len(b1[0]) for df in b1)
-    # vandalize the handed-out frames
+    # vandalize the handed-out frames — including IN-PLACE mutation of a
+    # features list, which a shallow pandas copy would share by
+    # reference with the cache (review finding r6)
     for df in b1:
+        df["features"].iloc[0][0] = 1e9
         df["features"] = None
         df["id"] = -1
     b2 = list(_point_batches(spark, sf_dir))
     assert (b2[0]["id"] >= 0).all() and b2[0]["features"].iloc[0] is not None
+    assert b2[0]["features"].iloc[0][0] != 1e9
     # deterministic across invocations
     b3 = list(_point_batches(spark, sf_dir))
     assert all((x["id"] == y["id"]).all() for x, y in zip(b2, b3))
