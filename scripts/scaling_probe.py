@@ -11,7 +11,8 @@ and is reported but not judged):
 - >>1.0 superlinear — a pair expansion or shuffle blow-up; the probe's
   red flag (threshold 1.5 allows scheduling jitter on sub-second keys)
 
-Writes SCALING.md (markdown table) and prints one JSON line.
+Rewrites the probe table inside SCALE.md's scaling-probe markers
+(single authoritative scaling doc) and prints one JSON line.
 
 Usage: python scripts/scaling_probe.py [--runs 2]
 """
@@ -112,15 +113,6 @@ def main() -> None:
         print(f"{key:28s} {times} elast={elast}", file=sys.stderr)
 
     lines = [
-        "# SCALING.md — measured scaling elasticity (local[32])",
-        "",
-        "Generated by `scripts/scaling_probe.py`.  Elasticity is",
-        "log(t_0.1/t_0.01) / log(rows_0.1/rows_0.01) for each key's",
-        "driving table; ~1.0 = linear in data, <1.0 = fixed overhead",
-        "still amortizing (expected at local scale), >1.5 = superlinear",
-        "red flag (pair expansion / shuffle blow-up).  The sf0.001 and",
-        "sf0.01 columns are overhead-dominated and shown for context.",
-        "",
         "| key | driving table | t(0.001) s | t(0.01) s | t(0.1) s | rows 0.01->0.1 | elasticity |",
         "|---|---|---|---|---|---|---|",
     ]
@@ -137,10 +129,19 @@ def main() -> None:
     lines += [
         "",
         f"Superlinear flags (> 1.5): {flagged if flagged else 'none'}.",
-        "",
     ]
-    with open(os.path.join(_HERE, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines))
+    # One authoritative scaling doc (VERDICT r6 item 7): splice the
+    # table into SCALE.md's marked span instead of a separate SCALING.md.
+    scale_md = os.path.join(_HERE, "SCALE.md")
+    start, end = "<!-- scaling-probe:start -->", "<!-- scaling-probe:end -->"
+    with open(scale_md) as f:
+        doc = f.read()
+    if start not in doc or end not in doc:
+        raise SystemExit(f"markers {start}/{end} missing from SCALE.md")
+    head, rest = doc.split(start, 1)
+    _, tail = rest.split(end, 1)
+    with open(scale_md, "w") as f:
+        f.write(head + start + "\n" + "\n".join(lines) + "\n" + end + tail)
 
     print(json.dumps({"metric": "scaling_elasticity", "results": results,
                       "flagged": flagged}))
