@@ -98,6 +98,9 @@ HEADLINE = [
     "running_distinct_users",
     "time_decay_score",
     "pipeline_pretrain_e2e",
+    # round-7 batch: executed two-phase pack, cross-write sketch rollup
+    "shard_pack_two_phase",
+    "hll_union_rollup",
 ]
 
 
