@@ -212,7 +212,6 @@ def test_merge_into_upsert_copy_on_write(spark):
     the affected buckets {1, 3}, v1 keeps all 8; and all three clause
     kinds are visible in the read-back state."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -220,18 +219,16 @@ def test_merge_into_upsert_copy_on_write(spark):
         merge_into_upsert,
     )
     from spark_streaming_clustering_spark.sources.tables import (
+        derived_layout_path,
         load_table,
-        source_fingerprint,
     )
 
     final = merge_into_upsert(spark, SF_ORACLE)
 
-    tag = "".join(c if c.isalnum() else "_" for c in SF_ORACLE.strip("/"))
-    fp = source_fingerprint(SF_ORACLE, "customer")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"merge_tbl_{spark.sparkContext.applicationId}_{tag}_{fp}",
-    )
+    # the layout path has a single owner (derived_layout_path) — derive
+    # it the same way rather than hand-rebuilding the naming scheme
+    # (hand-built spelling broke when r7 nested layouts per prefix)
+    base = derived_layout_path(spark, "merge_tbl", SF_ORACLE, "customer")
     v1_bkts = {d for d in os.listdir(os.path.join(base, "v1")) if d.startswith("bkt=")}
     v2_bkts = {d for d in os.listdir(os.path.join(base, "v2")) if d.startswith("bkt=")}
     assert v1_bkts == {f"bkt={i}" for i in range(8)}
