@@ -126,6 +126,56 @@ def _bench_files() -> list[str]:
     return sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=rnum)
 
 
+def _round_records() -> list[tuple[int, dict]]:
+    """Ordered (round, per-key walls) for every committed round with a
+    USABLE record.  Each round has up to two artifacts: the driver's
+    BENCH_r{N}.json (bench.py's stdout line under "parsed" — can be
+    truncated by the driver's stdout-tail capture, observed r7:
+    "parsed": null) and bench.py's own BENCH_SELF_r{N}.json (the full
+    record, written directly to a file so no capture window applies).
+    The self-artifact is preferred; a round whose only artifact is
+    truncated is skipped entirely so the round-over-round comparisons
+    fall back to the newest round that actually parsed (VERDICT r7
+    item 1)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[int, dict[str, str]] = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "BENCH_SELF_r*.json")
+    ):
+        base = os.path.basename(p)
+        m = re.search(r"BENCH(_SELF)?_r(\d+)", base)
+        if not m:
+            continue
+        kind = "self" if m.group(1) else "driver"
+        rounds.setdefault(int(m.group(2)), {})[kind] = p
+    out: list[tuple[int, dict]] = []
+    for r in sorted(rounds):
+        for kind in ("self", "driver"):
+            if kind in rounds[r]:
+                q = _bench_queries(rounds[r][kind])
+                if q:
+                    out.append((r, q))
+                    break
+    return out
+
+
+def _next_round() -> int:
+    """Round number for this run's self-artifact: one past the newest
+    committed round (the driver writes BENCH_r{N}.json AFTER bench.py
+    runs, so at round-N bench time the newest on disk is N-1)."""
+    import re
+
+    latest = 0
+    for p in _bench_files():
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest + 1
+
+
 def _auto_median5_keys() -> set[str]:
     """Derive the median-of-5 set from the committed record instead of a
     hand-maintained list (VERDICT r5 item 2: 15 keys moved >25% r4->r5
@@ -138,10 +188,10 @@ def _auto_median5_keys() -> set[str]:
     self-clears: once a key's median is stable across two rounds it
     drops back to adaptive best-of-3.
     """
-    benches = _bench_files()
-    if len(benches) < 2:
+    records = _round_records()
+    if len(records) < 2:
         return set()
-    prev, last = _bench_queries(benches[-2]), _bench_queries(benches[-1])
+    prev, last = records[-2][1], records[-1][1]
     movers = set()
     for key, cur in last.items():
         old = prev.get(key)
@@ -170,10 +220,11 @@ def _bench_queries(path: str) -> dict:
 
 
 def _previous_bench_times() -> dict:
-    """Per-key walls from the NEWEST committed BENCH_r*.json (the
-    comparison base the verdict's +-25% rule is evaluated against)."""
-    benches = _bench_files()
-    return _bench_queries(benches[-1]) if benches else {}
+    """Per-key walls from the newest USABLE committed round record (the
+    comparison base the verdict's +-25% rule is evaluated against) —
+    self-artifact preferred, truncated driver files skipped."""
+    records = _round_records()
+    return records[-1][1] if records else {}
 
 
 def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 20) -> float:
@@ -354,42 +405,58 @@ def main() -> None:
             times[key] = best
             methods[key] = {"method": f"best{len(samples)}", "samples": samples}
 
-    gstream_ms = bench_gstream(spark, SF_DIR)
+    # Median-of-3 trials for the baseline-defined latency metric; the
+    # raw per-trial mean-ms values ARE the samples, so the derived
+    # wall-clock row self-adjudicates from raw measurements, not from
+    # its own post-derivation output (review finding r7).
+    gstream_ms_samples = [round(bench_gstream(spark, SF_DIR), 3) for _ in range(3)]
+    gstream_ms = sorted(gstream_ms_samples)[1]
     times["gstream_epoch_20x100"] = round(gstream_ms * 20 / 1000.0, 3)
     methods["gstream_epoch_20x100"] = {
-        "method": "derived",  # 20 batches x mean ms/batch, one trial
-        "samples": [times["gstream_epoch_20x100"]],
+        "method": "derived-median3: 20 batches x median mean-ms-per-batch / 1000",
+        "samples": gstream_ms_samples,
     }
 
-    estep_sec, estep_pps = bench_estep_distributed(spark, SF_DIR)
+    # Best-of-3: this was the last "single"-method row and the only r7
+    # >25% mover (+59% on one sample, plan unchanged — host noise the
+    # methods field exists to adjudicate; VERDICT r7 item 4).
+    estep_trials = [bench_estep_distributed(spark, SF_DIR) for _ in range(3)]
+    estep_sec, estep_pps = min(estep_trials, key=lambda t: t[0])
     times["gstream_estep_distributed"] = round(estep_sec, 3)
     methods["gstream_estep_distributed"] = {
-        "method": "single",
-        "samples": [times["gstream_estep_distributed"]],
+        "method": "best3",
+        "samples": [round(t[0], 3) for t in estep_trials],
     }
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                # how each "queries" value was sampled + every raw
-                # sample — movers self-adjudicate from the artifact
-                "methods": methods,
-                "sf": sf,
-                # THE baseline-defined metric (BASELINE.md: reference
-                # timeUpdates ~58 ms/batch on local[2]; contract budget
-                # is 2x = 116 ms) — carried with its budget so the
-                # round-over-round record is self-describing.
-                "gstream_ms_per_batch": round(gstream_ms, 1),
-                "gstream_ms_per_batch_budget": 116.0,
-                "estep_points_per_sec": int(estep_pps),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        # THE baseline-defined metric (BASELINE.md: reference
+        # timeUpdates ~58 ms/batch on local[2]; contract budget
+        # is 2x = 116 ms) — carried with its budget so the
+        # round-over-round record is self-describing.
+        "gstream_ms_per_batch": round(gstream_ms, 1),
+        "gstream_ms_per_batch_budget": 116.0,
+        "estep_points_per_sec": int(estep_pps),
+    }
+    # Full record — per-key sampling method + every raw sample — goes to
+    # a repo file bench.py owns: the round driver captures only a tail
+    # of stdout, and embedding ~55 keys' samples in the printed line
+    # outgrew that window at r7 (BENCH_r07.json "parsed": null, the
+    # round's one red pytest row).  Stdout stays a compact summary line
+    # the tail window always fits (r6's methods-free line was 1592
+    # chars and parsed fine); auditors and the in-repo readers
+    # (_round_records) prefer the self-artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    self_name = f"BENCH_SELF_r{_next_round():02d}.json"
+    with open(os.path.join(here, self_name), "w") as f:
+        json.dump({**record, "methods": methods}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({**record, "self_artifact": self_name}, separators=(",", ":")))
     spark.stop()
 
 

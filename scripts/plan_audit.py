@@ -96,7 +96,10 @@ def main() -> int:
         with open(args.prev) as fh:
             prev = json.load(fh).get("keys", {})
 
-    from spark_streaming_clustering_spark.operators.registry import QUERIES
+    from spark_streaming_clustering_spark.operators.registry import (
+        PLAN_PROXIES,
+        QUERIES,
+    )
     from spark_streaming_clustering_spark.plans import formatted_plan
     from spark_streaming_clustering_spark.session import get_spark
 
@@ -108,7 +111,13 @@ def main() -> int:
         if k in EAGER:
             continue
         try:
-            keys[k] = fingerprint(formatted_plan(fn(spark, args.sf_dir)))
+            # A key with internal lineage truncation (localCheckpoint)
+            # is fingerprinted via its registered lazy proxy plan —
+            # the built result's plan is a post-truncation RDD scan
+            # (review finding r7).
+            keys[k] = fingerprint(
+                formatted_plan(PLAN_PROXIES.get(k, fn)(spark, args.sf_dir))
+            )
         except Exception as exc:  # noqa: BLE001 — inventory, keep going
             failed.append(k)
             print(f"EXPLAIN-FAIL {k}: {exc}", file=sys.stderr)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..functions import vec
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, register_plan_proxy
 from ._text import _DK_SHINGLES, _shingles, shared_tf  # noqa: F401  (shared shingle/tf relations)
 from ._text import Q_GATE_MICRO, QMICRO_DUCK as _QMICRO_DUCK, QMICRO_SPARK as _QMICRO_SPARK
 
@@ -309,24 +309,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale.  Oracle: DuckDB recursive-CTE transitive closure over the
     identical pair CTEs, min label per node.
     """
-    pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
+    edges, labels = _cc_edges_labels(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(20):  # diameter bound; bucket cap keeps clusters shallow
-        prop = edges.join(
-            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
-        ).select(F.col("src").alias("node"), "lbl")
-        new_labels = (
-            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        new_labels = _cc_step(edges, labels).localCheckpoint(eager=True)
         changed = (
             new_labels.select("node", F.col("lbl").alias("new_lbl"))
             .join(labels, "node")
@@ -341,6 +328,42 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_edges_labels(spark: SparkSession, sf_dir: str):
+    """Undirected edge list + initial own-id labels from the capped-LSH
+    pair graph (shared by the executed loop and the audit proxy)."""
+    pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    return edges, labels
+
+
+def _cc_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation iteration: neighbor labels in via one
+    join, min(own, neighbors') via one groupBy — the pair of shuffles
+    each of the <=20 loop iterations actually pays."""
+    prop = edges.join(
+        labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+    ).select(F.col("src").alias("node"), "lbl")
+    return labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+
+
+def dedup_cc_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan for ``dedup_connected_components``: the
+    executed operator localCheckpoints every iteration (lineage
+    truncation), so the plan of its RETURNED DataFrame is a bare RDD
+    scan — an all-zero fingerprint the drift gate cannot see through
+    (review finding r7).  This proxy rebuilds one propagation iteration
+    from the same helpers WITHOUT the checkpoint, so PLANS.json and
+    tests/test_plan_drift.py pin the join+agg shape the loop runs."""
+    edges, labels = _cc_edges_labels(spark, sf_dir)
+    return _cc_step(edges, labels)
+
+
 def _cc_oracle() -> str:
     return f"""
     WITH RECURSIVE {_minhash_pairs_cte_body()},
@@ -353,6 +376,7 @@ def _cc_oracle() -> str:
 
 
 register("dedup_connected_components", dedup_connected_components, _cc_oracle())
+register_plan_proxy("dedup_connected_components", dedup_cc_iteration_plan)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Lazy stand-in plans for keys whose BUILT result cannot be audited:
+# an operator that localCheckpoints internally returns a plan truncated
+# to an RDD scan (all-zero fingerprint — the drift gate was blind to
+# dedup_connected_components, review finding r7).  The proxy builds the
+# representative inner plan (e.g. one propagation iteration) WITHOUT
+# the truncation, so plan_audit / test_plan_drift fingerprint the shape
+# that actually executes.
+PLAN_PROXIES: dict[str, QueryFn] = {}
+
 
 def register(key: str, fn: QueryFn, oracle: str | None = None) -> None:
     if key in QUERIES:
@@ -30,6 +39,12 @@ def register(key: str, fn: QueryFn, oracle: str | None = None) -> None:
     QUERIES[key] = fn
     if oracle is not None:
         ORACLES[key] = oracle
+
+
+def register_plan_proxy(key: str, fn: QueryFn) -> None:
+    if key in PLAN_PROXIES:
+        raise ValueError(f"duplicate plan proxy registered: {key!r}")
+    PLAN_PROXIES[key] = fn
 
 
 register("flagship_revenue", flagship_revenue, FLAGSHIP_ORACLE)

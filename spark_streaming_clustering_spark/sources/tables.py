@@ -99,6 +99,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #   atexit removal, so even a single session leaves /tmp clean.
 
 _SESSION_TMP_PATHS: set[str] = set()
+_FLAT_SCHEME_SWEPT = False
+
+
+def _sweep_old_flat_layouts(live_app_id: str) -> None:
+    """One-time reclaim of layouts that PRE-DATE the per-prefix nesting
+    (review finding r7): earlier sessions wrote directly under the tmp
+    root as ``{prefix}_{appId}_{sfTag}[_{fingerprint}]``, which the
+    nested prune never visits, so they leak until tmp cleanup.  The
+    match is anchored on the local-mode appId core (``local-<millis>``)
+    plus an sf tag — the two components every flat-scheme name carried —
+    and skips the live session's own appId for safety."""
+    import re
+    import shutil
+    import tempfile
+
+    global _FLAT_SCHEME_SWEPT
+    if _FLAT_SCHEME_SWEPT:
+        return
+    _FLAT_SCHEME_SWEPT = True
+    root = tempfile.gettempdir()
+    flat_re = re.compile(r"^\w+_local-\d{10,}_\w*sf\d\w*$")
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if os.path.isdir(p) and flat_re.match(name) and live_app_id not in name:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def _cleanup_session_tmp() -> None:
@@ -142,6 +167,7 @@ def derived_layout_path(
     # prune rmtree a live "events_by_day_..." layout; appIds themselves
     # may contain underscores on YARN, so anchoring that slot is not
     # delimiter-safe either).
+    _sweep_old_flat_layouts(spark.sparkContext.applicationId)
     fam_dir = os.path.join(tempfile.gettempdir(), "spark_graft_layouts", prefix)
     os.makedirs(fam_dir, exist_ok=True)
     parts = [spark.sparkContext.applicationId, tag]

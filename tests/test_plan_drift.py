@@ -26,7 +26,7 @@ import os
 
 import pytest
 
-from spark_streaming_clustering_spark.operators.registry import QUERIES
+from spark_streaming_clustering_spark.operators.registry import PLAN_PROXIES, QUERIES
 from spark_streaming_clustering_spark.plans import formatted_plan
 from tests.conftest import SF_ORACLE
 from tests.test_plans import EAGER
@@ -84,7 +84,8 @@ def test_shuffle_heaviest_keys_have_not_regressed(spark):
     _clear_shared_caches()
     regressions = []
     for k in heavy:
-        fp = audit.fingerprint(formatted_plan(QUERIES[k](spark, SF_ORACLE)))
+        builder = PLAN_PROXIES.get(k, QUERIES[k])
+        fp = audit.fingerprint(formatted_plan(builder(spark, SF_ORACLE)))
         for field, direction in audit.WORSE.items():
             prev = committed[k].get(field, 0)
             if (fp[field] - prev) * direction > 0:
