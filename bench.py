@@ -101,6 +101,12 @@ HEADLINE = [
     # round-7 batch: executed two-phase pack, cross-write sketch rollup
     "shard_pack_two_phase",
     "hll_union_rollup",
+    # round-8 batch: lag-window transition matrix, cross-write quantile
+    # sketch rollup, deterministic A-ES top-k, recursive BOM roll-up
+    "markov_transitions",
+    "quantile_sketch_rollup",
+    "weighted_reservoir_sample",
+    "bom_rollup",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Late-registered breadth batches (rounds 6-7).
+"""Late-registered breadth batches (rounds 6-8).
 
 Round 6: skyline dominance (one key — VERDICT r5 item 1 froze surface
 growth until the driver-verification queue drained), chosen because it
@@ -8,7 +8,13 @@ dropped on review: ``event_funnel`` already covers ordered
 multi-stage conversion.)  Round 7: the executed two-phase shard pack
 and the cross-write HLL union rollup (VERDICT r6 item 6's two named
 candidate classes; growth bounded at two keys so the r7 driver window
-still covers all 25 previously-pending keys plus these).
+still covers all 25 previously-pending keys plus these).  Round 8:
+the four candidate classes from SCALE.md's handoff (VERDICT r7 item
+3) — Markov transition matrix + integer-power-iteration steady-state
+check, persisted quantile-histogram sketches merged across the write
+boundary, deterministic A-ES weighted reservoir sampling, and the
+recursive BOM weighted roll-up; five keys, queue was empty so the r8
+window covers all of them.
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -28,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, register_plan_proxy
 
 
 # --------------------------------------------------------------------------
@@ -287,5 +293,464 @@ register(
            CAST(COUNT(DISTINCT user_id) AS BIGINT),
            TRUE
     FROM events
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions (VERDICT r7 item 3: the four candidate classes named in
+# SCALE.md's round-8 handoff — Markov transition analytics with a
+# steady-state check, a persisted mergeable quantile sketch rolled up
+# across the write boundary, deterministic weighted reservoir sampling
+# (A-ES), and a recursive bill-of-materials weighted roll-up.  Growth
+# bounded at five keys; all late-registered so they sort to the front of
+# the empty pending queue and the r8 driver window covers them.)
+# --------------------------------------------------------------------------
+
+
+def _transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-transition matrix: consecutive event pairs within
+    each user's (ts, event_id)-ordered stream, counted per (from, to),
+    row-normalized to integer-micro probabilities (cnt * 1e6 div
+    row-total — pure integer math, engine-identical).
+
+    Scale shape: ONE hash partition by user_id serves the lag window
+    (billions of events -> one shuffle); the matrix itself is
+    #event_types^2 rows — metadata-sized however large the input."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    m = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return m.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.expr("(cnt * 1000000) div sum(cnt) over (partition by from_type)")
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+
+
+_MARKOV_MATRIX_CTES = """
+    t AS (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+    m AS (SELECT prev AS from_type, event_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+    mp AS (SELECT from_type, to_type, cnt,
+                  CAST(CAST(cnt * 1000000 AS BIGINT)
+                       // CAST(SUM(cnt) OVER (PARTITION BY from_type)
+                               AS BIGINT) AS BIGINT) AS p_micro
+           FROM m)
+"""
+
+register(
+    "markov_transitions",
+    _transition_matrix,
+    f"WITH {_MARKOV_MATRIX_CTES} SELECT from_type, to_type, cnt, p_micro FROM mp",
+)
+
+
+_MARKOV_ITERS = 8
+
+
+def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state check of the learned transition chain: {iters}
+    power-iteration steps pi_k+1 = pi_k @ P in INTEGER micros (sum of
+    pi_micro * p_micro per target state, floor-divided by 1e6 — the
+    accumulation is integer, so it is order-independent and
+    engine-exact), starting uniform over the observed from-states.
+    Output per state: pi after {iters} steps and the absolute gap to
+    the previous iterate — gap ~ 0 certifies the chain has mixed.
+
+    Scale shape: the heavy part (per-user lag extraction over the full
+    event log) is the distributed plan audited under
+    ``markov_transitions``; the matrix it produces is #event_types^2
+    rows — metadata-sized by construction — so the iteration runs on
+    collected rows like the house PQ codebook / bloom / model collects
+    (never the event table), and the result re-enters Spark as a
+    literal DataFrame.
+    """
+    rows = _transition_matrix(spark, sf_dir).collect()  # bounded: #types^2
+    states = sorted({r["from_type"] for r in rows})
+    base = 1_000_000 // len(states)
+    pi = {s: base for s in states}
+    prev = pi
+    for _ in range(_MARKOV_ITERS):
+        acc: dict[str, int] = {}
+        for r in rows:
+            if r["from_type"] in pi:
+                acc[r["to_type"]] = (
+                    acc.get(r["to_type"], 0) + pi[r["from_type"]] * r["p_micro"]
+                )
+        prev, pi = pi, {t: v // 1_000_000 for t, v in acc.items()}
+    out = [
+        (s, pi[s], abs(pi[s] - prev.get(s, 0)))
+        for s in sorted(pi)
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, pi_micro bigint, gap_micro bigint"
+    )
+
+
+markov_steady_state.__doc__ = markov_steady_state.__doc__.format(iters=_MARKOV_ITERS)
+
+
+def _markov_steady_oracle() -> str:
+    """Chained-CTE unroll of the identical integer power iteration
+    (aggregates are disallowed in a recursive CTE term on both engines,
+    so the {n} steps are generated as s1..s{n})."""
+    steps = []
+    for k in range(1, _MARKOV_ITERS + 1):
+        steps.append(
+            f"""s{k} AS (SELECT mp.to_type AS state,
+                   CAST(CAST(SUM(s.pi * mp.p_micro) AS BIGINT) // 1000000
+                        AS BIGINT) AS pi
+            FROM s{k - 1} s JOIN mp ON mp.from_type = s.state
+            GROUP BY mp.to_type)"""
+        )
+    joined = ",\n    ".join(steps)
+    last, prev = f"s{_MARKOV_ITERS}", f"s{_MARKOV_ITERS - 1}"
+    return f"""
+    WITH {_MARKOV_MATRIX_CTES},
+    s0 AS (SELECT from_type AS state,
+                  CAST(1000000 // (SELECT COUNT(DISTINCT from_type) FROM mp)
+                       AS BIGINT) AS pi
+           FROM mp GROUP BY from_type),
+    {joined}
+    SELECT a.state AS event_type, a.pi AS pi_micro,
+           CAST(abs(a.pi - COALESCE(b.pi, 0)) AS BIGINT) AS gap_micro
+    FROM {last} a LEFT JOIN {prev} b ON a.state = b.state
+    """
+
+
+register("markov_steady_state", markov_steady_state, _markov_steady_oracle())
+# The returned DataFrame is a driver literal (the iteration runs on the
+# metadata-sized collected matrix), so its own plan is vacuous; audit the
+# distributed extraction plan that feeds it instead (same pattern as the
+# dedup_connected_components proxy).
+register_plan_proxy("markov_steady_state", _transition_matrix)
+
+
+_QBIN_CENTS = 100_000  # $1000-wide histogram bins over o_totalprice cents
+_Q_MICROS = (500_000, 900_000, 990_000)  # p50 / p90 / p99
+
+
+def _quantile_daily_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) per-(o_orderstatus, day) histogram
+    sketches of o_totalprice — (bin, cnt) rows with fixed ${width}-wide
+    bins over integer cents — as a parquet table.  The mergeable
+    quantile analogue of ``_hll_daily_layout``: a 100 TB deployment
+    sketches each ingest partition once and answers later percentile
+    rollups from stored bins (bounded by price-range/width per group,
+    metadata-sized), never rescanning raw facts.  Same _SUCCESS-guarded
+    write-once pattern."""
+    import os
+
+    from ..sources.tables import derived_layout_path
+
+    out = derived_layout_path(spark, "quantile_daily", sf_dir, "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderstatus").alias("status"),
+                F.to_date("o_orderdate").alias("day"),
+                F.expr(
+                    f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                    f" div {_QBIN_CENTS}"
+                ).alias("bin"),
+            )
+            .groupBy("status", "day", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .coalesce(1)  # bounded output: #status x #days x #bins rows
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+_quantile_daily_layout.__doc__ = _quantile_daily_layout.__doc__.format(
+    width=_QBIN_CENTS // 100
+)
+
+
+def _hist_quantiles(hist: DataFrame) -> DataFrame:
+    """p50/p90/p99 from merged (status, bin, cnt) histograms: disc rank
+    ceil(q*N) located by the cumulative bin sum, answer = the bin's
+    lower edge in cents.  Pure integer math, engine-identical."""
+    w_cum = (
+        Window.partitionBy("status")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hist.select(
+        "status",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("status")).alias("n"),
+    )
+    qs = F.array(*[F.lit(q) for q in _Q_MICROS])
+    return (
+        c.select("status", "bin", "cum", "n", F.explode(qs).alias("q_micro"))
+        .filter(F.col("cum") >= F.expr("(q_micro * n + 999999) div 1000000"))
+        .groupBy("status", "q_micro")
+        .agg((F.min("bin") * _QBIN_CENTS).cast("bigint").alias("approx_cents"))
+    )
+
+
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-WRITE mergeable quantile sketches (the ``hll_union_rollup``
+    pattern for percentiles — SCALE.md's round-8 candidate class):
+    per-(status, day) fixed-bin histograms are persisted to parquet by
+    ``_quantile_daily_layout``, read BACK, merged per status plus an
+    ALL row (bin-wise integer count sums — histogram merge is exactly
+    associative and order-independent), and answered as p50/p90/p99 at
+    bin resolution.
+
+    The oracle pins the merge-losslessness contract: the rolled-up
+    answer must EQUAL the same binning computed in one pass over raw
+    orders (``merged_equals_raw``; the Spark side actually computes
+    both paths and compares — a sketch-write/readback corruption or a
+    non-associative merge flips it to false), alongside n_sketches and
+    the approx values themselves, all integer and engine-exact.
+    Accuracy is static by construction (answer within one ${width} bin
+    of the exact disc quantile — pinned in tests/test_extras.py against
+    DuckDB's quantile_disc), so unlike the probabilistic HLL key no
+    tolerance band is needed.
+    """
+    sk = spark.read.parquet(_quantile_daily_layout(spark, sf_dir))
+    merged = sk.groupBy("status", "bin").agg(F.sum("cnt").alias("cnt"))
+    merged_all = sk.groupBy("bin").agg(
+        F.sum("cnt").alias("cnt")
+    ).select(F.lit("ALL").alias("status"), "bin", "cnt")
+    q_merged = _hist_quantiles(merged.unionByName(merged_all))
+
+    # companion path: identical binning in ONE pass over raw orders —
+    # the scan the sketch path avoids at scale, kept as the contract
+    raw = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.expr(
+                f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                f" div {_QBIN_CENTS}"
+            ).alias("bin"),
+        )
+    )
+    raw_hist = raw.groupBy("status", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    raw_all = raw.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("ALL").alias("status"), "bin", "cnt"
+    )
+    q_raw = _hist_quantiles(raw_hist.unionByName(raw_all)).withColumnRenamed(
+        "approx_cents", "raw_cents"
+    )
+
+    days = sk.select("status", "day").distinct()
+    n_sk = days.groupBy("status").agg(F.count(F.lit(1)).alias("n_sketches"))
+    n_all = days.agg(F.count(F.lit(1)).alias("n_sketches")).select(
+        F.lit("ALL").alias("status"), "n_sketches"
+    )
+    return (
+        q_merged.join(q_raw, ["status", "q_micro"])
+        .join(F.broadcast(n_sk.unionByName(n_all)), "status")
+        .select(
+            "status",
+            F.col("q_micro").cast("bigint").alias("q_micro"),
+            "n_sketches",
+            "approx_cents",
+            (F.col("approx_cents") == F.col("raw_cents")).alias(
+                "merged_equals_raw"
+            ),
+        )
+    )
+
+
+quantile_sketch_rollup.__doc__ = quantile_sketch_rollup.__doc__.format(
+    width=_QBIN_CENTS // 100
+)
+
+
+def _quantile_rollup_oracle() -> str:
+    qvals = ", ".join(f"({q})" for q in _Q_MICROS)
+    return f"""
+    WITH o AS (SELECT o_orderstatus AS status,
+                      CAST(o_orderdate AS DATE) AS day,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        // {_QBIN_CENTS} AS bin
+               FROM orders),
+    b AS (SELECT status, day, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM o GROUP BY 1, 2, 3),
+    g AS (SELECT status, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM b GROUP BY 1, 2
+          UNION ALL
+          SELECT 'ALL', bin, CAST(SUM(cnt) AS BIGINT) FROM b GROUP BY bin),
+    d AS (SELECT status, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_sketches
+          FROM b GROUP BY 1
+          UNION ALL
+          SELECT 'ALL', CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT DISTINCT status, day FROM b)),
+    c AS (SELECT status, bin,
+                 CAST(SUM(cnt) OVER (PARTITION BY status ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY status) AS BIGINT) AS n
+          FROM g),
+    q(q_micro) AS (VALUES {qvals}),
+    a AS (SELECT c.status, CAST(q.q_micro AS BIGINT) AS q_micro,
+                 CAST(MIN(c.bin) * {_QBIN_CENTS} AS BIGINT) AS approx_cents
+          FROM c JOIN q
+            ON c.cum >= (CAST(q.q_micro AS BIGINT) * c.n + 999999) // 1000000
+          GROUP BY 1, 2)
+    SELECT a.status, a.q_micro, d.n_sketches, a.approx_cents,
+           TRUE AS merged_equals_raw
+    FROM a JOIN d ON a.status = d.status
+    """
+
+
+register("quantile_sketch_rollup", quantile_sketch_rollup, _quantile_rollup_oracle())
+
+
+_RESERVOIR_K = 50
+_HASH_DENOM = 268_435_457.0  # 2^28 + 1: md5-prefix28 + 1 in (0, 1]
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (A-ES, Efraimidis-Spirakis) with
+    DETERMINISTIC keys: each document draws u from the house md5-prefix
+    hash mapped into (0, 1], and its reservoir key is -ln(u) / weight
+    (equivalent to the textbook u^(1/w) by monotonicity) with weight =
+    n_chars — longer documents proportionally likelier.  The global
+    sample is the k smallest keys.
+
+    Determinism: u is a pure hash of doc_id (reproducible across runs,
+    engines, and partitionings — no RNG state), the key is quantized to
+    integer nanos with the floor(x + 0.5) half-away idiom, and ties
+    break on doc_id.  Scale shape: map-side key computation + global
+    top-k — Spark executes the sort+limit as TakeOrderedAndProject
+    (per-partition heaps, no global sort), the same plan as
+    ``orderby_limit``.  At 100 TB this is the standard one-pass
+    distributed weighted sampler; per-stratum reservoirs are the same
+    expression with the window partitioned by stratum
+    (cf. sample_stratified for the unweighted hash variant).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(_HASH_DENOM)
+    key_nano = F.floor(
+        -F.log(u) / F.col("n_chars") * F.lit(1_000_000_000.0) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            key_nano.alias("key_nano"),
+        )
+        .orderBy("key_nano", "doc_id")
+        .limit(_RESERVOIR_K)
+    )
+
+
+register(
+    "weighted_reservoir_sample",
+    weighted_reservoir_sample,
+    f"""
+    SELECT doc_id, n_chars AS weight,
+           CAST(floor(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS STRING)),
+                                                1, 7)) AS BIGINT) + 1)
+                          / {_HASH_DENOM})
+                      / n_chars * 1000000000.0 + 0.5) AS BIGINT) AS key_nano
+    FROM documents
+    ORDER BY key_nano, doc_id
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+
+
+_BOM_FANOUT = 8  # parent(p) = p div 8 — containment tree over part
+
+
+def bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive bill-of-materials WEIGHTED roll-up (the aggregation
+    class ``recursive_cte_q`` does not cover): explode the synthetic
+    part-containment tree parent = p_partkey div {fanout} with per-edge
+    quantity (p_partkey % 5) + 1, carrying the PATH PRODUCT of
+    quantities down the recursion, then roll the tree up — per root
+    assembly: component count, total required units (sum of path
+    products), and total rolled cost (sum of path product x component
+    price in integer cents).
+
+    Scale shape: each recursion step is an equi-join of the frontier
+    against the child relation (the engine iterates to the fixpoint;
+    depth = tree height ~ log_{fanout}(#parts)); the roll-up is one
+    hash aggregate over the exploded closure.  All arithmetic integer
+    (path products bounded by 5^depth, costs in cents) so the oracle —
+    the identical WITH RECURSIVE in DuckDB — is engine-exact.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rc")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bom(root, part, path_qty) AS (
+          SELECT p_partkey, p_partkey, CAST(1 AS BIGINT)
+          FROM part_rc WHERE p_partkey < {_BOM_FANOUT}
+          UNION ALL
+          SELECT b.root, p.p_partkey, b.path_qty * (p.p_partkey % 5 + 1)
+          FROM part_rc p JOIN bom b ON p.p_partkey div {_BOM_FANOUT} = b.part
+          WHERE p.p_partkey >= {_BOM_FANOUT}
+        )
+        SELECT b.root,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(b.path_qty) AS BIGINT) AS total_units,
+               CAST(SUM(b.path_qty * pr.price_cents) AS BIGINT)
+                 AS rolled_cost_cents
+        FROM bom b
+        JOIN (SELECT p_partkey,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+              FROM part_rc) pr
+          ON pr.p_partkey = b.part
+        GROUP BY b.root
+        """
+    )
+
+
+bom_rollup.__doc__ = bom_rollup.__doc__.format(fanout=_BOM_FANOUT)
+
+register(
+    "bom_rollup",
+    bom_rollup,
+    f"""
+    WITH RECURSIVE bom(root, part, path_qty) AS (
+      SELECT p_partkey, p_partkey, CAST(1 AS BIGINT)
+      FROM part WHERE p_partkey < {_BOM_FANOUT}
+      UNION ALL
+      SELECT b.root, p.p_partkey, b.path_qty * (p.p_partkey % 5 + 1)
+      FROM part p JOIN bom b ON p.p_partkey // {_BOM_FANOUT} = b.part
+      WHERE p.p_partkey >= {_BOM_FANOUT}
+    )
+    SELECT b.root,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(b.path_qty) AS BIGINT) AS total_units,
+           CAST(SUM(b.path_qty * pr.price_cents) AS BIGINT)
+             AS rolled_cost_cents
+    FROM bom b
+    JOIN (SELECT p_partkey,
+                 CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+          FROM part) pr
+      ON pr.p_partkey = b.part
+    GROUP BY b.root
     """,
 )

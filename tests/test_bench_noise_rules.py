@@ -97,6 +97,32 @@ def test_round_records_prefer_self_and_skip_truncated(tmp_path, monkeypatch):
     assert m._next_round() == 9
 
 
+def test_stdout_summary_line_fits_tail_capture():
+    """The compact stdout record (no methods) must stay well under the
+    round driver's ~2000-char tail window at the CURRENT headline size
+    — the r7 artifact was lost to exactly this overflow.  Upper-bound
+    every wall at 9999.999 s."""
+    m = _bench_module()
+    times = {k: 9999.999 for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = 9999.999
+    times["gstream_estep_distributed"] = 9999.999
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": 999999.999,
+            "unit": "sec",
+            "queries": times,
+            "sf": 0.1,
+            "gstream_ms_per_batch": 9999.9,
+            "gstream_ms_per_batch_budget": 116.0,
+            "estep_points_per_sec": 99999999,
+            "self_artifact": "BENCH_SELF_r99.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, len(line)
+
+
 def test_committed_bench_files_parse():
     """The newest USABLE committed round record must yield per-key walls
     (driver-truncated artifacts are tolerated — the reader skips them,

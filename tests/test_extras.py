@@ -145,3 +145,170 @@ def test_hll_union_survives_write_roundtrip(spark, sf_dir):
         .est
     )
     assert direct == roundtrip
+
+
+# --- round-8 extras: markov / quantile rollup / reservoir / BOM ----------
+
+
+def test_markov_matrix_rows_are_stochastic(spark, sf_dir):
+    """Rows of the transition matrix sum to ~1e6 micros (floor-division
+    loses at most (#targets - 1) micros per row), counts match an
+    independent Python replay of each user's ordered stream."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _transition_matrix,
+    )
+
+    got = {(r.from_type, r.to_type): (r.cnt, r.p_micro)
+           for r in _transition_matrix(spark, sf_dir).collect()}
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    expect = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            expect[(a.event_type, b.event_type)] += 1
+    assert {k: v[0] for k, v in got.items()} == dict(expect)
+    row_sums = Counter()
+    row_targets = Counter()
+    for (f, _t), (_c, p) in got.items():
+        row_sums[f] += p
+        row_targets[f] += 1
+    for f, s in row_sums.items():
+        assert 1_000_000 - (row_targets[f] - 1) <= s <= 1_000_000
+
+
+def test_markov_steady_state_has_mixed(spark, sf_dir):
+    """After 8 integer power-iteration steps the chain must have mixed:
+    per-state gap to the previous iterate under 1% of mass, pi sums to
+    ~1e6 (floor losses bounded by #states per step)."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        markov_steady_state,
+    )
+
+    rows = markov_steady_state(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert all(r.gap_micro <= 10_000 for r in rows)
+    total = sum(r.pi_micro for r in rows)
+    assert 1_000_000 - 100 * len(rows) <= total <= 1_000_000
+
+
+def test_quantile_rollup_contract(spark, sf_dir):
+    """Merged-sketch answers equal the raw one-pass histogram
+    (losslessness has teeth on the Spark side), sit within one bin of
+    DuckDB's exact disc quantile, quantiles are monotone in q, and the
+    layout write is once-per-session."""
+    import os
+
+    import duckdb
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _QBIN_CENTS,
+        _quantile_daily_layout,
+        quantile_sketch_rollup,
+    )
+
+    rows = quantile_sketch_rollup(spark, sf_dir).collect()
+    assert {r.status for r in rows} >= {"ALL"} and len(rows) % 3 == 0
+    assert all(r.merged_equals_raw for r in rows)
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append((r.q_micro, r.approx_cents))
+    for qs in by_status.values():
+        qs.sort()
+        assert [q for q, _ in qs] == [500_000, 900_000, 990_000]
+        assert qs[0][1] <= qs[1][1] <= qs[2][1]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    for q_micro, approx in by_status["ALL"]:
+        exact = con.execute(
+            f"SELECT CAST(floor(quantile_disc(o_totalprice * 100, "
+            f"{q_micro / 1e6}) + 0.5) AS BIGINT) FROM orders"
+        ).fetchone()[0]
+        assert approx - _QBIN_CENTS <= exact <= approx + 2 * _QBIN_CENTS
+    out = _quantile_daily_layout(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    quantile_sketch_rollup(spark, sf_dir)  # second call must not rewrite
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == mtime
+
+
+def test_weighted_reservoir_matches_bruteforce_and_is_biased(spark, sf_dir):
+    """The selected set equals an independent Python A-ES replay, and
+    the weighting has teeth: mean weight of the sample exceeds the
+    corpus mean (longer docs likelier)."""
+    import hashlib
+    import math
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _HASH_DENOM,
+        _RESERVOIR_K,
+        weighted_reservoir_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:7], 16)
+        u = (h + 1) / _HASH_DENOM
+        key = math.floor(-math.log(u) / r.n_chars * 1e9 + 0.5)
+        keyed.append((key, r.doc_id, r.n_chars))
+    keyed.sort()
+    expect = {(d, w) for _, d, w in keyed[:_RESERVOIR_K]}
+    got = {(r.doc_id, r.weight) for r in weighted_reservoir_sample(spark, sf_dir).collect()}
+    assert got == expect
+    sample_mean = sum(w for _, w in got) / len(got)
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_reservoir_plan_is_topk(spark, sf_dir):
+    """Global sort+limit must plan as TakeOrderedAndProject (per-
+    partition heaps), never a global Sort."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        weighted_reservoir_sample,
+    )
+
+    plan = formatted_plan(weighted_reservoir_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bom_rollup_matches_bruteforce(spark, sf_dir):
+    """Independent Python tree walk: path-product quantities and rolled
+    costs per root, over the same synthetic containment tree."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _BOM_FANOUT,
+        bom_rollup,
+    )
+
+    parts = {
+        r.p_partkey: int(math.floor(r.p_retailprice * 100 + 0.5))
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .collect()
+    }
+    agg: dict = {}
+
+    def walk(root, node, path_qty):
+        n, u, c = agg.get(root, (0, 0, 0))
+        agg[root] = (n + 1, u + path_qty, c + path_qty * parts[node])
+        for child in children.get(node, ()):
+            walk(root, child, path_qty * (child % 5 + 1))
+
+    children: dict = {}
+    for p in parts:
+        if p >= _BOM_FANOUT:
+            children.setdefault(p // _BOM_FANOUT, []).append(p)
+    for root in (p for p in parts if p < _BOM_FANOUT):
+        walk(root, root, 1)
+    got = {
+        r.root: (r.n_components, r.total_units, r.rolled_cost_cents)
+        for r in bom_rollup(spark, sf_dir).collect()
+    }
+    assert got == agg and sum(n for n, _, _ in agg.values()) == len(parts)
