@@ -54,6 +54,14 @@ PROBE = {
     "cms_sketch_q": "events",
     "lang_id_ngram": "documents",
     "ngram_counts": "documents",
+    # r8 additions (VERDICT r7 item 3): lag-window matrix + driver
+    # iteration, cross-write histogram rollup (post-first-call = the
+    # read-merge path), A-ES top-k, recursive BOM closure
+    "markov_transitions": "events",
+    "markov_steady_state": "events",
+    "quantile_sketch_rollup": "orders",
+    "weighted_reservoir_sample": "documents",
+    "bom_rollup": "part",
 }
 
 
