@@ -529,16 +529,25 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's quantile_disc), so unlike the probabilistic HLL key no
     tolerance band is needed.
     """
+    # Both grains (per status + ALL) from ONE scan of each base: every
+    # row contributes to its own status and to 'ALL' via a 2-element
+    # explode before the aggregate — a union of re-aggregations would
+    # scan each base once per grain (Spark does not share subtrees
+    # across union branches), and map-side partial aggregation bounds
+    # the doubled pre-shuffle rows at #bins x #grains per task anyway.
+    both = F.explode(F.array(F.col("status"), F.lit("ALL"))).alias("status")
+
     sk = spark.read.parquet(_quantile_daily_layout(spark, sf_dir))
-    merged = sk.groupBy("status", "bin").agg(F.sum("cnt").alias("cnt"))
-    merged_all = sk.groupBy("bin").agg(
-        F.sum("cnt").alias("cnt")
-    ).select(F.lit("ALL").alias("status"), "bin", "cnt")
-    q_merged = _hist_quantiles(merged.unionByName(merged_all))
+    merged = (
+        sk.select(both, "bin", "cnt")
+        .groupBy("status", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    q_merged = _hist_quantiles(merged)
 
     # companion path: identical binning in ONE pass over raw orders —
     # the scan the sketch path avoids at scale, kept as the contract
-    raw = (
+    raw_hist = (
         load_table(spark, sf_dir, "orders")
         .select(
             F.col("o_orderstatus").alias("status"),
@@ -547,23 +556,26 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" div {_QBIN_CENTS}"
             ).alias("bin"),
         )
+        .select(both, "bin")
+        .groupBy("status", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    raw_hist = raw.groupBy("status", "bin").agg(F.count(F.lit(1)).alias("cnt"))
-    raw_all = raw.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).select(
-        F.lit("ALL").alias("status"), "bin", "cnt"
-    )
-    q_raw = _hist_quantiles(raw_hist.unionByName(raw_all)).withColumnRenamed(
+    q_raw = _hist_quantiles(raw_hist).withColumnRenamed(
         "approx_cents", "raw_cents"
     )
 
-    days = sk.select("status", "day").distinct()
-    n_sk = days.groupBy("status").agg(F.count(F.lit(1)).alias("n_sketches"))
-    n_all = days.agg(F.count(F.lit(1)).alias("n_sketches")).select(
-        F.lit("ALL").alias("status"), "n_sketches"
+    # explode AFTER the distinct: the ALL row counts every (status, day)
+    # sketch merged (the pairs partition by status), not distinct days
+    n_both = (
+        sk.select("status", "day")
+        .distinct()
+        .select(both)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_sketches"))
     )
     return (
         q_merged.join(q_raw, ["status", "q_micro"])
-        .join(F.broadcast(n_sk.unionByName(n_all)), "status")
+        .join(F.broadcast(n_both), "status")
         .select(
             "status",
             F.col("q_micro").cast("bigint").alias("q_micro"),
