@@ -312,3 +312,31 @@ def test_bom_rollup_matches_bruteforce(spark, sf_dir):
         for r in bom_rollup(spark, sf_dir).collect()
     }
     assert got == agg and sum(n for n, _, _ in agg.values()) == len(parts)
+
+
+def test_quantile_rollup_plan_single_scan_per_base(spark, sf_dir):
+    """The dual-grain (per-status + ALL) answers must come from ONE
+    scan of each base — 2 sketch-parquet scans (merge + n_sketches) +
+    1 raw-orders companion scan — via the pre-aggregate status explode;
+    a union of re-aggregations re-plans each base per grain (6 scans,
+    the shape this pin forbids)."""
+    import re
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        quantile_sketch_rollup,
+    )
+
+    plan = formatted_plan(quantile_sketch_rollup(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_steady_state_plan_proxy_registered(spark, sf_dir):
+    """The steady-state key returns a driver literal (vacuous plan); the
+    audit must fingerprint the distributed lag-window extraction via
+    the registered proxy instead (review finding r7's blind-spot class)."""
+    from spark_streaming_clustering_spark.operators.registry import PLAN_PROXIES
+
+    assert "markov_steady_state" in PLAN_PROXIES
+    plan = formatted_plan(PLAN_PROXIES["markov_steady_state"](spark, sf_dir))
+    assert "windowspecdefinition(user_id" in plan  # partitioned lag window
