@@ -107,6 +107,9 @@ HEADLINE = [
     "quantile_sketch_rollup",
     "weighted_reservoir_sample",
     "bom_rollup",
+    "funnel_attribution_linear",
+    "rendezvous_resharding",
+    "concurrent_intervals",
 ]
 
 

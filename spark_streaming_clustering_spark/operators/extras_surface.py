@@ -766,3 +766,304 @@ register(
     GROUP BY b.root
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Round-8, second batch (three of the handoff's round-9 candidates landed
+# early — the r8 driver window still covers them at positions 6-8):
+# linear multi-touch attribution with exact credit conservation,
+# rendezvous (HRW) resharding with the minimal-movement property, and
+# sweep-line interval concurrency via delta aggregation.
+# --------------------------------------------------------------------------
+
+
+def funnel_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the credit-SPLIT class
+    (``funnel_attribution`` is last-touch, an argmax: one winner per
+    conversion; this key divides each conversion's credit across ALL
+    its touches).  Each purchase closes a per-user segment (touches
+    since the previous purchase); every click/view in a converted
+    segment gets floor(1e6 / n) micros and the LAST touch (latest
+    (ts, event_id)) absorbs the remainder, so credit is conserved
+    EXACTLY: sum over channels = 1e6 x #conversions (integer micros —
+    float splits would leak ulps; pinned in tests/test_extras.py).
+    Touchless conversions credit the 'direct' channel in full.
+
+    Plan shape: ONE scan, NO joins.  A segment is converted iff a later
+    purchase closes it, i.e. seg < the user's total purchase count — a
+    full-frame window, not a join back to a conversions relation; the
+    per-segment split counts and the last-touch remainder flag are
+    (user_id, seg)-partitioned windows; 'direct' conversions are
+    purchase rows whose own segment has zero touches (a conditional
+    count over the same partition).  The join formulation (how the
+    oracle SPECIFIES it) would scan the fact table five times; this
+    pass pays one scan + the two keyed exchanges the windows need.
+    """
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    is_t = F.col("event_type").isin("click", "view").cast("int")
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_user = Window.partitionBy("user_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            is_p.alias("is_p"),
+            is_t.alias("is_t"),
+        )
+        .select(
+            "*",
+            F.coalesce(F.sum("is_p").over(w_before), F.lit(0)).alias("seg"),
+            F.sum("is_p").over(w_user).alias("n_purch"),
+        )
+    )
+    w_seg = Window.partitionBy("user_id", "seg")
+    w_seg_desc = w_seg.orderBy(F.desc("ts"), F.desc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = s.select(
+        "*",
+        F.sum("is_t").over(w_seg).alias("n_touch"),
+        F.sum("is_t").over(w_seg_desc).alias("touch_rank_desc"),
+    )
+    base = F.expr("1000000 div n_touch")
+    credited = (F.col("is_t") == 1) & (F.col("seg") < F.col("n_purch"))
+    direct = (F.col("is_p") == 1) & (F.col("n_touch") == 0)
+    channel = F.when(credited, F.col("event_type")).when(direct, F.lit("direct"))
+    credit = F.when(
+        credited,
+        base
+        + F.when(
+            F.col("touch_rank_desc") == 1,
+            F.lit(1_000_000) - F.col("n_touch") * base,
+        ).otherwise(0),
+    ).when(direct, F.lit(1_000_000))
+    return (
+        s.select(channel.alias("channel"), credit.alias("credit"))
+        .filter(F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited"),
+            F.sum("credit").cast("bigint").alias("credit_micro"),
+        )
+    )
+
+
+register(
+    "funnel_attribution_linear",
+    funnel_attribution_linear,
+    """
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type FROM events),
+    s AS (SELECT *,
+                 COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                   ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS seg
+          FROM e),
+    conv AS (SELECT user_id, seg FROM s WHERE event_type = 'purchase'),
+    t AS (SELECT s.user_id, s.seg, s.event_type, s.ts, s.event_id
+          FROM s JOIN conv USING (user_id, seg)
+          WHERE s.event_type IN ('click', 'view')),
+    cr AS (SELECT event_type,
+                  CAST(1000000 // n AS BIGINT)
+                  + CASE WHEN rn = 1
+                         THEN 1000000 - n * CAST(1000000 // n AS BIGINT)
+                         ELSE 0 END AS credit
+           FROM (SELECT *,
+                        COUNT(*) OVER (PARTITION BY user_id, seg) AS n,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, seg
+                                           ORDER BY ts DESC, event_id DESC)
+                          AS rn
+                 FROM t))
+    SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_credited,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro
+    FROM cr GROUP BY 1
+    UNION ALL
+    SELECT 'direct', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) * 1000000 AS BIGINT)
+    FROM conv c
+    WHERE NOT EXISTS (SELECT 1 FROM t
+                      WHERE t.user_id = c.user_id AND t.seg = c.seg)
+    """,
+)
+
+
+_SHARDS_OLD = 16
+_SHARDS_NEW = 17  # one shard added — HRW moves only 1/17 of keys
+
+
+def _hrw_combined_spark(s: int):
+    """h(doc_id, s) * 32 + s — the house md5-prefix28 hash of the
+    key#shard string, shard packed into the low bits so equal-hash ties
+    break toward the larger shard IDENTICALLY on both engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(str(s)))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h * 32 + s
+
+
+def rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding with the
+    minimal-movement property checked: every key's shard is
+    argmax over shards of h(key, shard); growing {old} -> {new} shards
+    must move ONLY keys that land on the NEW shard (everything else
+    keeps its argmax — the consistent-hashing contract that a naive
+    ``hash(key) % N`` violates for (N-1)/N of keys).
+
+    Plan shape: the {new} hash expressions are one map-side projection
+    (no explode — argmax via ``greatest`` over hash*32+shard packed
+    bigints, ties impossible to diverge since the packing is total);
+    one hash aggregate by old shard.  Per old shard: key count, moved
+    count, and BOOL_AND(moved -> new == {newid}) — the contract column.
+    At 100 TB this is the shuffle-free resharding PLANNER: the same
+    expression assigns every row, and the moved fraction (~1/{new})
+    is the data actually copied during migration.
+    """
+    old = F.greatest(
+        *[_hrw_combined_spark(s) for s in range(_SHARDS_OLD)]
+    ) % 32
+    new = F.greatest(
+        *[_hrw_combined_spark(s) for s in range(_SHARDS_NEW)]
+    ) % 32
+    docs = load_table(spark, sf_dir, "documents").select(
+        old.alias("old_shard"), new.alias("new_shard")
+    )
+    return (
+        docs.groupBy("old_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("new_shard") != F.col("old_shard"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+            F.expr(
+                f"bool_and(new_shard = old_shard or new_shard = {_SHARDS_NEW - 1})"
+            ).alias("all_moves_to_new"),
+        )
+    )
+
+
+rendezvous_resharding.__doc__ = rendezvous_resharding.__doc__.format(
+    old=_SHARDS_OLD, new=_SHARDS_NEW, newid=_SHARDS_NEW - 1
+)
+
+
+def _hrw_combined_sql(s: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || '#' || '{s}'),"
+        f" 1, 7)) AS BIGINT) * 32 + {s})"
+    )
+
+
+def _rendezvous_oracle() -> str:
+    old = "greatest(" + ", ".join(
+        _hrw_combined_sql(s) for s in range(_SHARDS_OLD)
+    ) + ") % 32"
+    new = "greatest(" + ", ".join(
+        _hrw_combined_sql(s) for s in range(_SHARDS_NEW)
+    ) + ") % 32"
+    return f"""
+    WITH a AS (SELECT {old} AS old_shard, {new} AS new_shard FROM documents)
+    SELECT old_shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           BOOL_AND(new_shard = old_shard OR new_shard = {_SHARDS_NEW - 1})
+             AS all_moves_to_new
+    FROM a GROUP BY old_shard
+    """
+
+
+register("rendezvous_resharding", rendezvous_resharding, _rendezvous_oracle())
+
+
+def concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many orders are OPEN on
+    each event day, for synthetic lifetimes [o_orderdate,
+    o_orderdate + (o_orderkey % 90 + 1) days).  The delta-aggregation
+    class (``range_join_interval`` is the overlap-JOIN class — pairs;
+    this counts concurrency without materializing any pair): each
+    interval contributes +1 at its open day and -1 at its close day
+    via a 2-element explode (ONE scan), deltas hash-aggregate by day
+    (map-side partial), and the running sum over the AGGREGATED day
+    relation — #distinct-days rows, metadata-sized at any input scale
+    — is the only ordered operation.  The classic window-over-raw-rows
+    formulation would sort the fact table; this never does.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 90 + 1).cast("int"),
+        ).alias("cd"),
+    )
+    deltas = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("od").alias("day"),
+                    F.lit(1).alias("opened"),
+                    F.lit(0).alias("closed"),
+                ),
+                F.struct(
+                    F.col("cd").alias("day"),
+                    F.lit(0).alias("opened"),
+                    F.lit(1).alias("closed"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    g = deltas.groupBy("day").agg(
+        F.sum("opened").cast("bigint").alias("opened"),
+        F.sum("closed").cast("bigint").alias("closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("bigint").alias("active"),
+    )
+
+
+register(
+    "concurrent_intervals",
+    concurrent_intervals,
+    """
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od,
+                      CAST(o_orderdate AS DATE)
+                        + CAST(o_orderkey % 90 + 1 AS INTEGER) AS cd
+               FROM orders),
+    d AS (SELECT od AS day, CAST(COUNT(*) AS BIGINT) AS opened,
+                 CAST(0 AS BIGINT) AS closed
+          FROM o GROUP BY od
+          UNION ALL
+          SELECT cd, CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+          FROM o GROUP BY cd),
+    g AS (SELECT day, CAST(SUM(opened) AS BIGINT) AS opened,
+                 CAST(SUM(closed) AS BIGINT) AS closed
+          FROM d GROUP BY day)
+    SELECT day, opened, closed,
+           CAST(SUM(opened - closed)
+                OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS active
+    FROM g
+    """,
+)

