@@ -382,25 +382,30 @@ def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal DataFrame.
     """
     rows = _transition_matrix(spark, sf_dir).collect()  # bounded: #types^2
-    states = sorted({r["from_type"] for r in rows})
+    out = _markov_fold([(r["from_type"], r["to_type"], r["p_micro"]) for r in rows])
+    return spark.createDataFrame(
+        out, "event_type string, pi_micro bigint, gap_micro bigint"
+    )
+
+
+def _markov_fold(matrix: list[tuple]) -> list[tuple]:
+    """The integer power iteration on (from, to, p_micro) rows — the
+    exact arithmetic the chained-CTE oracle unrolls: uniform start over
+    from-states, each step an inner join against the matrix (a state
+    with no outgoing row contributes nothing — absorbing states leak
+    mass, identically on both sides), SUM then ONE floor-division by
+    1e6 per target.  Returns sorted (state, pi, |pi - prev_pi|)."""
+    states = sorted({f for f, _, _ in matrix})
     base = 1_000_000 // len(states)
     pi = {s: base for s in states}
     prev = pi
     for _ in range(_MARKOV_ITERS):
         acc: dict[str, int] = {}
-        for r in rows:
-            if r["from_type"] in pi:
-                acc[r["to_type"]] = (
-                    acc.get(r["to_type"], 0) + pi[r["from_type"]] * r["p_micro"]
-                )
+        for f, t, p in matrix:
+            if f in pi:
+                acc[t] = acc.get(t, 0) + pi[f] * p
         prev, pi = pi, {t: v // 1_000_000 for t, v in acc.items()}
-    out = [
-        (s, pi[s], abs(pi[s] - prev.get(s, 0)))
-        for s in sorted(pi)
-    ]
-    return spark.createDataFrame(
-        out, "event_type string, pi_micro bigint, gap_micro bigint"
-    )
+    return [(s, pi[s], abs(pi[s] - prev.get(s, 0))) for s in sorted(pi)]
 
 
 markov_steady_state.__doc__ = markov_steady_state.__doc__.format(iters=_MARKOV_ITERS)
@@ -409,7 +414,15 @@ markov_steady_state.__doc__ = markov_steady_state.__doc__.format(iters=_MARKOV_I
 def _markov_steady_oracle() -> str:
     """Chained-CTE unroll of the identical integer power iteration
     (aggregates are disallowed in a recursive CTE term on both engines,
-    so the {n} steps are generated as s1..s{n})."""
+    so the steps are generated as s1..sN)."""
+    return f"WITH {_MARKOV_MATRIX_CTES},\n    {_markov_steps_sql()}"
+
+
+def _markov_steps_sql() -> str:
+    """s0..sN + final SELECT over an in-scope CTE ``mp(from_type,
+    to_type, p_micro)`` — shared by the fixture oracle and the crafted-
+    matrix equivalence test (absorbing-state join semantics pinned
+    against ``_markov_fold`` on matrices the fixtures don't contain)."""
     steps = []
     for k in range(1, _MARKOV_ITERS + 1):
         steps.append(
@@ -421,9 +434,7 @@ def _markov_steady_oracle() -> str:
         )
     joined = ",\n    ".join(steps)
     last, prev = f"s{_MARKOV_ITERS}", f"s{_MARKOV_ITERS - 1}"
-    return f"""
-    WITH {_MARKOV_MATRIX_CTES},
-    s0 AS (SELECT from_type AS state,
+    return f"""s0 AS (SELECT from_type AS state,
                   CAST(1000000 // (SELECT COUNT(DISTINCT from_type) FROM mp)
                        AS BIGINT) AS pi
            FROM mp GROUP BY from_type),

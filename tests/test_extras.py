@@ -484,3 +484,35 @@ def test_concurrent_intervals_sweep_invariants(spark, sf_dir):
         active += opened[day] - closed[day]
         expect.append((day, opened[day], closed[day], active))
     assert [(r.day, r.opened, r.closed, r.active) for r in rows] == expect
+
+
+def test_markov_fold_matches_sql_on_absorbing_matrix():
+    """The Python integer fold and the chained-CTE SQL must agree on
+    matrices the fixtures never produce — an ABSORBING state (mass in,
+    no outgoing row: the inner-join semantics drop its mass every
+    step) and a state reachable but never a source.  Run the oracle's
+    own step SQL over a crafted VALUES matrix in DuckDB.  No Spark."""
+    import duckdb
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _markov_fold,
+        _markov_steps_sql,
+    )
+
+    # A -> B (0.5), A -> C (0.5), B -> A (1.0); C absorbs (no outgoing)
+    matrix = [
+        ("A", "B", 500_000),
+        ("A", "C", 500_000),
+        ("B", "A", 1_000_000),
+    ]
+    expect = _markov_fold(matrix)
+    values = ", ".join(f"('{f}', '{t}', {p})" for f, t, p in matrix)
+    sql = (
+        f"WITH mp(from_type, to_type, p_micro) AS (VALUES {values}),\n"
+        + _markov_steps_sql()
+    )
+    got = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == sorted(expect)
+    # the absorbing state keeps receiving mass but never re-emits it
+    pi = dict((s, p) for s, p, _ in expect)
+    assert pi["C"] > 0 and sum(pi.values()) < 1_000_000
