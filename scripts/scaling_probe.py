@@ -62,6 +62,8 @@ PROBE = {
     "quantile_sketch_rollup": "orders",
     "weighted_reservoir_sample": "documents",
     "bom_rollup": "part",
+    "auc_rank_metric": "events",
+    "calibration_buckets": "events",
 }
 
 

@@ -1078,3 +1078,163 @@ register(
     FROM g
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Round-8, third batch: model-evaluation metrics — the ranking-quality
+# family a training-data pipeline's eval harness needs (nothing in the
+# registry evaluated a score against a label before): AUC via the
+# Mann-Whitney rank-sum and the decile calibration/gains table.
+# --------------------------------------------------------------------------
+
+
+_AUC_CTES = """
+    e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          FROM events),
+    g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM e GROUP BY score),
+    c AS (SELECT score, n, n_pos,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_below,
+                 CAST(SUM(n) OVER () AS BIGINT) AS total,
+                 CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+          FROM g)
+"""
+
+
+def _score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label/score groups for the eval metrics: label = the event is a
+    purchase, score = value quantized to integer cents.  Grouping by
+    the QUANTIZED score bounds the ordered relation at score-range x
+    100 rows (~49k here) regardless of input size — the global-order
+    window runs on that metadata-sized relation, never on raw events
+    (the ntile-over-raw-rows formulation would globally sort the fact
+    table).  Columns: score, n, n_pos, cum_below (rows with strictly
+    lower scores), total, total_pos."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = e.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").cast("bigint").alias("n_pos")
+    )
+    w_below = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    return g.select(
+        "score",
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w_below), F.lit(0)).alias("cum_below"),
+        F.sum("n").over(w_all).alias("total"),
+        F.sum("n_pos").over(w_all).alias("total_pos"),
+    )
+
+
+def auc_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of `value` predicting purchase, as the Mann-Whitney rank-sum
+    in pure INTEGER arithmetic: with average 1-based ranks over ties,
+    2 x avg_rank(score s) = 2 x cum_below(s) + n(s) + 1, so
+    ranksum2 = sum over score groups of n_pos x (2 cum_below + n + 1)
+    and AUC = (ranksum2 - N1(N1+1)) / (2 N1 N0), emitted in micros via
+    floor division — order-independent, engine-exact (a float rank sum
+    would be accumulation-order-dependent).  ranksum2 <= 2N^2, so
+    BIGINT holds up to N ~ 1e9 rows per evaluated slice; beyond that
+    the same expression runs in DECIMAL(38,0).
+
+    One scan, one bounded-relation window (see ``_score_groups``),
+    one final single-row aggregate.
+    """
+    c = _score_groups(spark, sf_dir)
+    term = F.col("n_pos") * (2 * F.col("cum_below") + F.col("n") + 1)
+    return (
+        c.groupBy("total", "total_pos")
+        .agg(F.sum(term).cast("bigint").alias("ranksum2"))
+        .select(
+            F.col("total_pos").alias("n_pos"),
+            (F.col("total") - F.col("total_pos")).cast("bigint").alias("n_neg"),
+            F.expr(
+                "(ranksum2 - total_pos * (total_pos + 1)) * 1000000"
+                " div (2 * total_pos * (total - total_pos))"
+            )
+            .cast("bigint")
+            .alias("auc_micro"),
+        )
+    )
+
+
+register(
+    "auc_rank_metric",
+    auc_rank_metric,
+    f"""
+    WITH {_AUC_CTES}
+    SELECT total_pos AS n_pos,
+           CAST(total - total_pos AS BIGINT) AS n_neg,
+           CAST((SUM(n_pos * (2 * cum_below + n + 1)) - total_pos * (total_pos + 1))
+                * 1000000
+                // (2 * total_pos * (total - total_pos)) AS BIGINT) AS auc_micro
+    FROM c GROUP BY total, total_pos
+    """,
+)
+
+
+_CAL_BUCKETS = 10
+
+
+def calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration / gains table: rank-bucket the score into
+    {b} equal-population bins (bucket = cum_below x {b} div total —
+    computed on the bounded score-group relation, so NO global sort of
+    raw rows; a whole tied-score group lands in one bucket, which is
+    the deterministic tie policy) and report per-bucket volume,
+    conversions, conversion rate, and lift vs the base rate, all in
+    integer micros.  The eval-harness companion of ``auc_rank_metric``:
+    AUC summarizes ranking quality in one number, this table shows
+    WHERE in the score distribution the signal lives.
+    """
+    c = _score_groups(spark, sf_dir)
+    b = c.withColumn(
+        "bucket", F.expr(f"cum_below * {_CAL_BUCKETS} div total").cast("bigint")
+    )
+    agg = b.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.max("total").alias("total"),
+        F.max("total_pos").alias("total_pos"),
+    )
+    return agg.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000000 div n").cast("bigint").alias("rate_micro"),
+        # lift vs base rate, in micros: 1e6 = exactly the base rate
+        F.expr(
+            "(n_pos * 1000000 div n) * 1000000 div (total_pos * 1000000 div total)"
+        )
+        .cast("bigint")
+        .alias("lift_micro"),
+    )
+
+
+calibration_buckets.__doc__ = calibration_buckets.__doc__.format(b=_CAL_BUCKETS)
+
+register(
+    "calibration_buckets",
+    calibration_buckets,
+    f"""
+    WITH {_AUC_CTES},
+    b AS (SELECT *, CAST(cum_below * {_CAL_BUCKETS} // total AS BIGINT) AS bucket
+          FROM c),
+    a AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                 MAX(total) AS total, MAX(total_pos) AS total_pos
+          FROM b GROUP BY bucket)
+    SELECT bucket, n, n_pos,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS rate_micro,
+           CAST((n_pos * 1000000 // n) * 1000000
+                // (total_pos * 1000000 // total) AS BIGINT) AS lift_micro
+    FROM a
+    """,
+)

@@ -100,13 +100,15 @@ def test_round_records_prefer_self_and_skip_truncated(tmp_path, monkeypatch):
 def test_stdout_summary_line_fits_tail_capture():
     """The compact stdout record (no methods) must stay well under the
     round driver's ~2000-char tail window at the CURRENT headline size
-    — the r7 artifact was lost to exactly this overflow.  Upper-bound
-    every wall at 99.999 s (no headline key has ever exceeded 10 s;
-    one over 100 s would be a perf red flag caught by its own row)."""
+    — the r7 artifact was lost to exactly this overflow.  Mirror the
+    slim stdout copy (centisecond walls, no constant budget field) and
+    upper-bound every wall at 99.99 s (no headline key has ever
+    exceeded 10 s; one over 100 s would be a perf red flag caught by
+    its own row)."""
     m = _bench_module()
-    times = {k: 99.999 for k in m.HEADLINE}
-    times["gstream_epoch_20x100"] = 99.999
-    times["gstream_estep_distributed"] = 99.999
+    times = {k: 99.99 for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = 99.99
+    times["gstream_estep_distributed"] = 99.99
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -115,7 +117,6 @@ def test_stdout_summary_line_fits_tail_capture():
             "queries": times,
             "sf": 0.1,
             "gstream_ms_per_batch": 9999.9,
-            "gstream_ms_per_batch_budget": 116.0,
             "estep_points_per_sec": 99999999,
             "self_artifact": "BENCH_SELF_r99.json",
         },

@@ -516,3 +516,62 @@ def test_markov_fold_matches_sql_on_absorbing_matrix():
     # the absorbing state keeps receiving mass but never re-emits it
     pi = dict((s, p) for s, p, _ in expect)
     assert pi["C"] > 0 and sum(pi.values()) < 1_000_000
+
+
+# --- round-8 third batch: model-evaluation metrics ------------------------
+
+
+def test_auc_matches_bruteforce_rank_sum(spark, sf_dir):
+    """Independent Python Mann-Whitney replay: average ranks over ties,
+    U / (n1 n0), floored to micros — must equal the distributed
+    grouped-score formulation exactly."""
+    import math
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        auc_rank_metric,
+    )
+
+    rows = load_table(spark, sf_dir, "events").select("value", "event_type").collect()
+    scored = sorted(
+        (int(math.floor(r.value * 100 + 0.5)), r.event_type == "purchase")
+        for r in rows
+    )
+    # 2x average 1-based rank per tie group, summed over positives
+    ranksum2 = 0
+    i = 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        two_avg_rank = 2 * i + (j - i) + 1  # 2*cum_below + n + 1
+        ranksum2 += two_avg_rank * sum(1 for k in range(i, j) if scored[k][1])
+        i = j
+    n1 = sum(1 for _, p in scored if p)
+    n0 = len(scored) - n1
+    expect = (ranksum2 - n1 * (n1 + 1)) * 1_000_000 // (2 * n1 * n0)
+    got = auc_rank_metric(spark, sf_dir).collect()
+    assert len(got) == 1
+    assert (got[0].n_pos, got[0].n_neg, got[0].auc_micro) == (n1, n0, expect)
+    assert 0 <= got[0].auc_micro <= 1_000_000
+
+
+def test_calibration_buckets_partition_and_lift(spark, sf_dir):
+    """The decile table partitions the population (sum n == N, sum
+    n_pos == N1), buckets are 0..9, and volume-weighted lift averages
+    to ~1e6 (the base rate) within floor-division slack."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _CAL_BUCKETS,
+        calibration_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    rows = calibration_buckets(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    n_pos = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n for r in rows) == n
+    assert sum(r.n_pos for r in rows) == n_pos
+    assert {r.bucket for r in rows} <= set(range(_CAL_BUCKETS))
+    assert all(0 <= r.rate_micro <= 1_000_000 for r in rows)
+    w_avg_lift = sum(r.lift_micro * r.n for r in rows) / n
+    assert abs(w_avg_lift - 1_000_000) < 20_000  # floor-div slack only
