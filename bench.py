@@ -173,18 +173,55 @@ def _round_records() -> list[tuple[int, dict]]:
     return out
 
 
+def _latest_driver_round() -> int:
+    """Newest committed DRIVER round, derived from BOTH per-round
+    artifacts (BENCH_r*.json and CORRECTNESS_r*.json): if a round's
+    bench artifact is ever missing entirely, the correctness file still
+    advances the base, so the next round's self-artifact cannot land
+    under the previous round's label (ADVICE r8)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest = 0
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        for p in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+            if m:
+                latest = max(latest, int(m.group(1)))
+    return latest
+
+
 def _next_round() -> int:
     """Round number for this run's self-artifact: one past the newest
     committed round (the driver writes BENCH_r{N}.json AFTER bench.py
-    runs, so at round-N bench time the newest on disk is N-1)."""
-    import re
+    runs, so at round-N bench time the newest on disk is N-1).
 
-    latest = 0
-    for p in _bench_files():
-        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
-        if m:
-            latest = max(latest, int(m.group(1)))
-    return latest + 1
+    Overwrite refusal (ADVICE r8): re-running bench within the SAME
+    round intentionally refreshes BENCH_SELF_r{N}.json (the r8 protocol
+    — the latest trial is the standing record), but a self-artifact
+    written under an OLDER round base is a committed round record;
+    writing this round's numbers over it would corrupt the
+    round-over-round comparison base, so the slot is skipped instead.
+    Each self-artifact records its base as ``_round_base``."""
+    latest = _latest_driver_round()
+    n = latest + 1
+    here = os.path.dirname(os.path.abspath(__file__))
+    while True:
+        path = os.path.join(here, f"BENCH_SELF_r{n:02d}.json")
+        if not os.path.exists(path):
+            return n
+        try:
+            with open(path) as f:
+                base = json.load(f).get("_round_base")
+        except (OSError, ValueError):
+            base = None
+        # Unknown base (pre-ADVICE-r8 artifact) or same base: the
+        # normal same-round trial refresh.  Older base: committed
+        # record from a round whose driver files vanished — keep it.
+        if base is None or base == latest:
+            return n
+        n += 1
 
 
 def _auto_median5_keys() -> set[str]:
@@ -465,7 +502,12 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     self_name = f"BENCH_SELF_r{_next_round():02d}.json"
     with open(os.path.join(here, self_name), "w") as f:
-        json.dump({**record, "methods": methods}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**record, "methods": methods, "_round_base": _latest_driver_round()},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
         f.write("\n")
     # stdout copy slims per-key walls to centiseconds and drops the
     # constant budget field — 3-decimal precision and the budget live

@@ -659,7 +659,13 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: u is a pure hash of doc_id (reproducible across runs,
     engines, and partitionings — no RNG state), the key is quantized to
     integer nanos with the floor(x + 0.5) half-away idiom, and ties
-    break on doc_id.  Scale shape: map-side key computation + global
+    break on doc_id.  ``ln()`` is the one libm transcendental in the
+    key (the class ``time_decay_score`` avoids outright): its last ulp
+    is implementation-dependent, so the portability contract is pinned
+    by ``test_weighted_reservoir_keys_clear_of_floor_boundaries`` —
+    every fixture key sits >=5300 ulps from the nearest floor boundary,
+    so any faithful (few-ulp) libm on any host/JDK selects the
+    identical set; a porter swapping fixtures must re-run that guard.  Scale shape: map-side key computation + global
     top-k — Spark executes the sort+limit as TakeOrderedAndProject
     (per-partition heaps, no global sort), the same plan as
     ``orderby_limit``.  At 100 TB this is the standard one-pass
@@ -1140,9 +1146,12 @@ def auc_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranksum2 = sum over score groups of n_pos x (2 cum_below + n + 1)
     and AUC = (ranksum2 - N1(N1+1)) / (2 N1 N0), emitted in micros via
     floor division — order-independent, engine-exact (a float rank sum
-    would be accumulation-order-dependent).  ranksum2 <= 2N^2, so
-    BIGINT holds up to N ~ 1e9 rows per evaluated slice; beyond that
-    the same expression runs in DECIMAL(38,0).
+    would be accumulation-order-dependent).  Overflow headroom (ADVICE
+    r8): ranksum2 <= 2N^2 fits BIGINT to N ~ 2e9, but the x1e6 micro
+    multiply would overflow it at N ~ 2e6, so the ratio is computed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to N ~ 1e9 per
+    evaluated slice, and the FINAL quotient (<= 1e6) always fits the
+    BIGINT output column.
 
     One scan, one bounded-relation window (see ``_score_groups``),
     one final single-row aggregate.
@@ -1156,8 +1165,9 @@ def auc_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_pos").alias("n_pos"),
             (F.col("total") - F.col("total_pos")).cast("bigint").alias("n_neg"),
             F.expr(
-                "(ranksum2 - total_pos * (total_pos + 1)) * 1000000"
-                " div (2 * total_pos * (total - total_pos))"
+                "(CAST(ranksum2 AS DECIMAL(38,0))"
+                " - CAST(total_pos AS DECIMAL(38,0)) * (total_pos + 1)) * 1000000"
+                " div (CAST(2 AS DECIMAL(38,0)) * total_pos * (total - total_pos))"
             )
             .cast("bigint")
             .alias("auc_micro"),
@@ -1172,9 +1182,11 @@ register(
     WITH {_AUC_CTES}
     SELECT total_pos AS n_pos,
            CAST(total - total_pos AS BIGINT) AS n_neg,
-           CAST((SUM(n_pos * (2 * cum_below + n + 1)) - total_pos * (total_pos + 1))
+           CAST((CAST(SUM(n_pos * (2 * cum_below + n + 1)) AS HUGEINT)
+                 - CAST(total_pos AS HUGEINT) * (total_pos + 1))
                 * 1000000
-                // (2 * total_pos * (total - total_pos)) AS BIGINT) AS auc_micro
+                // (2 * CAST(total_pos AS HUGEINT) * (total - total_pos))
+                AS BIGINT) AS auc_micro
     FROM c GROUP BY total, total_pos
     """,
 )

@@ -309,8 +309,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale.  Oracle: DuckDB recursive-CTE transitive closure over the
     identical pair CTEs, min label per node.
     """
-    edges, labels = _cc_edges_labels(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=True)
+    edges, labels = _cc_edges_labels(spark, sf_dir, checkpoint=True)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(20):  # diameter bound; bucket cap keeps clusters shallow
         new_labels = _cc_step(edges, labels).localCheckpoint(eager=True)
@@ -328,12 +327,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_edges_labels(spark: SparkSession, sf_dir: str):
+def _cc_edges_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False):
     """Undirected edge list + initial own-id labels from the capped-LSH
-    pair graph (shared by the executed loop and the audit proxy)."""
+    pair graph (shared by the executed loop and the audit proxy).
+
+    ``checkpoint=True`` localCheckpoints EDGES before labels are
+    derived, so the capped-LSH banding/join plan executes exactly once
+    and the (cheap) distinct-node projection reads the checkpointed
+    edges (ADVICE r8: deriving labels from the un-checkpointed lineage
+    re-executed the whole pair plan a second time).  The audit proxy
+    keeps the default lazy form so its plan stays fingerprintable."""
     pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

