@@ -112,6 +112,11 @@ HEADLINE = [
     "concurrent_intervals",
     "auc_rank_metric",
     "calibration_buckets",
+    # round-9 batch: exact PPJoin set-similarity self-join, rolled-up
+    # content checksum, statistics-only join-size estimation
+    "ppjoin_set_similarity",
+    "table_content_checksum",
+    "join_size_estimate",
 ]
 
 

@@ -64,6 +64,15 @@ PROBE = {
     "bom_rollup": "part",
     "auc_rank_metric": "events",
     "calibration_buckets": "events",
+    # r9 additions (VERDICT r8 item 3): the three r8 second-batch keys
+    # the probe table did not yet carry
+    "funnel_attribution_linear": "events",
+    "rendezvous_resharding": "documents",
+    "concurrent_intervals": "orders",
+    # r9 new keys (probed from birth)
+    "ppjoin_set_similarity": "documents",
+    "table_content_checksum": "orders",
+    "join_size_estimate": "lineitem",
 }
 
 

@@ -612,3 +612,133 @@ def test_weighted_reservoir_keys_clear_of_floor_boundaries():
             min_dist = min(min_dist, frac, 1.0 - frac)
             max_x = max(max_x, abs(x))
         assert min_dist > 256 * max_x * 2.0**-52, (sf, min_dist, max_x)
+
+
+# --- round-9 extras: PPJoin / content checksum / join-size estimate ------
+
+
+def _py_shingle_sets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        t = r.text.split(" ")
+        sets[r.doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 0))
+        }
+    return sets
+
+
+def test_ppjoin_complete_and_exact_vs_allpairs(spark, sf_dir):
+    """The losslessness claim IS the operator: an all-pairs Python
+    replay over the fixture must produce exactly the same pair set and
+    the same integer-micro scores — any pair the prefix/positional/
+    length pruning wrongly dropped would show up here."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _PPJ_TDEN,
+        _PPJ_TNUM,
+        ppjoin_set_similarity,
+    )
+
+    sets = _py_shingle_sets(spark, sf_dir)
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * _PPJ_TDEN >= union * _PPJ_TNUM:
+                expect[(a, b)] = (
+                    len(sets[a]),
+                    len(sets[b]),
+                    inter,
+                    union,
+                    inter * 1_000_000 // union,
+                )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_a, r.n_b, r.n_inter, r.n_union, r.jac_micro)
+        for r in ppjoin_set_similarity(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one qualifying pair"
+
+
+def test_ppjoin_prefix_prunes_and_no_cartesian(spark, sf_dir):
+    """The prefix filter must have teeth (strictly fewer prefix tokens
+    than tokens) and the plan must stay cartesian-free."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        ppjoin_set_similarity,
+    )
+
+    plan = formatted_plan(ppjoin_set_similarity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_content_checksum_matches_python_replay(spark, sf_dir):
+    """Independent Python replay of the canonicalization + md5-prefix
+    sum/xor per order-year and for the ALL row; also pins the
+    roll-up consistency (ALL == fold of the per-year rows)."""
+    import hashlib
+    from functools import reduce
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        table_content_checksum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").collect()
+    per = {}
+    for r in o:
+        cents = int(math.floor(r.o_totalprice * 100 + 0.5))
+        # o_orderdate is tz-naive in the fixture: micros since epoch UTC
+        import calendar
+
+        us = (
+            calendar.timegm(r.o_orderdate.timetuple()) * 1_000_000
+            + r.o_orderdate.microsecond
+        )
+        canon = "|".join(
+            [
+                str(r.o_orderkey),
+                str(r.o_custkey),
+                r.o_orderstatus,
+                str(cents),
+                str(us),
+                r.o_orderpriority,
+            ]
+        )
+        h = int(hashlib.md5(canon.encode()).hexdigest()[:7], 16)
+        pk = str(r.o_orderdate.year)
+        n, s, x = per.get(pk, (0, 0, 0))
+        per[pk] = (n + 1, s + h, x ^ h)
+    per["ALL"] = (
+        sum(v[0] for v in per.values()),
+        sum(v[1] for v in per.values()),
+        reduce(lambda a, b: a ^ b, (v[2] for v in per.values()), 0),
+    )
+    got = {
+        r.partition_key: (r.n_rows, r.checksum_sum, r.checksum_xor)
+        for r in table_content_checksum(spark, sf_dir).collect()
+    }
+    assert got == per
+    assert len(per) >= 3  # at least two years + ALL
+
+
+def test_join_size_estimate_is_exact_for_inner_equijoin(spark, sf_dir):
+    """For an unfiltered inner equi-join the grouped-count product IS
+    the join size: pin est_rows against the executed join for every
+    edge, and the key counts against distincts."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _JOIN_EST_PAIRS,
+        join_size_estimate,
+    )
+
+    got = {r.join_name: r for r in join_size_estimate(spark, sf_dir).collect()}
+    assert set(got) == {name for name, _, _ in _JOIN_EST_PAIRS}
+    for name, (lt, lk), (rt, rk) in _JOIN_EST_PAIRS:
+        l = load_table(spark, sf_dir, lt)
+        r = load_table(spark, sf_dir, rt)
+        actual = l.join(r, l[lk] == r[rk]).count()
+        row = got[name]
+        assert row.est_rows == actual, name
+        assert row.n_keys_left == l.select(lk).distinct().count()
+        assert row.n_keys_right == r.select(rk).distinct().count()
+        assert row.n_keys_common <= min(row.n_keys_left, row.n_keys_right)
