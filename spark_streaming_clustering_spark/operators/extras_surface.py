@@ -1268,6 +1268,50 @@ register(
 
 _PPJ_TNUM, _PPJ_TDEN = 1, 2  # Jaccard threshold tau = TNUM/TDEN = 1/2
 
+# Ranked-token relation cache: (applicationId, sf_dir) -> persisted DF.
+# The shingle-distinct + df-join + per-doc windows subtree is consumed
+# FOUR times inside one ppjoin call (both prefix sides, both
+# verification sides); without the shared_tf/_signatures session-cache
+# pattern the static plan re-derives it per consumer (8 corpus scans).
+_PPJ_TOK_CACHE: dict = {}
+
+
+def _ppj_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, pos, n): each doc's distinct 3-shingles ordered
+    rarest-first by (global document frequency, shingle) — a total
+    order, so the per-doc prefix is well-defined without materializing
+    a global rank; both windows are PARTITIONED BY doc_id.  Persisted
+    once per (session, sf_dir), the shared_tf lesson (_text.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tok = _PPJ_TOK_CACHE.get(key)
+    if tok is not None:
+        return tok
+    sh = _shingles(spark, sf_dir).select("doc_id", "sh").distinct()
+    dfr = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    tok = (
+        sh.join(dfr, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(w_doc.orderBy("df", "sh")).alias("pos"),
+            F.count(F.lit(1)).over(w_doc).alias("n"),
+        )
+        .persist()
+    )
+    _PPJ_TOK_CACHE[key] = tok
+    return tok
+
+
+def clear_ppj_cache() -> None:
+    """Unpersist and drop all shared ranked-token relations."""
+    for tok in _PPJ_TOK_CACHE.values():
+        try:
+            tok.unpersist()
+        except Exception:
+            pass
+    _PPJ_TOK_CACHE.clear()
+
 
 def ppjoin_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard set-similarity self-join over per-document
@@ -1295,19 +1339,14 @@ def ppjoin_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus), candidates join on rare prefix shingles
     only (measured: 27 candidates / 25 results at sf0.01, 125k / 256
     at sf0.1 vs 1.13M all-shared-shingle pairs), and verification
-    touches candidate pairs only.  At 100 TB this is the exact-dedup
+    touches candidate pairs only.  The ranked-token relation feeds all
+    four join sides, so it is session-cached (``_ppj_tok``, the
+    shared_tf/_signatures pattern): ONE corpus scan, not eight — at
+    100 TB the analogous decision is writing it to a table once.  At 100 TB this is the exact-dedup
     complement to ``dedup_minhash_lsh``: same shuffle keys (shingle,
     doc_id), no all-pairs stage anywhere.
     """
-    sh = _shingles(spark, sf_dir).select("doc_id", "sh").distinct()
-    dfr = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id")
-    tok = sh.join(dfr, "sh").select(
-        "doc_id",
-        "sh",
-        F.row_number().over(w_doc.orderBy("df", "sh")).alias("pos"),
-        F.count(F.lit(1)).over(w_doc).alias("n"),
-    )
+    tok = _ppj_tok(spark, sf_dir)
     pre = tok.filter(
         F.col("pos")
         <= F.col("n")
