@@ -742,3 +742,33 @@ def test_join_size_estimate_is_exact_for_inner_equijoin(spark, sf_dir):
         assert row.n_keys_left == l.select(lk).distinct().count()
         assert row.n_keys_right == r.select(rk).distinct().count()
         assert row.n_keys_common <= min(row.n_keys_left, row.n_keys_right)
+
+
+def test_content_checksum_plan_single_scan(spark, sf_dir):
+    """ROLLUP must add the grand-total grain via Expand on ONE scan,
+    never a union of re-aggregations."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        table_content_checksum,
+    )
+
+    import re
+
+    plan = formatted_plan(table_content_checksum(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Expand" in plan
+
+
+def test_ppjoin_plan_scans_corpus_at_most_twice(spark, sf_dir):
+    """The session-cached ranked-token relation must collapse the four
+    tok consumers: without it the static plan re-derives the corpus
+    subtree per consumer (observed 8 scans pre-cache)."""
+    import re
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        clear_ppj_cache,
+        ppjoin_set_similarity,
+    )
+
+    clear_ppj_cache()
+    plan = formatted_plan(ppjoin_set_similarity(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
