@@ -9,6 +9,7 @@ scratch_dir must register its mkdtemp the same way."""
 from __future__ import annotations
 
 import os
+import time
 
 from spark_streaming_clustering_spark.sources import tables as T
 
@@ -97,14 +98,19 @@ def test_one_time_sweep_reclaims_old_flat_scheme(spark, sf_dir, tmp_path, monkey
     tag = T.sf_tag(sf_dir)
     old = tmp_path / f"events_local-1755200000000_{tag}_1_2"
     old.mkdir()
+    stale = time.time() - 7200  # ADVICE r8: only >1h-old dirs are swept
+    os.utime(old, (stale, stale))
     live_app = spark.sparkContext.applicationId
     mine = tmp_path / f"events_{live_app}_{tag}_1_2"
     mine.mkdir()
+    fresh = tmp_path / f"events_local-1755200000099_{tag}_1_2"
+    fresh.mkdir()  # another session's RECENT layout: age guard keeps it
     unrelated = tmp_path / "pip-build-local-1755200000000"
     unrelated.mkdir()
     T.derived_layout_path(spark, "events", sf_dir, "events")
     assert not old.exists()  # pre-nesting leak reclaimed
     assert mine.exists()  # live session's appId never swept
+    assert fresh.exists()  # <1h mtime: possibly live elsewhere, kept
     assert unrelated.exists()  # non-layout names untouched
     # and the sweep is one-time per process: a new old-scheme dir
     # appearing later is left for the next session
