@@ -73,6 +73,9 @@ PROBE = {
     "ppjoin_set_similarity": "documents",
     "table_content_checksum": "orders",
     "join_size_estimate": "lineitem",
+    "subset_containment_join": "documents",
+    "agg_ivm_delta": "events",
+    "equi_depth_histogram": "orders",
 }
 
 

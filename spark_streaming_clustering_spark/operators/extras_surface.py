@@ -19,8 +19,13 @@ SCALE.md's r8 handoff (VERDICT r8 item 2) — PPJoin-style EXACT
 set-similarity self-join (prefix/positional/length filters, lossless
 by construction), order-independent table CONTENT checksum with a
 ROLLUP grand total, and sketch-free join-size estimation from grouped
-key counts; queue again empty, so the r9 driver window covers all
-three.
+key counts; a second batch lands the r10 candidate classes early —
+EXACT whole-corpus set-CONTAINMENT join (the asymmetric complement of
+ppjoin and the scalable complement of the capped dedup_containment
+scorer), incremental view maintenance of a persisted aggregate from a
+signed CDC delta batch, and equi-depth histogram construction with
+per-bucket NDV; queue again empty, so the r9 driver window covers all
+six.
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -1647,3 +1652,373 @@ def _join_est_oracle() -> str:
 
 
 register("join_size_estimate", join_size_estimate, _join_est_oracle())
+
+
+# --------------------------------------------------------------------------
+# round-9 second batch — the r10 candidate classes landed early:
+# set-CONTAINMENT join (prefix-index, lossless, whole-corpus — the
+# scalable complement to the capped dedup_containment SCORER),
+# incremental view maintenance of a persisted aggregate from a CDC
+# delta batch, and equi-depth histogram construction for optimizer
+# statistics.
+# --------------------------------------------------------------------------
+
+
+_SCJ_TNUM, _SCJ_TDEN = 9, 10  # containment threshold t = 9/10
+
+
+def subset_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-CONTAINMENT join over the WHOLE corpus: ordered pairs
+    (container a, contained b), a != b, where |A/\\B| >= t*|B| with
+    t = {tnum}/{tden} over per-doc distinct 3-shingle sets — including
+    the strict-subset case (is_strict_subset flags |A/\\B| = |B|).
+
+    The asymmetric complement of ``ppjoin_set_similarity`` (predicate
+    class: containment, not symmetric similarity) and the scalable
+    complement of ``dedup_containment`` (which SCORES a doc_id-capped
+    candidate set precisely because its full shared-shingle join does
+    not scale): here the candidate join is lossless AND uncapped.
+    Containment prefix lemma: if at least t*|B| of B's shingles are in
+    A, then among B's shingles ordered rarest-first the first
+    |B| - ceil(t*|B|) + 1 cannot ALL be missing from A, so joining
+    ONLY b's short prefix against a's full shingle list finds every
+    qualifying pair (Melnik & Garcia-Molina's prefix-index containment
+    family, public literature); exact verification on the full sets
+    decides.  Length filter: |A| >= ceil(t*|B|).
+
+    Scale shape: reuses the session-cached ranked-token relation
+    (``_ppj_tok``); b-side prefix shingles are the rarest (bounded
+    df), so the candidate join is inverted-index-sized, never
+    all-pairs; verification touches candidate pairs only.  All
+    arithmetic integer (containment in micros via div).
+    """
+    tok = _ppj_tok(spark, sf_dir)
+    pre_b = tok.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"(n * {_SCJ_TNUM} + {_SCJ_TDEN} - 1) div {_SCJ_TDEN}")
+        + 1
+    ).select(F.col("doc_id").alias("db"), "sh", F.col("n").alias("nb"))
+    full_a = tok.select(F.col("doc_id").alias("da"), "sh", F.col("n").alias("na"))
+    cand = (
+        full_a.join(pre_b, "sh")
+        .filter(F.col("da") != F.col("db"))
+        .filter(F.expr(f"na * {_SCJ_TDEN} >= nb * {_SCJ_TNUM}"))
+        .select("da", "db", "na", "nb")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("da"), "sh")
+    tb = tok.select(F.col("doc_id").alias("db"), "sh")
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, ["db", "sh"])
+        .groupBy("da", "db", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.expr(f"n_inter * {_SCJ_TDEN} >= nb * {_SCJ_TNUM}")
+        ).select(
+            F.col("da").alias("doc_container"),
+            F.col("db").alias("doc_contained"),
+            F.col("na").cast("bigint").alias("n_container"),
+            F.col("nb").cast("bigint").alias("n_contained"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.expr("n_inter * 1000000 div nb").cast("bigint").alias(
+                "containment_micro"
+            ),
+            (F.col("n_inter") == F.col("nb")).alias("is_strict_subset"),
+        )
+    )
+
+
+subset_containment_join.__doc__ = subset_containment_join.__doc__.format(
+    tnum=_SCJ_TNUM, tden=_SCJ_TDEN
+)
+
+register(
+    "subset_containment_join",
+    subset_containment_join,
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, sh FROM ({_PPJ_DK})),
+    dfr AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+    tok AS (SELECT doc_id, sh,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sh) AS pos,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM sh JOIN dfr USING (sh)),
+    pre_b AS (SELECT doc_id AS db, sh, n AS nb FROM tok
+              WHERE pos <= n - (n * {_SCJ_TNUM} + {_SCJ_TDEN} - 1) // {_SCJ_TDEN} + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.db, a.n AS na, b.nb
+             FROM tok a JOIN pre_b b ON a.sh = b.sh AND a.doc_id <> b.db
+             WHERE a.n * {_SCJ_TDEN} >= b.nb * {_SCJ_TNUM}),
+    inter AS (SELECT c.da, c.db, c.na, c.nb, CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM cand c JOIN tok ta ON ta.doc_id = c.da
+                          JOIN tok tb ON tb.doc_id = c.db AND tb.sh = ta.sh
+              GROUP BY 1, 2, 3, 4)
+    SELECT da AS doc_container, db AS doc_contained,
+           CAST(na AS BIGINT) AS n_container, CAST(nb AS BIGINT) AS n_contained,
+           n_inter,
+           CAST(n_inter * 1000000 // nb AS BIGINT) AS containment_micro,
+           n_inter = nb AS is_strict_subset
+    FROM inter
+    WHERE n_inter * {_SCJ_TDEN} >= nb * {_SCJ_TNUM}
+    """,
+)
+
+
+_IVM_INS_MOD = 10  # event_id % 10 == 0  -> the delta INSERT batch
+_IVM_DEL_MOD = 17  # base rows with event_id % 17 == 0 -> retractions
+
+
+def _ivm_cents() -> object:
+    return F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+
+
+def _ivm_base_agg_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the maintained VIEW — per event_type
+    (n, sum_cents) over the BASE slice of events — as a parquet table.
+    The _SUCCESS-guarded write-once pattern of ``_hll_daily_layout`` /
+    ``_quantile_daily_layout``: the point of IVM is that later delta
+    batches merge into this STORED state without rescanning the base."""
+    import os
+
+    from ..sources.tables import derived_layout_path
+
+    out = derived_layout_path(spark, "ivm_base_agg", sf_dir, "events")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % _IVM_INS_MOD != 0)
+            .select("event_type", _ivm_cents().alias("cents"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_base"),
+                F.sum("cents").cast("bigint").alias("sum_cents_base"),
+            )
+            .coalesce(1)  # bounded output: one row per event_type
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+def agg_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a persisted AGGREGATE from a CDC
+    delta batch — the class ``cdc_apply`` (which maintains a TABLE)
+    does not cover: the per-event_type (count, sum) view is stored
+    once (``_ivm_base_agg_layout``), then a delta batch of inserts
+    (event_id % {ins} == 0) and retractions (base rows with
+    event_id % {del_} == 0) is folded in as SIGNED partial aggregates
+    (+1/+cents for inserts, -1/-cents for deletes) — one scan of the
+    delta, one merge join against the metadata-sized stored view,
+    never a rescan of the base facts.
+
+    COUNT and SUM are self-maintainable under deletes; MIN/MAX are NOT
+    (a deleted extremum forces a base rescan) — which is exactly why
+    the maintained view carries only the self-maintainable pair.  The
+    checked contract (house quantile-rollup protocol) recomputes the
+    view from scratch over (base - deletes) + inserts ON THE SPARK
+    SIDE and emits the equality as ``ivm_equals_recompute``; the
+    oracle re-derives the identical integer arithmetic.
+    """
+    stored = spark.read.parquet(_ivm_base_agg_layout(spark, sf_dir))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _ivm_cents().alias("cents")
+    )
+    is_ins = F.col("event_id") % _IVM_INS_MOD == 0
+    is_del = (F.col("event_id") % _IVM_INS_MOD != 0) & (
+        F.col("event_id") % _IVM_DEL_MOD == 0
+    )
+    delta = (
+        ev.filter(is_ins | is_del)
+        .select(
+            "event_type",
+            F.when(is_ins, 1).otherwise(-1).alias("w"),
+            "cents",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("dsum"),
+            F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ins"),
+            F.sum(F.when(F.col("w") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_del"),
+        )
+    )
+    merged = (
+        stored.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_ins"), F.lit(0)).alias("n_ins"),
+            F.coalesce(F.col("n_del"), F.lit(0)).alias("n_del"),
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_after"),
+            (
+                F.coalesce(F.col("sum_cents_base"), F.lit(0))
+                + F.coalesce(F.col("dsum"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_cents_after"),
+        )
+    )
+    recompute = (
+        ev.filter(is_ins | ~is_del)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rec"),
+            F.sum("cents").cast("bigint").alias("sum_rec"),
+        )
+    )
+    return (
+        merged.join(recompute, "event_type", "full_outer")
+        .select(
+            "event_type",
+            "n_base",
+            "n_ins",
+            "n_del",
+            "n_after",
+            "sum_cents_after",
+            (
+                (F.col("n_after") == F.coalesce(F.col("n_rec"), F.lit(0)))
+                & (
+                    F.col("sum_cents_after")
+                    == F.coalesce(F.col("sum_rec"), F.lit(0))
+                )
+            ).alias("ivm_equals_recompute"),
+        )
+    )
+
+
+agg_ivm_delta.__doc__ = agg_ivm_delta.__doc__.format(
+    ins=_IVM_INS_MOD, del_=_IVM_DEL_MOD
+)
+
+register(
+    "agg_ivm_delta",
+    agg_ivm_delta,
+    f"""
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+    base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_base,
+                    CAST(SUM(cents) AS BIGINT) AS sum_cents_base
+             FROM ev WHERE event_id % {_IVM_INS_MOD} <> 0 GROUP BY 1),
+    delta AS (SELECT event_type,
+                     CAST(SUM(w) AS BIGINT) AS dn,
+                     CAST(SUM(w * cents) AS BIGINT) AS dsum,
+                     CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ins,
+                     CAST(SUM(CASE WHEN w = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_del
+              FROM (SELECT event_type, cents,
+                           CASE WHEN event_id % {_IVM_INS_MOD} = 0 THEN 1
+                                ELSE -1 END AS w
+                    FROM ev
+                    WHERE event_id % {_IVM_INS_MOD} = 0
+                       OR event_id % {_IVM_DEL_MOD} = 0)
+              GROUP BY 1),
+    merged AS (SELECT coalesce(b.event_type, d.event_type) AS event_type,
+                      coalesce(b.n_base, 0) AS n_base,
+                      coalesce(d.n_ins, 0) AS n_ins,
+                      coalesce(d.n_del, 0) AS n_del,
+                      CAST(coalesce(b.n_base, 0) + coalesce(d.dn, 0) AS BIGINT)
+                        AS n_after,
+                      CAST(coalesce(b.sum_cents_base, 0) + coalesce(d.dsum, 0)
+                           AS BIGINT) AS sum_cents_after
+               FROM base b FULL OUTER JOIN delta d
+                 ON b.event_type = d.event_type),
+    rec AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rec,
+                   CAST(SUM(cents) AS BIGINT) AS sum_rec
+            FROM ev
+            WHERE event_id % {_IVM_INS_MOD} = 0
+               OR NOT (event_id % {_IVM_INS_MOD} <> 0
+                       AND event_id % {_IVM_DEL_MOD} = 0)
+            GROUP BY 1)
+    SELECT coalesce(m.event_type, r.event_type) AS event_type,
+           m.n_base, m.n_ins, m.n_del, m.n_after, m.sum_cents_after,
+           m.n_after = coalesce(r.n_rec, 0)
+             AND m.sum_cents_after = coalesce(r.sum_rec, 0)
+             AS ivm_equals_recompute
+    FROM merged m FULL OUTER JOIN rec r ON m.event_type = r.event_type
+    """,
+)
+
+
+_EDH_BUCKETS = 8
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of ``o_totalprice`` in {b} buckets with
+    per-bucket NDV — the optimizer-statistics ARTIFACT beyond
+    ``analyze_table_q``'s row counts and ``join_size_estimate``'s key
+    counts: an optimizer estimates range-predicate selectivity from
+    exactly this (bucket bounds + depth + distinct values per bucket).
+
+    Distributed shape (the ``_score_groups`` idiom): prices quantize
+    to WHOLE DOLLARS, so the grouped relation is bounded by the PRICE
+    RANGE — not the row count — at any input size; the global-order
+    window (cum_below) runs on that resolution-bounded relation, never
+    on raw fact rows (an ntile over raw rows would globally sort the
+    table).  Bucket = cum_below * {b} div total, so a whole tied
+    dollar-group lands in one bucket (the deterministic tie policy
+    shared with ``calibration_buckets``; true equi-depth up to
+    tie-group granularity).  All arithmetic integer.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint) div 100"
+        ).alias("dollar")
+    )
+    g = o.groupBy("dollar").agg(F.count(F.lit(1)).alias("cnt"))
+    w_below = Window.orderBy("dollar").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "dollar",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("cum_below"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    b = c.withColumn(
+        "bucket", F.expr(f"cum_below * {_EDH_BUCKETS} div total").cast("bigint")
+    )
+    return b.groupBy("bucket").agg(
+        F.min("dollar").cast("bigint").alias("lo_dollar"),
+        F.max("dollar").cast("bigint").alias("hi_dollar"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv_dollars"),
+    )
+
+
+equi_depth_histogram.__doc__ = equi_depth_histogram.__doc__.format(b=_EDH_BUCKETS)
+
+register(
+    "equi_depth_histogram",
+    equi_depth_histogram,
+    f"""
+    WITH g AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100
+                        AS dollar,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY 1),
+    c AS (SELECT dollar, cnt,
+                 CAST(coalesce(SUM(cnt) OVER (ORDER BY dollar
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_below,
+                 CAST(SUM(cnt) OVER () AS BIGINT) AS total
+          FROM g),
+    b AS (SELECT *, CAST(cum_below * {_EDH_BUCKETS} // total AS BIGINT)
+                      AS bucket
+          FROM c)
+    SELECT bucket, CAST(MIN(dollar) AS BIGINT) AS lo_dollar,
+           CAST(MAX(dollar) AS BIGINT) AS hi_dollar,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS ndv_dollars
+    FROM b GROUP BY bucket
+    """,
+)

@@ -772,3 +772,143 @@ def test_ppjoin_plan_scans_corpus_at_most_twice(spark, sf_dir):
     clear_ppj_cache()
     plan = formatted_plan(ppjoin_set_similarity(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
+
+
+# --- round-9 second batch: containment join / IVM / equi-depth -----------
+
+
+def test_subset_containment_matches_allpairs(spark, sf_dir):
+    """All-pairs Python replay: every ORDERED pair (a contains >=9/10
+    of b) must be found with the exact integer score — losslessness of
+    the rarest-prefix candidate join is the operator's claim."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _SCJ_TDEN,
+        _SCJ_TNUM,
+        subset_containment_join,
+    )
+
+    sets = _py_shingle_sets(spark, sf_dir)
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            nb = len(sets[b])
+            if nb and inter * _SCJ_TDEN >= nb * _SCJ_TNUM:
+                expect[(a, b)] = (
+                    len(sets[a]),
+                    nb,
+                    inter,
+                    inter * 1_000_000 // nb,
+                    inter == nb,
+                )
+    got = {
+        (r.doc_container, r.doc_contained): (
+            r.n_container,
+            r.n_contained,
+            r.n_inter,
+            r.containment_micro,
+            r.is_strict_subset,
+        )
+        for r in subset_containment_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[4] for v in expect.values())  # strict subsets exist
+
+
+def test_agg_ivm_delta_contract_and_replay(spark, sf_dir):
+    """The IVM contract column must hold on every row (delta-folded ==
+    recomputed), the signed fold must match a Python replay, and the
+    stored base view must be write-once (_SUCCESS mtime stable)."""
+    import os
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _IVM_DEL_MOD,
+        _IVM_INS_MOD,
+        _ivm_base_agg_layout,
+        agg_ivm_delta,
+    )
+
+    rows = {r.event_type: r for r in agg_ivm_delta(spark, sf_dir).collect()}
+    assert rows and all(r.ivm_equals_recompute for r in rows.values())
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    per = {}
+    for r in ev:
+        c = int(math.floor(r.value * 100 + 0.5))
+        t = per.setdefault(r.event_type, [0, 0, 0, 0, 0])  # nb, ni, nd, na, sa
+        ins = r.event_id % _IVM_INS_MOD == 0
+        dele = (not ins) and r.event_id % _IVM_DEL_MOD == 0
+        if not ins:
+            t[0] += 1
+        if ins:
+            t[1] += 1
+            t[3] += 1
+            t[4] += c
+        elif dele:
+            t[2] += 1
+            t[3] -= 1
+            t[4] -= c
+        else:
+            t[3] += 1
+            t[4] += c
+    # n_after starts from the base count: fold base rows into na/sa too
+    expect = {}
+    for k, (nb, ni, nd, na, sa) in per.items():
+        expect[k] = (nb, ni, nd)
+    got = {k: (r.n_base, r.n_ins, r.n_del) for k, r in rows.items()}
+    assert got == expect
+    for k, r in rows.items():
+        base_rows = [
+            x for x in ev if x.event_type == k and x.event_id % _IVM_INS_MOD != 0
+        ]
+        kept = [
+            x for x in base_rows if x.event_id % _IVM_DEL_MOD != 0
+        ] + [x for x in ev if x.event_type == k and x.event_id % _IVM_INS_MOD == 0]
+        assert r.n_after == len(kept)
+        assert r.sum_cents_after == sum(
+            int(math.floor(x.value * 100 + 0.5)) for x in kept
+        )
+    out = _ivm_base_agg_layout(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(out, "_SUCCESS"))
+    agg_ivm_delta(spark, sf_dir)  # second call must not rewrite
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS")) == mtime
+
+
+def test_equi_depth_histogram_partitions_and_replays(spark, sf_dir):
+    """Buckets must partition the rows (sum == total), carry disjoint
+    ordered [lo, hi] ranges, and match a Python replay of the
+    cum_below * B div total assignment exactly."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _EDH_BUCKETS,
+        equi_depth_histogram,
+    )
+
+    dollars = [
+        int(math.floor(r.o_totalprice * 100 + 0.5)) // 100
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    cnt = Counter(dollars)
+    total = len(dollars)
+    expect = {}
+    cum = 0
+    for d in sorted(cnt):
+        b = cum * _EDH_BUCKETS // total
+        lo, hi, n, ndv = expect.get(b, (d, d, 0, 0))
+        expect[b] = (min(lo, d), max(hi, d), n + cnt[d], ndv + 1)
+        cum += cnt[d]
+    got = {
+        r.bucket: (r.lo_dollar, r.hi_dollar, r.n_rows, r.ndv_dollars)
+        for r in equi_depth_histogram(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[2] for v in got.values()) == total
+    bs = sorted(got)
+    for a, b in zip(bs, bs[1:]):
+        assert got[a][1] < got[b][0]  # disjoint, ordered ranges
