@@ -76,6 +76,8 @@ PROBE = {
     "subset_containment_join": "documents",
     "agg_ivm_delta": "events",
     "equi_depth_histogram": "orders",
+    "ks_two_sample": "events",
+    "join_key_skew_profile": "lineitem",
 }
 
 

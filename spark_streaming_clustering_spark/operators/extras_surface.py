@@ -24,8 +24,11 @@ EXACT whole-corpus set-CONTAINMENT join (the asymmetric complement of
 ppjoin and the scalable complement of the capped dedup_containment
 scorer), incremental view maintenance of a persisted aggregate from a
 signed CDC delta batch, and equi-depth histogram construction with
-per-bucket NDV; queue again empty, so the r9 driver window covers all
-six.
+per-bucket NDV; a third batch lands two more refreshed r10 candidates
+— the two-sample Kolmogorov-Smirnov distance in pure integer
+arithmetic and the join-key skew profile (the salting-decision
+artifact); queue again empty, so the r9 driver window covers all
+eight.
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -2022,3 +2025,197 @@ register(
     FROM b GROUP BY bucket
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# round-9 third batch — two of the refreshed r10 candidates with clean
+# lossless oracles: the two-sample distribution-DISTANCE statistic and
+# the join-key skew profile (the salting-decision artifact).
+# V-optimal histogram stays a named candidate: its driver-side DP has
+# no tractable independent SQL oracle, and the house rule is
+# oracle-backed or not landed.
+# --------------------------------------------------------------------------
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between purchase and
+    non-purchase event VALUES, in pure integer arithmetic — the
+    distribution-DISTANCE class (``welch_ttest_q`` compares means,
+    ``corpus_drift_kl`` token distributions; nothing previously
+    compared full CDFs): D = max over values of
+    |cumA(v)*nB - cumB(v)*nA| / (nA*nB), the exact KS statistic
+    because cross-multiplying the two empirical CDFs by the opposite
+    sample size keeps every comparison in BIGINT (no float CDFs to
+    accumulate out of order).
+
+    Distributed shape (the ``_score_groups`` idiom): values quantize
+    to integer cents, so the grouped relation is bounded by the VALUE
+    RANGE at any input size and the cumulative windows never touch raw
+    fact rows.  The argmax value is tie-broken to the SMALLEST cents
+    (conditional MIN against the gap maximum); the final ratio runs in
+    DECIMAL(38,0) / HUGEINT like ``auc_rank_metric`` (cum*n products
+    reach N^2/4).  One scan, one bounded-relation window pair, one
+    single-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+    )
+    g = e.groupBy("cents").agg(
+        F.sum("a").cast("bigint").alias("na_i"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("nb_i"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = g.select(
+        "cents",
+        F.sum("na_i").over(w_cum).alias("cum_a"),
+        F.sum("nb_i").over(w_cum).alias("cum_b"),
+        F.sum("na_i").over(w_all).alias("n_a"),
+        F.sum("nb_i").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    # argmax location via gmax-over-all + conditional MIN: gap already
+    # reaches nA*nB (~N^2/4), so a packed gap*K+cents argmax would
+    # overflow BIGINT right where this key is meant to scale; the extra
+    # window runs on the same bounded relation as the totals.
+    k = c.select("n_a", "n_b", gap.alias("gap"), "cents").withColumn(
+        "gmax", F.max("gap").over(Window.partitionBy())
+    )
+    return (
+        k.groupBy("n_a", "n_b")
+        .agg(
+            F.max("gap").cast("bigint").alias("d_num"),
+            F.min(F.when(F.col("gap") == F.col("gmax"), F.col("cents")))
+            .cast("bigint")
+            .alias("at_cents"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.expr(
+                "CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("ks_micro"),
+            "at_cents",
+        )
+    )
+
+
+register(
+    "ks_two_sample",
+    ks_two_sample,
+    """
+    WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+               FROM events),
+    g AS (SELECT cents, CAST(SUM(a) AS BIGINT) AS na_i,
+                 CAST(SUM(1 - a) AS BIGINT) AS nb_i
+          FROM e GROUP BY 1),
+    c AS (SELECT cents,
+                 CAST(SUM(na_i) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_a,
+                 CAST(SUM(nb_i) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_b,
+                 CAST(SUM(na_i) OVER () AS BIGINT) AS n_a,
+                 CAST(SUM(nb_i) OVER () AS BIGINT) AS n_b
+          FROM g),
+    k AS (SELECT n_a, n_b,
+                 abs(cum_a * n_b - cum_b * n_a) AS gap,
+                 MAX(abs(cum_a * n_b - cum_b * n_a)) OVER () AS gmax,
+                 cents
+          FROM c)
+    SELECT n_a, n_b, CAST(MAX(gap) AS BIGINT) AS d_num,
+           CAST((CAST(MAX(gap) AS HUGEINT) * 1000000)
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_micro,
+           CAST(MIN(CASE WHEN gap = gmax THEN cents END) AS BIGINT) AS at_cents
+    FROM k GROUP BY n_a, n_b
+    """,
+)
+
+
+_SKEW_COLUMNS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+_SKEW_PACK = 1_000_000_000  # keys < 1e9 in every fixture table
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profile for the four hot TPC-H join columns — the
+    salting-decision artifact (the diagnostics sibling of
+    ``join_size_estimate``): per column, row count, distinct keys,
+    the heaviest key and its count, and the skew factor
+    max_cnt / (N/D) in integer micros — the number an engine compares
+    against its skew-join threshold to decide salting / AQE skew
+    splitting.
+
+    Shape: one grouped count per column (map-side partials, shuffle on
+    the key) reduced by ONE aggregate — the heavy key is taken with
+    the house packed-argmax idiom (cnt * 1e9 + key, ties to the
+    LARGEST key; rendezvous_resharding precedent) so there is no
+    join-back and no window; the skew ratio runs in DECIMAL(38,0) /
+    HUGEINT (max_cnt * D products).  Four single-row aggregates
+    unioned — no cartesian anywhere.
+    """
+    outs = []
+    for table, col in _SKEW_COLUMNS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        packed = F.col("cnt") * F.lit(_SKEW_PACK) + F.col("k")
+        outs.append(
+            counts.agg(
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max(packed).alias("mp"),
+            ).select(
+                F.lit(f"{table}.{col}").alias("join_col"),
+                "n_rows",
+                "n_keys",
+                F.expr(f"mp div {_SKEW_PACK}").cast("bigint").alias("max_cnt"),
+                F.expr(f"mp % {_SKEW_PACK}").cast("bigint").alias("heaviest_key"),
+                F.expr(
+                    f"CAST((CAST(mp div {_SKEW_PACK} AS DECIMAL(38,0))"
+                    " * n_keys * 1000000)"
+                    " div CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("skew_micro"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _skew_oracle() -> str:
+    branches = []
+    for table, col in _SKEW_COLUMNS:
+        branches.append(
+            f"""
+    SELECT '{table}.{col}' AS join_col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt * {_SKEW_PACK} + k) // {_SKEW_PACK} AS BIGINT)
+             AS max_cnt,
+           CAST(MAX(cnt * {_SKEW_PACK} + k) % {_SKEW_PACK} AS BIGINT)
+             AS heaviest_key,
+           CAST((CAST(MAX(cnt * {_SKEW_PACK} + k) // {_SKEW_PACK} AS HUGEINT)
+                 * COUNT(*) * 1000000)
+                // CAST(SUM(cnt) AS HUGEINT) AS BIGINT) AS skew_micro
+    FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM {table} GROUP BY 1)"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+register("join_key_skew_profile", join_key_skew_profile, _skew_oracle())

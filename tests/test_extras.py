@@ -912,3 +912,67 @@ def test_equi_depth_histogram_partitions_and_replays(spark, sf_dir):
     bs = sorted(got)
     for a, b in zip(bs, bs[1:]):
         assert got[a][1] < got[b][0]  # disjoint, ordered ranges
+
+
+# --- round-9 third batch: KS distance / join-key skew profile ------------
+
+
+def test_ks_two_sample_matches_bruteforce(spark, sf_dir):
+    """Exact integer replay of the two-sample KS statistic: cum CDF
+    cross-products, max gap, smallest-cents tie-break."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        ks_two_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for r in ev:
+        cents = int(math.floor(r.value * 100 + 0.5))
+        (ca if r.event_type == "purchase" else cb)[cents] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = 0
+    d_num, at = -1, None
+    for v in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        gap = abs(cum_a * nb - cum_b * na)
+        if gap > d_num:
+            d_num, at = gap, v
+    rows = ks_two_sample(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_a, r.n_b, r.d_num, r.at_cents) == (na, nb, d_num, at)
+    assert r.ks_micro == d_num * 1_000_000 // (na * nb)
+    assert 0 <= r.ks_micro <= 1_000_000
+
+
+def test_join_key_skew_profile_matches_bruteforce(spark, sf_dir):
+    """Counter replay per column: totals, distincts, heaviest key
+    (ties to the largest key), integer skew factor."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _SKEW_COLUMNS,
+        join_key_skew_profile,
+    )
+
+    got = {r.join_col: r for r in join_key_skew_profile(spark, sf_dir).collect()}
+    assert set(got) == {f"{t}.{c}" for t, c in _SKEW_COLUMNS}
+    for table, col in _SKEW_COLUMNS:
+        cnt = Counter(
+            r[0] for r in load_table(spark, sf_dir, table).select(col).collect()
+        )
+        n, d = sum(cnt.values()), len(cnt)
+        maxc = max(cnt.values())
+        heaviest = max(k for k, v in cnt.items() if v == maxc)
+        r = got[f"{table}.{col}"]
+        assert (r.n_rows, r.n_keys, r.max_cnt, r.heaviest_key) == (
+            n,
+            d,
+            maxc,
+            heaviest,
+        )
+        assert r.skew_micro == maxc * d * 1_000_000 // n
+        assert r.skew_micro >= 1_000_000  # max >= avg always
