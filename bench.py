@@ -258,6 +258,42 @@ def _auto_median5_keys() -> set[str]:
     return movers
 
 
+def _recorded_floors() -> dict:
+    """Per-key FLOOR (minimum wall) across every usable committed round
+    record — the burst-adjudication base (VERDICT r9 item 5): a median
+    still admits a burst-dominated value when 2 of 5 samples are
+    steal-hit (embed_pq_codes r9: driver samples [2.1, 15.9, 14.2,
+    7.2, 2.4] -> median 7.2 s on unchanged code with an isolated floor
+    ~1.0 s).  The floor only ever reflects code that actually ran, so
+    a key whose median lands >= 5x above it is burst-dominated, not
+    regressed — a REAL regression moves the fast samples too."""
+    floors: dict[str, float] = {}
+    for _rnd, q in _round_records():
+        for key, v in q.items():
+            if isinstance(v, (int, float)) and v > 0:
+                floors[key] = min(v, floors.get(key, v))
+    return floors
+
+
+def _robust_center(samples: list[float], floor: float | None) -> tuple[float, str]:
+    """Median-of-N, downgraded to the mean of the 3 smallest samples
+    when the median sits >= 5x above the key's recorded floor (burst
+    domination).  When samples are tight the two statistics coincide,
+    so the guard can never hide a real uniform slowdown."""
+    med = sorted(samples)[len(samples) // 2]
+    if floor is not None and floor > 0 and med >= 5 * floor:
+        low3 = sorted(samples)[:3]
+        return round(sum(low3) / len(low3), 3), "trimmed3of5-floorguard"
+    return med, "median5"
+
+
+def _slim_wall(v: float) -> float:
+    """2-significant-digit wall for the stdout tail line (VERDICT r9
+    item 6: 1806/1900 chars at 67 keys — the slim line is the budget;
+    full 3-decimal precision lives in the self-artifact)."""
+    return float(f"{v:.2g}")
+
+
 def _bench_queries(path: str) -> dict:
     """Per-key walls from a committed BENCH_r*.json (the round driver
     wraps bench.py's JSON line under "parsed")."""
@@ -417,6 +453,7 @@ def main() -> None:
     # to median-of-5 within the same run — no >25% mover ships on a
     # 3-sample best (VERDICT r5 item 2's actual requirement).
     prev_times = _previous_bench_times()
+    floors = _recorded_floors()
     times: dict[str, float] = {}
     # Per-key sampling provenance, committed alongside the walls so a
     # mover is self-adjudicating from the artifact: an auditor reading
@@ -434,8 +471,8 @@ def main() -> None:
         if key in median5:
             for _run in range(5):
                 _sample()
-            times[key] = sorted(samples)[2]
-            methods[key] = {"method": "median5", "samples": samples}
+            times[key], how = _robust_center(samples, floors.get(key))
+            methods[key] = {"method": how, "samples": samples}
             continue
         for _run in range(3):
             _sample()
@@ -452,8 +489,8 @@ def main() -> None:
         if prev is not None and prev > 0 and best > prev * 1.25:
             while len(samples) < 5:
                 _sample()
-            times[key] = sorted(samples)[2]
-            methods[key] = {"method": "escalated-median5", "samples": samples}
+            times[key], how = _robust_center(samples, floors.get(key))
+            methods[key] = {"method": f"escalated-{how}", "samples": samples}
         else:
             times[key] = best
             methods[key] = {"method": f"best{len(samples)}", "samples": samples}
@@ -514,13 +551,14 @@ def main() -> None:
             sort_keys=True,
         )
         f.write("\n")
-    # stdout copy slims per-key walls to centiseconds and drops the
-    # constant budget field — 3-decimal precision and the budget live
-    # in the self-artifact; the tail line only needs to stay parseable
-    # and small as the headline grows.
+    # stdout copy slims per-key walls to TWO SIGNIFICANT DIGITS and
+    # drops the constant budget field — 3-decimal precision and the
+    # budget live in the self-artifact; the tail line only needs to
+    # stay parseable and small as the headline grows (VERDICT r9
+    # item 6: centisecond rendering left 94 chars of slack at 67 keys).
     slim = {
         **record,
-        "queries": {k: round(v, 2) for k, v in times.items()},
+        "queries": {k: _slim_wall(v) for k, v in times.items()},
         "self_artifact": self_name,
     }
     del slim["gstream_ms_per_batch_budget"]

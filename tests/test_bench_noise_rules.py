@@ -106,9 +106,9 @@ def test_stdout_summary_line_fits_tail_capture():
     exceeded 10 s; one over 100 s would be a perf red flag caught by
     its own row)."""
     m = _bench_module()
-    times = {k: 99.99 for k in m.HEADLINE}
-    times["gstream_epoch_20x100"] = 99.99
-    times["gstream_estep_distributed"] = 99.99
+    times = {k: m._slim_wall(99.99) for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = m._slim_wall(99.99)
+    times["gstream_estep_distributed"] = m._slim_wall(99.99)
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -123,6 +123,59 @@ def test_stdout_summary_line_fits_tail_capture():
         separators=(",", ":"),
     )
     assert len(line) < 1900, len(line)
+
+
+def test_slim_wall_two_significant_digits():
+    m = _bench_module()
+    assert m._slim_wall(61.437) == 61.0
+    assert m._slim_wall(1.278) == 1.3
+    assert m._slim_wall(0.0254) == 0.025
+    assert m._slim_wall(99.99) == 100.0
+
+
+def test_trimmed_tier_guards_burst_dominated_medians(tmp_path, monkeypatch):
+    """The r9 exhibit: embed_pq_codes' driver samples [2.1, 15.9, 14.2,
+    7.2, 2.4] put a 7.2 s median on a key whose recorded floor is
+    ~0.64 s — >= 5x apart, so the robust center must downgrade to the
+    mean of the 3 smallest samples.  Tight samples (real uniform
+    slowdowns) must keep the plain median, and a key with no recorded
+    floor must too."""
+    m = _bench_module()
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"queries": {"embed_pq_codes": 0.64}})
+    )
+    monkeypatch.setattr(os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    floors = m._recorded_floors()
+    assert floors == {"embed_pq_codes": 0.64}
+
+    burst = [2.1, 15.9, 14.2, 7.2, 2.4]
+    v, how = m._robust_center(burst, floors.get("embed_pq_codes"))
+    assert how == "trimmed3of5-floorguard"
+    assert v == round((2.1 + 2.4 + 7.2) / 3, 3)  # well below the 7.2 median
+    # tight samples: median survives even with an old fast floor,
+    # because a REAL regression moves the fast samples too -> median
+    # only trips the guard when >= 5x the floor
+    v2, how2 = m._robust_center([1.5, 1.4, 1.6, 1.5, 1.5], 0.64)
+    assert (v2, how2) == (1.5, "median5")
+    # genuinely 5x-slower across ALL samples: trimmed mean ~= median,
+    # so the guard cannot hide a real uniform slowdown
+    v3, how3 = m._robust_center([3.3, 3.2, 3.4, 3.3, 3.3], 0.64)
+    assert how3 == "trimmed3of5-floorguard"
+    assert abs(v3 - 3.3) < 0.05
+    # no recorded floor -> plain median
+    v4, how4 = m._robust_center(burst, None)
+    assert (v4, how4) == (7.2, "median5")
+
+
+def test_recorded_floors_take_min_across_rounds(tmp_path, monkeypatch):
+    m = _bench_module()
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"queries": {"x": 2.0}}))
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"x": 0.5, "y": 3.0}}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"queries": {"x": 1.0}}))
+    monkeypatch.setattr(os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    assert m._recorded_floors() == {"x": 0.5, "y": 3.0}
 
 
 def test_committed_bench_files_parse():
