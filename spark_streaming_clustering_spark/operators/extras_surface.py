@@ -2259,3 +2259,317 @@ def _skew_oracle() -> str:
 
 
 register("join_key_skew_profile", join_key_skew_profile, _skew_oracle())
+
+
+# --------------------------------------------------------------------------
+# round-10 batch — the two candidate classes from SCALE.md's r9 handoff
+# (VERDICT r9 items 2-3): the V-optimal histogram, landed by solving its
+# oracle problem with a bounded-B unrolled DP (the markov_steady_state
+# chained-CTE precedent: aggregates-in-recursion are banned on both
+# engines, so each DP level is one explicit self-join + grouped argmin),
+# and the two-level Merkle partition-diff extending table_content_checksum
+# to the full anti-entropy protocol.
+# --------------------------------------------------------------------------
+
+
+_VOPT_B = 4  # histogram buckets; the DP unrolls B-1 = 3 join levels
+_VOPT_CELL = 100_000  # cents per value cell ($1000) — bounds the domain M
+_VOPT_PACK = 1_000_000  # argmin pack modulus: M << 1e6 by construction
+
+# Prefix-sum relation cache: (applicationId, sf_dir) -> persisted DF.
+# The DP consumes the M-row (i, v, p, pp, e1) relation on BOTH sides of
+# every unrolled level plus the backtrack joins; without the session
+# cache the static plan re-derives the orders scan per consumer
+# (measured: 43 scans — the _ppj_tok lesson, 5th shared relation).
+_VOPT_PREF_CACHE: dict = {}
+
+
+def _vopt_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, v, p, pp, e1): $1000-cell frequencies with 1-indexed rank,
+    prefix sums P = cum f and PP = cum f^2 in DECIMAL(38,0), and the
+    closed-form one-bucket cost e1(i) = SSE(0..i] in micros."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pref = _VOPT_PREF_CACHE.get(key)
+    if pref is not None:
+        return pref
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                f" div {_VOPT_CELL}"
+            ).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w_ord = Window.orderBy("v")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = (
+        g.select(
+            F.row_number().over(w_ord).cast("bigint").alias("i"),
+            "v",
+            F.sum("f").over(w_cum).cast("decimal(38,0)").alias("p"),
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+            .over(w_cum)
+            .alias("pp"),
+        )
+        .withColumn(
+            "e1",
+            F.expr(
+                "CAST(pp * 1000000 - (p * p * 1000000) div i AS DECIMAL(38,0))"
+            ),
+        )
+        .persist()
+    )
+    _VOPT_PREF_CACHE[key] = pref
+    return pref
+
+
+def clear_vopt_cache() -> None:
+    """Unpersist and drop all shared V-optimal prefix relations."""
+    for pref in _VOPT_PREF_CACHE.values():
+        try:
+            pref.unpersist()
+        except Exception:
+            pass
+    _VOPT_PREF_CACHE.clear()
+
+
+def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram of ``o_totalprice`` in {b} buckets (Jagadish
+    et al., "Optimal Histograms with Quality Guarantees", VLDB'98 —
+    public algorithm): bucket boundaries minimizing total SSE of the
+    per-cell frequencies, Sum over buckets of Sum_i (f_i - mean_f)^2 —
+    the QUALITY-optimal counterpart of ``equi_depth_histogram`` (equal
+    mass, no error guarantee) and the last member of the
+    optimizer-statistics family.  DP recurrence
+    E[i][k] = min_j E[j][k-1] + SSE(j+1..i) over prefix sums
+    P = cum f, PP = cum f^2, with SSE(j..i] = (PP_i - PP_j)
+    - (P_i - P_j)^2 / (i - j), unrolled to {bm1} explicit levels.
+
+    Exact-integer determinism: costs are micros-scaled and
+    floor-divided — identical on both engines — and every argmin is
+    the house DECIMAL(38,0)/HUGEINT packed MIN (cost * 1e6 + j, ties
+    to the SMALLEST split); the result is the exact optimum of the
+    micros-rounded cost, and ANSI mode turns any headroom breach into
+    a loud error, never silent corruption.
+
+    Scale shape: prices quantize to $1000 CELLS, so the DP relation is
+    bounded by the VALUE RANGE (M ~ hundreds), never the row count —
+    one scan + map-side partials builds (v, f); every level is a
+    broadcast nested-loop join of two M-row statistics relations
+    (M^2 ~ 3e5 pairs: the quadratic runs on the resolution-bounded
+    domain, the Jagadish framing), and the backtrack joins are
+    metadata-sized.  The prefix relation is session-cached
+    (``_vopt_pref``) so the corpus is scanned ONCE, not once per DP
+    consumer (measured 43 static scans without it).
+    """
+    pref = _vopt_pref(spark, sf_dir)
+
+    def _level(prev: DataFrame, ecol: str) -> DataFrame:
+        """One DP level: argmin over split j of prev-level cost + SSE of
+        the new rightmost bucket (j..i]; packed-MIN ties to smallest j."""
+        jb = prev.select(
+            F.col("i").alias("jb"),
+            F.col("p").alias("pjb"),
+            F.col("pp").alias("ppjb"),
+            F.col(ecol).alias("ejb"),
+        )
+        return (
+            pref.join(F.broadcast(jb), F.col("jb") < F.col("i"))
+            .withColumn(
+                "cost",
+                F.expr(
+                    "ejb + (pp - ppjb) * 1000000"
+                    " - (((p - pjb) * (p - pjb)) * 1000000) div (i - jb)"
+                ),
+            )
+            .withColumn("packed", F.expr(f"cost * {_VOPT_PACK} + jb"))
+            .groupBy("i", "p", "pp")
+            .agg(F.min("packed").alias("mp"))
+        )
+
+    lvl2 = _level(pref, "e1").select(
+        "i",
+        "p",
+        "pp",
+        F.expr(f"CAST(mp div {_VOPT_PACK} AS DECIMAL(38,0))").alias("e2"),
+        F.expr(f"CAST(mp % {_VOPT_PACK} AS BIGINT)").alias("j1"),
+    )
+    lvl3 = _level(lvl2, "e2").select(
+        "i",
+        F.expr(f"CAST(mp div {_VOPT_PACK} AS DECIMAL(38,0))").alias("e3"),
+        F.expr(f"CAST(mp % {_VOPT_PACK} AS BIGINT)").alias("j2"),
+    )
+    # final level: only the full-domain row i = M needs an answer
+    last = (
+        pref.withColumn("mx", F.max("i").over(Window.partitionBy()))
+        .filter(F.col("i") == F.col("mx"))
+        .drop("mx")
+    )
+    jb3 = lvl3.join(
+        pref.select("i", F.col("p").alias("pjb"), F.col("pp").alias("ppjb")),
+        "i",
+    ).select(
+        F.col("i").alias("jb"), "pjb", "ppjb", F.col("e3").alias("ejb"), "j2"
+    )
+    bt = (
+        last.join(F.broadcast(jb3), F.col("jb") < F.col("i"))
+        .withColumn(
+            "cost",
+            F.expr(
+                "ejb + (pp - ppjb) * 1000000"
+                " - (((p - pjb) * (p - pjb)) * 1000000) div (i - jb)"
+            ),
+        )
+        .withColumn("packed", F.expr(f"cost * {_VOPT_PACK} + jb"))
+        .groupBy(F.col("i").alias("m_i"))
+        .agg(F.min("packed").alias("mp"))
+        .select(
+            "m_i",
+            F.expr(f"CAST(mp div {_VOPT_PACK} AS BIGINT)").alias("e4_micro"),
+            F.expr(f"CAST(mp % {_VOPT_PACK} AS BIGINT)").alias("j3"),
+        )
+        .join(F.broadcast(lvl3.select(F.col("i").alias("j3"), "j2")), "j3")
+        .join(F.broadcast(lvl2.select(F.col("i").alias("j2"), "j1")), "j2")
+    )
+    bounds = None
+    for b, lo, hi in (
+        (1, F.lit(0).cast("bigint"), F.col("j1")),
+        (2, F.col("j1"), F.col("j2")),
+        (3, F.col("j2"), F.col("j3")),
+        (4, F.col("j3"), F.col("m_i")),
+    ):
+        part = bt.select(
+            F.lit(b).cast("bigint").alias("bucket_id"),
+            lo.alias("lo_i"),
+            hi.alias("hi_i"),
+        )
+        bounds = part if bounds is None else bounds.unionByName(part)
+    zero = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("i"),
+        F.lit(None).cast("bigint").alias("v"),
+        F.lit(0).cast("decimal(38,0)").alias("p"),
+        F.lit(0).cast("decimal(38,0)").alias("pp"),
+    )
+    pz = pref.select("i", "v", "p", "pp").unionByName(zero)
+    return (
+        bounds.join(
+            F.broadcast(
+                pz.select(
+                    F.col("i").alias("lo_i"),
+                    F.col("p").alias("p_lo"),
+                    F.col("pp").alias("pp_lo"),
+                )
+            ),
+            "lo_i",
+        )
+        .join(
+            F.broadcast(
+                pref.select(
+                    F.col("i").alias("hi_i"),
+                    F.col("v").alias("v_hi"),
+                    F.col("p").alias("p_hi"),
+                    F.col("pp").alias("pp_hi"),
+                )
+            ),
+            "hi_i",
+        )
+        .join(
+            F.broadcast(
+                pref.select(
+                    (F.col("i") - 1).alias("lo_i"), F.col("v").alias("v_lo")
+                )
+            ),
+            "lo_i",
+        )
+        .select(
+            "bucket_id",
+            F.col("v_lo").cast("bigint").alias("v_lo"),
+            F.col("v_hi").cast("bigint").alias("v_hi"),
+            (F.col("hi_i") - F.col("lo_i")).cast("bigint").alias("n_values"),
+            (F.col("p_hi") - F.col("p_lo")).cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST((pp_hi - pp_lo) * 1000000"
+                " - (((p_hi - p_lo) * (p_hi - p_lo)) * 1000000)"
+                " div (hi_i - lo_i) AS BIGINT)"
+            ).alias("sse_micro"),
+        )
+    )
+
+
+v_optimal_histogram.__doc__ = v_optimal_histogram.__doc__.format(
+    b=_VOPT_B, bm1=_VOPT_B - 1
+)
+
+
+def _vopt_sse_sql(i: str, j: str) -> str:
+    """Micros-scaled integer SSE of the bucket (j..i], HUGEINT-exact."""
+    return (
+        f"({i}.pp - {j}.pp) * 1000000"
+        f" - (({i}.p - {j}.p) * ({i}.p - {j}.p) * 1000000) // ({i}.i - {j}.i)"
+    )
+
+
+register(
+    "v_optimal_histogram",
+    v_optimal_histogram,
+    f"""
+    WITH g AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        // {_VOPT_CELL} AS v,
+                      CAST(COUNT(*) AS BIGINT) AS f
+               FROM orders GROUP BY 1),
+    pref AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS i, v,
+                    CAST(SUM(f) OVER w AS HUGEINT) AS p,
+                    CAST(SUM(CAST(f AS HUGEINT) * f) OVER w AS HUGEINT) AS pp
+             FROM g
+             WINDOW w AS (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p1 AS (SELECT *, pp * 1000000 - (p * p * 1000000) // i AS e1 FROM pref),
+    l2 AS (SELECT a.i, a.p, a.pp,
+                  MIN((b.e1 + {_vopt_sse_sql("a", "b")}) * {_VOPT_PACK} + b.i)
+                    AS mp
+           FROM p1 a JOIN p1 b ON b.i < a.i GROUP BY 1, 2, 3),
+    l2e AS (SELECT i, p, pp, mp // {_VOPT_PACK} AS e2,
+                   CAST(mp % {_VOPT_PACK} AS BIGINT) AS j1 FROM l2),
+    l3 AS (SELECT a.i,
+                  MIN((b.e2 + {_vopt_sse_sql("a", "b")}) * {_VOPT_PACK} + b.i)
+                    AS mp
+           FROM pref a JOIN l2e b ON b.i < a.i GROUP BY 1),
+    l3e AS (SELECT i, mp // {_VOPT_PACK} AS e3,
+                   CAST(mp % {_VOPT_PACK} AS BIGINT) AS j2 FROM l3),
+    lastr AS (SELECT * FROM pref WHERE i = (SELECT MAX(i) FROM pref)),
+    l3j AS (SELECT l3e.i, pref.p, pref.pp, l3e.e3, l3e.j2
+            FROM l3e JOIN pref ON pref.i = l3e.i),
+    l4 AS (SELECT a.i AS m_i,
+                  MIN((b.e3 + {_vopt_sse_sql("a", "b")}) * {_VOPT_PACK} + b.i)
+                    AS mp
+           FROM lastr a JOIN l3j b ON b.i < a.i GROUP BY 1),
+    bt AS (SELECT l4.m_i, CAST(l4.mp % {_VOPT_PACK} AS BIGINT) AS j3,
+                  x3.j2, x2.j1
+           FROM l4
+           JOIN l3e x3 ON x3.i = CAST(l4.mp % {_VOPT_PACK} AS BIGINT)
+           JOIN l2e x2 ON x2.i = x3.j2),
+    bounds AS (SELECT CAST(1 AS BIGINT) AS bucket_id,
+                      CAST(0 AS BIGINT) AS lo_i, j1 AS hi_i FROM bt
+               UNION ALL SELECT 2, j1, j2 FROM bt
+               UNION ALL SELECT 3, j2, j3 FROM bt
+               UNION ALL SELECT 4, j3, m_i FROM bt),
+    pz AS (SELECT i, v, p, pp FROM pref
+           UNION ALL
+           SELECT 0, NULL, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT))
+    SELECT b.bucket_id,
+           CAST(vlo.v AS BIGINT) AS v_lo,
+           CAST(hi.v AS BIGINT) AS v_hi,
+           CAST(b.hi_i - b.lo_i AS BIGINT) AS n_values,
+           CAST(hi.p - lo.p AS BIGINT) AS n_rows,
+           CAST((hi.pp - lo.pp) * 1000000
+                - ((hi.p - lo.p) * (hi.p - lo.p) * 1000000)
+                  // (b.hi_i - b.lo_i) AS BIGINT) AS sse_micro
+    FROM bounds b
+    JOIN pz lo ON lo.i = b.lo_i
+    JOIN pref hi ON hi.i = b.hi_i
+    JOIN pref vlo ON vlo.i = b.lo_i + 1
+    """,
+)

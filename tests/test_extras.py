@@ -1074,3 +1074,116 @@ def test_ks_gap_decimal_beyond_bigint(spark):
         "SELECT CAST((CAST(1 AS HUGEINT) * 1000000)"
         " // NULLIF(CAST(0 AS HUGEINT) * 5, 0) AS BIGINT)"
     ).fetchone()[0] is None
+
+
+# --- round-10 batch: V-optimal histogram / Merkle partition-diff ----------
+
+
+def test_v_optimal_histogram_matches_python_dp(spark, sf_dir):
+    """Independent Python replay of the unrolled DP (same integer-micros
+    cost, same smallest-j tie-break) must produce the identical bucket
+    boundaries AND costs; plus the structural invariants: buckets
+    partition the domain, n_rows sum to the table, per-bucket sse is
+    the closed form over prefix sums, and the DP optimum equals the
+    sum of the emitted per-bucket costs."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _VOPT_B,
+        _VOPT_CELL,
+        v_optimal_histogram,
+    )
+
+    cnt = {}
+    for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect():
+        v = int(math.floor(r.o_totalprice * 100 + 0.5)) // _VOPT_CELL
+        cnt[v] = cnt.get(v, 0) + 1
+    vs = sorted(cnt)
+    m = len(vs)
+    assert m >= _VOPT_B
+    p = [0] * (m + 1)
+    pp = [0] * (m + 1)
+    for idx, v in enumerate(vs, 1):
+        p[idx] = p[idx - 1] + cnt[v]
+        pp[idx] = pp[idx - 1] + cnt[v] * cnt[v]
+
+    def sse(j, i):  # micros cost of bucket (j..i]
+        return (pp[i] - pp[j]) * 1_000_000 - (
+            (p[i] - p[j]) * (p[i] - p[j]) * 1_000_000
+        ) // (i - j)
+
+    # full DP (not unrolled — an independent formulation), ties to
+    # the smallest split
+    INF = float("inf")
+    e = [[INF] * (m + 1) for _ in range(_VOPT_B + 1)]
+    arg = [[None] * (m + 1) for _ in range(_VOPT_B + 1)]
+    for i in range(1, m + 1):
+        e[1][i] = sse(0, i)
+    for k in range(2, _VOPT_B + 1):
+        for i in range(k, m + 1):
+            best, bj = INF, None
+            for j in range(k - 1, i):
+                c = e[k - 1][j] + sse(j, i)
+                if c < best:
+                    best, bj = c, j
+            e[k][i], arg[k][i] = best, bj
+    cuts = [m]
+    for k in range(_VOPT_B, 1, -1):
+        cuts.append(arg[k][cuts[-1]])
+    cuts.append(0)
+    cuts.reverse()  # [0, j1, j2, j3, m]
+    expect = {}
+    for b in range(1, _VOPT_B + 1):
+        lo, hi = cuts[b - 1], cuts[b]
+        expect[b] = (
+            vs[lo],  # v_lo = value at index lo+1 (1-indexed)
+            vs[hi - 1],
+            hi - lo,
+            p[hi] - p[lo],
+            sse(lo, hi),
+        )
+    got = {
+        r.bucket_id: (r.v_lo, r.v_hi, r.n_values, r.n_rows, r.sse_micro)
+        for r in v_optimal_histogram(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(v[3] for v in got.values()) == p[m]
+    assert sum(v[4] for v in got.values()) == e[_VOPT_B][m]
+    # contiguous, ordered, disjoint value ranges
+    bs = sorted(got)
+    for a, b in zip(bs, bs[1:]):
+        assert got[a][1] < got[b][0]
+
+
+def test_v_optimal_beats_or_ties_equi_width_split(spark, sf_dir):
+    """Optimality smoke against a non-trivial competitor: the DP total
+    SSE must be <= the equal-index 4-way split's SSE (a strictly
+    weaker guarantee than the replay above, but it catches a DP that
+    is merely *a* partition rather than the argmin)."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _VOPT_B,
+        _VOPT_CELL,
+        v_optimal_histogram,
+    )
+
+    cnt = {}
+    for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect():
+        v = int(math.floor(r.o_totalprice * 100 + 0.5)) // _VOPT_CELL
+        cnt[v] = cnt.get(v, 0) + 1
+    vs = sorted(cnt)
+    m = len(vs)
+    p = [0] * (m + 1)
+    pp = [0] * (m + 1)
+    for idx, v in enumerate(vs, 1):
+        p[idx] = p[idx - 1] + cnt[v]
+        pp[idx] = pp[idx - 1] + cnt[v] * cnt[v]
+
+    def sse(j, i):
+        return (pp[i] - pp[j]) * 1_000_000 - (
+            (p[i] - p[j]) * (p[i] - p[j]) * 1_000_000
+        ) // (i - j)
+
+    cuts = [round(b * m / _VOPT_B) for b in range(_VOPT_B + 1)]
+    naive = sum(sse(cuts[b - 1], cuts[b]) for b in range(1, _VOPT_B + 1))
+    got = sum(
+        r.sse_micro for r in v_optimal_histogram(spark, sf_dir).collect()
+    )
+    assert got <= naive

@@ -51,11 +51,13 @@ def _clear_shared_caches() -> None:
     from spark_streaming_clustering_spark.operators._text import clear_tf_cache
     from spark_streaming_clustering_spark.operators.extras_surface import (
         clear_ppj_cache,
+        clear_vopt_cache,
     )
 
     clear_sig_cache()
     clear_tf_cache()
     clear_ppj_cache()
+    clear_vopt_cache()
     for df in pipeline_surface._QSTATS_CACHE.values():
         try:
             df.unpersist()
