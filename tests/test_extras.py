@@ -1187,3 +1187,130 @@ def test_v_optimal_beats_or_ties_equi_width_split(spark, sf_dir):
         r.sse_micro for r in v_optimal_histogram(spark, sf_dir).collect()
     )
     assert got <= naive
+
+
+def _merkle_py_leaves(rows, vintage_b):
+    """Python replay of one vintage's leaf relation (hashlib md5,
+    independent of both engines)."""
+    import calendar
+    import hashlib
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _MRK_CHANGED,
+        _MRK_DELETED,
+        _MRK_RANGE,
+    )
+
+    leaves = {}
+    for r in rows:
+        if vintage_b and r.o_orderkey % _MRK_DELETED == 0:
+            continue
+        cents = int(math.floor(r.o_totalprice * 100 + 0.5))
+        if vintage_b and r.o_orderkey % _MRK_CHANGED == 0:
+            cents += 1
+        us = (
+            calendar.timegm(r.o_orderdate.timetuple()) * 1_000_000
+            + r.o_orderdate.microsecond
+        )
+        canon = "|".join(
+            [
+                str(r.o_orderkey),
+                str(r.o_custkey),
+                r.o_orderstatus,
+                str(cents),
+                str(us),
+                r.o_orderpriority,
+            ]
+        )
+        h = int(hashlib.md5(canon.encode()).hexdigest()[:7], 16)
+        key = (str(r.o_orderdate.year), r.o_orderkey // _MRK_RANGE)
+        n, s, x = leaves.get(key, (0, 0, 0))
+        leaves[key] = (n + 1, s + h, x ^ h)
+    return leaves
+
+
+def test_merkle_partition_diff_matches_python_replay(spark, sf_dir):
+    """Full Python replay of the two-level protocol: the seeded
+    mutation must be localized to exactly the differing
+    (partition, range) cells, partition rows must be the Merkle fold
+    of their leaves, and every mutated/deleted orderkey must land in
+    an emitted range cell (lossless descent on the fixture)."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _MRK_CHANGED,
+        _MRK_DELETED,
+        _MRK_RANGE,
+        merkle_partition_diff,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .collect()
+    )
+    la = _merkle_py_leaves(rows, False)
+    lb = _merkle_py_leaves(rows, True)
+
+    def fold(leaves):
+        parts = {}
+        for (pk, _rid), (n, s, x) in leaves.items():
+            pn, ps, px = parts.get(pk, (0, 0, 0))
+            parts[pk] = (pn + n, ps + s, px ^ x)
+        return parts
+
+    pa, pb = fold(la), fold(lb)
+    exp_pdiff = {
+        pk: (pa.get(pk), pb.get(pk))
+        for pk in set(pa) | set(pb)
+        if pa.get(pk) != pb.get(pk)
+    }
+    exp_rdiff = {
+        k: (la.get(k), lb.get(k))
+        for k in set(la) | set(lb)
+        if la.get(k) != lb.get(k) and k[0] in exp_pdiff
+    }
+    got = merkle_partition_diff(spark, sf_dir).collect()
+    got_p = {
+        r.partition_key: (
+            (r.n_a, r.sum_a, r.xor_a) if r.n_a is not None else None,
+            (r.n_b, r.sum_b, r.xor_b) if r.n_b is not None else None,
+        )
+        for r in got
+        if r.level == "partition"
+    }
+    got_r = {
+        (r.partition_key, r.range_id): (
+            (r.n_a, r.sum_a, r.xor_a) if r.n_a is not None else None,
+            (r.n_b, r.sum_b, r.xor_b) if r.n_b is not None else None,
+        )
+        for r in got
+        if r.level == "range"
+    }
+    assert got_p == exp_pdiff
+    assert got_r == exp_rdiff
+    assert exp_pdiff and exp_rdiff, "seeded mutation must produce a diff"
+    # partition rows sit at the -1 sentinel; statuses consistent
+    for r in got:
+        if r.level == "partition":
+            assert r.range_id == -1
+        expect_status = (
+            "only_b"
+            if r.n_a is None
+            else ("only_a" if r.n_b is None else "changed")
+        )
+        assert r.status == expect_status
+    # lossless descent: every mutated/deleted key's cell is emitted
+    emitted = set(got_r)
+    touched = set()
+    for r in rows:
+        if r.o_orderkey % _MRK_DELETED == 0 or r.o_orderkey % _MRK_CHANGED == 0:
+            touched.add((str(r.o_orderdate.year), r.o_orderkey // _MRK_RANGE))
+    assert touched == emitted
+    # and the narrowing is real: emitted cells are a small minority
+    assert len(emitted) < len(la) // 2
