@@ -117,6 +117,11 @@ HEADLINE = [
     "ppjoin_set_similarity",
     "table_content_checksum",
     "join_size_estimate",
+    # round-10 batch: unrolled-DP V-optimal histogram (3 sequential
+    # BNL levels over the cell-bounded relation), two-level Merkle
+    # anti-entropy diff (2 scans, bounded checksum relations)
+    "v_optimal_histogram",
+    "merkle_partition_diff",
 ]
 
 
@@ -287,11 +292,14 @@ def _robust_center(samples: list[float], floor: float | None) -> tuple[float, st
     return med, "median5"
 
 
-def _slim_wall(v: float) -> float:
+def _slim_wall(v: float):
     """2-significant-digit wall for the stdout tail line (VERDICT r9
     item 6: 1806/1900 chars at 67 keys — the slim line is the budget;
-    full 3-decimal precision lives in the self-artifact)."""
-    return float(f"{v:.2g}")
+    full 3-decimal precision lives in the self-artifact).  Integral
+    values render as ints ('12' not '12.0') — two chars per key of
+    budget at the worst case the guard test pins."""
+    f = float(f"{v:.2g}")
+    return int(f) if f == int(f) else f
 
 
 def _bench_queries(path: str) -> dict:

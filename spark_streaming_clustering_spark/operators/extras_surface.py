@@ -1,4 +1,4 @@
-"""Late-registered breadth batches (rounds 6-9).
+"""Late-registered breadth batches (rounds 6-10).
 
 Round 6: skyline dominance (one key — VERDICT r5 item 1 froze surface
 growth until the driver-verification queue drained), chosen because it
@@ -28,7 +28,14 @@ per-bucket NDV; a third batch lands two more refreshed r10 candidates
 — the two-sample Kolmogorov-Smirnov distance in pure integer
 arithmetic and the join-key skew profile (the salting-decision
 artifact); queue again empty, so the r9 driver window covers all
-eight.
+eight.  Round 10: the two candidate classes from SCALE.md's r9
+handoff (VERDICT r9 items 2-3) — the V-optimal histogram, landed by
+solving its oracle problem with a bounded-B unrolled DP (three
+explicit self-join levels + grouped packed argmins, the
+markov_steady_state chained-CTE precedent), and the two-level Merkle
+partition-diff extending table_content_checksum to the full
+anti-entropy protocol (seeded deterministic mutation, fold-derived
+partition level, semi-join-restricted descent).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
