@@ -122,6 +122,10 @@ HEADLINE = [
     # anti-entropy diff (2 scans, bounded checksum relations)
     "v_optimal_histogram",
     "merkle_partition_diff",
+    # round-10 second batch: integer CUSUM change-point, Hamilton
+    # largest-remainder apportionment
+    "cusum_changepoint",
+    "largest_remainder_alloc",
 ]
 
 

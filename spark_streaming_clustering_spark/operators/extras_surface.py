@@ -35,7 +35,10 @@ explicit self-join levels + grouped packed argmins, the
 markov_steady_state chained-CTE precedent), and the two-level Merkle
 partition-diff extending table_content_checksum to the full
 anti-entropy protocol (seeded deterministic mutation, fold-derived
-partition level, semi-join-restricted descent).
+partition level, semi-join-restricted descent); a second batch adds
+two self-nominated classes — integer CUSUM change-point detection
+(sequential shift location) and Hamilton largest-remainder
+apportionment (exact integer budget allocation).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -2827,5 +2830,216 @@ register(
                 ELSE 'changed' END,
            n_a, n_b, sum_a, sum_b, xor_a, xor_b
     FROM rd
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# round-10 second batch — two self-nominated new classes: sequential
+# change-point detection (CUSUM — anomaly_mad is POINTWISE outliers,
+# forecast_seasonal_naive is projection; nothing previously located a
+# distribution SHIFT in time) and exact integer apportionment (Hamilton /
+# largest-remainder — corpus_mixture_sample draws weighted SAMPLES;
+# nothing previously allocated a fixed integer budget proportionally
+# with a zero-rounding-drift guarantee).
+# --------------------------------------------------------------------------
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point estimate over the daily event-value series
+    via the CUSUM statistic in PURE INTEGER arithmetic (Page's CUSUM /
+    the max-|S_t| mean-shift estimator, public statistics): with daily
+    cents sums s_d and counts n_d cumulated over time, the deviation
+    process is S_t = cum_s(t) - cum_n(t) * mu; scaling by N clears the
+    rational global mean mu = T/N exactly:
+    G_t = cum_s(t) * N - cum_n(t) * T, and the change day is
+    argmax |G_t| (ties to the EARLIEST day).  Output carries the
+    detected day, the scaled statistic, and the before/after integer
+    mean cents — the artifact a data-drift monitor acts on.
+
+    Determinism/scale (the ``ks_two_sample`` sibling): the cumulative
+    windows run on the DAY-bounded grouped relation, never raw events;
+    cross-multiplied products run in DECIMAL(38,0)/HUGEINT (they reach
+    cum_s * N ~ total_cents x total_rows); the tie-break is a
+    bounded second stage — filter to the |G|-max rows (tie rows only),
+    take MIN(day), join back — the conditional-MIN idiom one level up;
+    the after-mean divisor is NULLIF-guarded (a change at the final
+    day has no after-segment).  One scan, one bounded window pair,
+    two metadata-sized aggregates.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    g = e.groupBy("day").agg(
+        F.sum("cents").cast("bigint").alias("s_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_day"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = g.select(
+        "day",
+        F.sum("s_day").over(w_cum).cast("decimal(38,0)").alias("cum_s"),
+        F.sum("n_day").over(w_cum).cast("decimal(38,0)").alias("cum_n"),
+        F.sum("s_day").over(w_all).cast("decimal(38,0)").alias("t_sum"),
+        F.sum("n_day").over(w_all).cast("decimal(38,0)").alias("n_tot"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_days"),
+    ).withColumn(
+        "gabs",
+        F.abs(F.col("cum_s") * F.col("n_tot") - F.col("cum_n") * F.col("t_sum")),
+    )
+    cand = c.withColumn("gmax", F.max("gabs").over(w_all)).filter(
+        F.col("gabs") == F.col("gmax")
+    )
+    pick = cand.groupBy().agg(F.min("day").alias("day"))
+    return (
+        cand.join(F.broadcast(pick), "day")
+        .select(
+            F.col("day").alias("change_day"),
+            "n_days",
+            F.col("n_tot").cast("bigint").alias("n_events"),
+            F.col("gabs").cast("bigint").alias("gmax"),
+            F.expr("CAST(cum_s div cum_n AS BIGINT)").alias(
+                "mean_before_cents"
+            ),
+            F.expr(
+                "CAST((t_sum - cum_s) div nullif(n_tot - cum_n, 0) AS BIGINT)"
+            ).alias("mean_after_cents"),
+        )
+    )
+
+
+register(
+    "cusum_changepoint",
+    cusum_changepoint,
+    """
+    WITH g AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS s_day,
+                      CAST(COUNT(*) AS BIGINT) AS n_day
+               FROM events GROUP BY 1),
+    c AS (SELECT day,
+                 CAST(SUM(s_day) OVER w AS HUGEINT) AS cum_s,
+                 CAST(SUM(n_day) OVER w AS HUGEINT) AS cum_n,
+                 CAST(SUM(s_day) OVER () AS HUGEINT) AS t_sum,
+                 CAST(SUM(n_day) OVER () AS HUGEINT) AS n_tot,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+          FROM g
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    a AS (SELECT *, abs(cum_s * n_tot - cum_n * t_sum) AS gabs FROM c),
+    cand AS (SELECT * FROM a
+             WHERE gabs = (SELECT MAX(gabs) FROM a)),
+    pick AS (SELECT MIN(day) AS day FROM cand)
+    SELECT cand.day AS change_day, n_days,
+           CAST(n_tot AS BIGINT) AS n_events,
+           CAST(gabs AS BIGINT) AS gmax,
+           CAST(cum_s // cum_n AS BIGINT) AS mean_before_cents,
+           CAST((t_sum - cum_s) // NULLIF(n_tot - cum_n, 0) AS BIGINT)
+             AS mean_after_cents
+    FROM cand JOIN pick ON cand.day = pick.day
+    """,
+)
+
+
+_LRA_BUDGET = 1_000  # integer budget (shard slots) to apportion
+
+
+def largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer apportionment of a fixed budget of {s} shard slots
+    across nations, proportional to customer count, by the largest-
+    remainder (Hamilton) method — public algorithm: base_i = floor(
+    S * n_i / N), then the L = S - sum(base) leftover slots go to the
+    L largest SCALED remainders r_i = S*n_i - base_i*N (exact integers
+    — never float fractions), ties to the smallest nation key.  The
+    allocation sums to S exactly and each share is within one slot of
+    exact proportionality (the quota property) — the deterministic
+    complement of ``corpus_mixture_sample``'s weighted DRAWS for
+    shard/budget planning.
+
+    Scale shape: one grouped count (map-side partials) reduces
+    customers to the NATION-bounded relation; every window runs on
+    those ~25 rows; the name join broadcasts the 25-row nation
+    dimension.  Products reach S * n_i — BIGINT-exact past 9e15
+    customers.  All arithmetic integer; rank tie-break fully ordered.
+    """
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    w_all = Window.partitionBy()
+    c = g.select(
+        "nationkey",
+        "n_customers",
+        F.sum("n_customers").over(w_all).cast("bigint").alias("n_tot"),
+    ).withColumn(
+        "base", F.expr(f"n_customers * {_LRA_BUDGET} div n_tot").cast("bigint")
+    ).withColumn(
+        "rem",
+        F.expr(f"n_customers * {_LRA_BUDGET} - base * n_tot").cast("bigint"),
+    )
+    ranked = c.withColumn(
+        "leftover",
+        F.lit(_LRA_BUDGET) - F.sum("base").over(w_all),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("nationkey"))
+        ),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    return (
+        ranked.join(F.broadcast(nat), "nationkey")
+        .select(
+            "nationkey",
+            "n_name",
+            "n_customers",
+            F.col("base").alias("base_alloc"),
+            F.col("rem").alias("remainder_scaled"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+largest_remainder_alloc.__doc__ = largest_remainder_alloc.__doc__.format(
+    s=_LRA_BUDGET
+)
+
+register(
+    "largest_remainder_alloc",
+    largest_remainder_alloc,
+    f"""
+    WITH g AS (SELECT c_nationkey AS nationkey,
+                      CAST(COUNT(*) AS BIGINT) AS n_customers
+               FROM customer GROUP BY 1),
+    c AS (SELECT nationkey, n_customers,
+                 CAST(SUM(n_customers) OVER () AS BIGINT) AS n_tot
+          FROM g),
+    b AS (SELECT *,
+                 CAST(n_customers * {_LRA_BUDGET} // n_tot AS BIGINT) AS base
+          FROM c),
+    r AS (SELECT *,
+                 CAST(n_customers * {_LRA_BUDGET} - base * n_tot AS BIGINT)
+                   AS rem,
+                 CAST({_LRA_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover,
+                 ROW_NUMBER() OVER (ORDER BY
+                   n_customers * {_LRA_BUDGET} - base * n_tot DESC,
+                   nationkey) AS rk
+          FROM b)
+    SELECT r.nationkey, n.n_name, r.n_customers,
+           r.base AS base_alloc, r.rem AS remainder_scaled,
+           CAST(r.base + CASE WHEN r.rk <= r.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r JOIN nation n ON n.n_nationkey = r.nationkey
     """,
 )

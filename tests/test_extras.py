@@ -1314,3 +1314,84 @@ def test_merkle_partition_diff_matches_python_replay(spark, sf_dir):
     assert touched == emitted
     # and the narrowing is real: emitted cells are a small minority
     assert len(emitted) < len(la) // 2
+
+
+def test_cusum_changepoint_matches_bruteforce(spark, sf_dir):
+    """Exact integer replay: daily cumulations, G_t = cum_s*N - cum_n*T,
+    argmax |G| ties to the earliest day, integer before/after means."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    days = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r.ts.date()
+        days[d][0] += int(math.floor(r.value * 100 + 0.5))
+        days[d][1] += 1
+    t_sum = sum(v[0] for v in days.values())
+    n_tot = sum(v[1] for v in days.values())
+    cum_s = cum_n = 0
+    best = (-1, None, None, None)  # (gabs, day, cum_s, cum_n)
+    for d in sorted(days):
+        cum_s += days[d][0]
+        cum_n += days[d][1]
+        gabs = abs(cum_s * n_tot - cum_n * t_sum)
+        if gabs > best[0]:
+            best = (gabs, d, cum_s, cum_n)
+    rows = cusum_changepoint(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    gabs, day, cs, cn = best
+    after = (
+        (t_sum - cs) // (n_tot - cn) if n_tot > cn else None
+    )
+    assert (
+        r.change_day,
+        r.n_days,
+        r.n_events,
+        r.gmax,
+        r.mean_before_cents,
+        r.mean_after_cents,
+    ) == (day, len(days), n_tot, gabs, cs // cn, after)
+    assert gabs > 0, "fixture series must not be perfectly flat"
+
+
+def test_largest_remainder_alloc_matches_hamilton(spark, sf_dir):
+    """Python Hamilton replay + the method's contracts: the allocation
+    sums to the budget EXACTLY and every share satisfies the quota
+    property (floor(S*n/N) <= alloc <= floor(S*n/N) + 1)."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _LRA_BUDGET,
+        largest_remainder_alloc,
+    )
+
+    cnt = Counter(
+        r[0]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_nationkey")
+        .collect()
+    )
+    n_tot = sum(cnt.values())
+    base = {k: v * _LRA_BUDGET // n_tot for k, v in cnt.items()}
+    rem = {k: cnt[k] * _LRA_BUDGET - base[k] * n_tot for k in cnt}
+    leftover = _LRA_BUDGET - sum(base.values())
+    order = sorted(cnt, key=lambda k: (-rem[k], k))
+    expect = {
+        k: base[k] + (1 if i < leftover else 0) for i, k in enumerate(order)
+    }
+    got = {
+        r.nationkey: (r.n_customers, r.base_alloc, r.remainder_scaled, r.alloc)
+        for r in largest_remainder_alloc(spark, sf_dir).collect()
+    }
+    assert {k: v[3] for k, v in got.items()} == expect
+    assert {k: v[0] for k, v in got.items()} == dict(cnt)
+    assert sum(v[3] for v in got.values()) == _LRA_BUDGET
+    for k, (n, b, rm, a) in got.items():
+        assert b == n * _LRA_BUDGET // n_tot
+        assert b <= a <= b + 1
+    assert leftover >= 0
