@@ -38,7 +38,10 @@ anti-entropy protocol (seeded deterministic mutation, fold-derived
 partition level, semi-join-restricted descent); a second batch adds
 two self-nominated classes — integer CUSUM change-point detection
 (sequential shift location) and Hamilton largest-remainder
-apportionment (exact integer budget allocation).
+apportionment (exact integer budget allocation); a third batch adds
+the interval MEASURE-OF-UNION sweep (coverage length, partitioned by
+customer) and the zone-map skip-ratio audit (data-skipping
+effectiveness across two layouts).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -3043,3 +3046,233 @@ register(
     FROM r JOIN nation n ON n.n_nationkey = r.nationkey
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# round-10 third batch — two more self-nominated classes: the MEASURE OF
+# UNION of intervals (concurrent_intervals counts peak overlap — nothing
+# previously measured merged coverage length), and the zone-map
+# skip-ratio audit (the data-skipping statistics artifact that QUANTIFIES
+# why clustering/layout matters — zorder_layout/partitioned_write_prune
+# produce layouts; nothing previously measured their pruning power).
+# --------------------------------------------------------------------------
+
+
+def interval_union_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer MEASURE OF UNION of order lifetimes: total days the
+    customer had at least one open order, overlaps merged exactly —
+    the coverage-length class (``concurrent_intervals`` is the peak-
+    concurrency class: same sweep, different integral).  Lifetimes are
+    the house synthetic [o_orderdate, o_orderdate + (o_orderkey % 90
+    + 1) days), half-open.
+
+    Sweep shape, fully PARTITIONED: +-1 deltas explode from each order
+    (ONE scan), hash-aggregate to the (customer, day) grain (map-side
+    partials), and both ordered operations — the running active count
+    and the next-day lead — run in windows PARTITIONED BY customer
+    over that customer's distinct delta-days, never over raw rows and
+    never globally.  A segment [day, next_day) contributes its length
+    while active > 0; the closing delta guarantees every active
+    segment has a successor, so the lead is never NULL where it is
+    consumed.  All arithmetic integer days.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("od"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 90 + 1).cast("int"),
+        ).alias("cd"),
+    )
+    deltas = o.select(
+        "custkey",
+        F.explode(
+            F.array(
+                F.struct(F.col("od").alias("day"), F.lit(1).alias("delta")),
+                F.struct(F.col("cd").alias("day"), F.lit(-1).alias("delta")),
+            )
+        ).alias("d"),
+    ).select("custkey", "d.*")
+    g = deltas.groupBy("custkey", "day").agg(
+        F.sum("delta").cast("bigint").alias("delta"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_opened"),
+    )
+    w_cust = Window.partitionBy("custkey").orderBy("day")
+    seg = g.select(
+        "custkey",
+        "day",
+        "n_opened",
+        F.sum("delta")
+        .over(w_cust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("active"),
+        F.lead("day").over(w_cust).alias("next_day"),
+    )
+    return seg.groupBy("custkey").agg(
+        F.sum("n_opened").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(
+                F.col("active") > 0,
+                F.datediff(F.col("next_day"), F.col("day")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("covered_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+register(
+    "interval_union_measure",
+    interval_union_measure,
+    """
+    WITH o AS (SELECT o_custkey AS custkey,
+                      CAST(o_orderdate AS DATE) AS od,
+                      CAST(o_orderdate AS DATE)
+                        + CAST(o_orderkey % 90 + 1 AS INTEGER) AS cd
+               FROM orders),
+    d AS (SELECT custkey, od AS day, 1 AS delta FROM o
+          UNION ALL SELECT custkey, cd, -1 FROM o),
+    g AS (SELECT custkey, day,
+                 CAST(SUM(delta) AS BIGINT) AS delta,
+                 CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opened
+          FROM d GROUP BY 1, 2),
+    seg AS (SELECT custkey, day, n_opened,
+                   SUM(delta) OVER (PARTITION BY custkey ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS active,
+                   LEAD(day) OVER (PARTITION BY custkey ORDER BY day)
+                     AS next_day
+            FROM g)
+    SELECT custkey,
+           CAST(SUM(n_opened) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN active > 0 THEN next_day - day ELSE 0 END)
+                AS BIGINT) AS covered_days,
+           MIN(day) AS first_day,
+           MAX(day) AS last_day
+    FROM seg GROUP BY custkey
+    """,
+)
+
+
+_ZMS_BLOCK = 10_000  # orderkeys per proxy row-group in the key_order layout
+_ZMS_QUARTERS = (
+    ("1995Q1", "1995-01-01", "1995-04-01"),
+    ("1995Q3", "1995-07-01", "1995-10-01"),
+    ("1996Q1", "1996-01-01", "1996-04-01"),
+    ("1996Q3", "1996-07-01", "1996-10-01"),
+)
+
+
+def zone_map_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max block statistics) SKIP-RATIO audit for
+    o_orderdate range predicates under two physical layouts — the
+    data-skipping effectiveness artifact: ``zorder_layout`` /
+    ``partitioned_write_prune`` PRODUCE clustered layouts; this
+    MEASURES the pruning power a layout gives a scan, the number an
+    engine's stats advisor reports.  Layout 'key_order' blocks rows by
+    o_orderkey div {blk} (the natural ingest order — dates land
+    randomly in every block, so min/max spans everything and nothing
+    skips); layout 'date_month' blocks by order month (the
+    date-partitioned layout — every out-of-range month skips whole).
+    A block is skippable for predicate [lo, hi) iff its zone
+    [min_d, max_d] does not intersect.
+
+    Scale shape: each layout's zone relation is ONE grouped aggregate
+    (map-side min/max/count partials, bounded by #blocks); the
+    predicate relation is a 4-row literal broadcast against the zone
+    relations (bounded nested loop); output is #layouts x #predicates
+    rows.  The fact table is never range-joined or sorted.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    zones = None
+    for layout, blk_col in (
+        ("key_order", F.expr(f"o_orderkey div {_ZMS_BLOCK}")),
+        ("date_month", F.expr("year(od) * 12 + month(od)")),
+    ):
+        z = (
+            o.select(blk_col.cast("bigint").alias("blk"), "od")
+            .groupBy("blk")
+            .agg(
+                F.min("od").alias("min_d"),
+                F.max("od").alias("max_d"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+            .select(F.lit(layout).alias("layout"), "blk", "min_d", "max_d", "n_rows")
+        )
+        zones = z if zones is None else zones.unionByName(z)
+    preds = None
+    for q, lo, hi in _ZMS_QUARTERS:
+        p = spark.range(1).select(
+            F.lit(q).alias("q"),
+            F.lit(lo).cast("date").alias("lo"),
+            F.lit(hi).cast("date").alias("hi"),
+        )
+        preds = p if preds is None else preds.unionByName(p)
+    joined = zones.join(F.broadcast(preds)).withColumn(
+        "skippable",
+        (F.col("max_d") < F.col("lo")) | (F.col("min_d") >= F.col("hi")),
+    )
+    return (
+        joined.groupBy("layout", "q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.when(F.col("skippable"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("blocks_skipped"),
+            F.sum(F.when(F.col("skippable"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skipped"),
+            F.sum("n_rows").cast("bigint").alias("n_rows_total"),
+        )
+        .withColumn(
+            "skip_micro",
+            F.expr("rows_skipped * 1000000 div n_rows_total").cast("bigint"),
+        )
+    )
+
+
+zone_map_skip_stats.__doc__ = zone_map_skip_stats.__doc__.format(blk=_ZMS_BLOCK)
+
+
+def _zms_oracle() -> str:
+    preds = "), (".join(
+        f"'{q}', CAST('{lo}' AS DATE), CAST('{hi}' AS DATE)"
+        for q, lo, hi in _ZMS_QUARTERS
+    )
+    return f"""
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+    zones AS (
+      SELECT 'key_order' AS layout,
+             CAST(o_orderkey // {_ZMS_BLOCK} AS BIGINT) AS blk,
+             MIN(od) AS min_d, MAX(od) AS max_d,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM o GROUP BY 2
+      UNION ALL
+      SELECT 'date_month',
+             CAST(year(od) * 12 + month(od) AS BIGINT),
+             MIN(od), MAX(od), CAST(COUNT(*) AS BIGINT)
+      FROM o GROUP BY 2),
+    preds AS (SELECT * FROM (VALUES ({preds})) p(q, lo, hi)),
+    j AS (SELECT layout, q, n_rows,
+                 (max_d < lo OR min_d >= hi) AS skippable
+          FROM zones CROSS JOIN preds)
+    SELECT layout, q,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT)
+             AS blocks_skipped,
+           CAST(SUM(CASE WHEN skippable THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+           CAST(SUM(CASE WHEN skippable THEN n_rows ELSE 0 END) * 1000000
+                // SUM(n_rows) AS BIGINT) AS skip_micro
+    FROM j GROUP BY 1, 2
+    """
+
+
+register("zone_map_skip_stats", zone_map_skip_stats, _zms_oracle())

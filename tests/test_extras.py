@@ -1395,3 +1395,115 @@ def test_largest_remainder_alloc_matches_hamilton(spark, sf_dir):
         assert b == n * _LRA_BUDGET // n_tot
         assert b <= a <= b + 1
     assert leftover >= 0
+
+
+def test_interval_union_measure_matches_merge_replay(spark, sf_dir):
+    """Python replay: merge each customer's half-open intervals exactly
+    and compare the covered-day measure, order counts, and span."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        interval_union_measure,
+    )
+
+    per = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    ):
+        od = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        per[r.o_custkey].append(
+            (od, od + timedelta(days=r.o_orderkey % 90 + 1))
+        )
+    expect = {}
+    for ck, ivs in per.items():
+        ivs.sort()
+        covered = 0
+        cur_lo, cur_hi = ivs[0]
+        for lo, hi in ivs[1:]:
+            if lo > cur_hi:
+                covered += (cur_hi - cur_lo).days
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        covered += (cur_hi - cur_lo).days
+        expect[ck] = (
+            len(ivs),
+            covered,
+            min(lo for lo, _ in ivs),
+            max(hi for _, hi in ivs),
+        )
+    got = {
+        r.custkey: (r.n_orders, r.covered_days, r.first_day, r.last_day)
+        for r in interval_union_measure(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # overlaps actually merged somewhere (measure < sum of lengths)
+    assert any(
+        v[1] < sum((hi - lo).days for lo, hi in per[k])
+        for k, v in expect.items()
+    )
+
+
+def test_zone_map_skip_stats_semantics(spark, sf_dir):
+    """Python replay of both layouts' zone maps + the artifact's point:
+    the date-partitioned layout must out-skip the key-ordered layout
+    on every predicate, and its skipped blocks are exactly the
+    out-of-range months."""
+    from collections import defaultdict
+    from datetime import date
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _ZMS_BLOCK,
+        _ZMS_QUARTERS,
+        zone_map_skip_stats,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    )
+    zones = defaultdict(lambda: [date.max, date.min, 0])
+    for r in rows:
+        od = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        for layout, blk in (
+            ("key_order", r.o_orderkey // _ZMS_BLOCK),
+            ("date_month", od.year * 12 + od.month),
+        ):
+            z = zones[(layout, blk)]
+            z[0], z[1], z[2] = min(z[0], od), max(z[1], od), z[2] + 1
+    expect = {}
+    for q, lo_s, hi_s in _ZMS_QUARTERS:
+        lo = date.fromisoformat(lo_s)
+        hi = date.fromisoformat(hi_s)
+        for layout in ("key_order", "date_month"):
+            zs = [v for (l, _b), v in zones.items() if l == layout]
+            skipped = [v for v in zs if v[1] < lo or v[0] >= hi]
+            tot = sum(v[2] for v in zs)
+            expect[(layout, q)] = (
+                len(zs),
+                len(skipped),
+                sum(v[2] for v in skipped),
+                tot,
+                sum(v[2] for v in skipped) * 1_000_000 // tot,
+            )
+    got = {
+        (r.layout, r.q): (
+            r.n_blocks,
+            r.blocks_skipped,
+            r.rows_skipped,
+            r.n_rows_total,
+            r.skip_micro,
+        )
+        for r in zone_map_skip_stats(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for q, _lo, _hi in _ZMS_QUARTERS:
+        assert (
+            got[("date_month", q)][4] > got[("key_order", q)][4]
+        ), "clustered layout must out-skip the ingest-order layout"
+        # date_month skips everything outside the predicate's months
+        assert got[("date_month", q)][4] >= 900_000
