@@ -41,7 +41,8 @@ two self-nominated classes — integer CUSUM change-point detection
 apportionment (exact integer budget allocation); a third batch adds
 the interval MEASURE-OF-UNION sweep (coverage length, partitioned by
 customer) and the zone-map skip-ratio audit (data-skipping
-effectiveness across two layouts).
+effectiveness across two layouts) and the Theil-Sen robust trend
+(median of pairwise integer slopes) as the 300th registry key.
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -3276,3 +3277,106 @@ def _zms_oracle() -> str:
 
 
 register("zone_map_skip_stats", zone_map_skip_stats, _zms_oracle())
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of MONTHLY order revenue: the median of
+    all pairwise slopes (y_j - y_i) / (x_j - x_i) over month indexes —
+    the robust-regression class (public estimator; up to ~29% outlier
+    contamination cannot move it, unlike ``regression_agg_q``'s
+    least-squares slope, which a single corrupted month drags
+    arbitrarily).  Slopes are integer micros-cents-per-month
+    (truncation toward zero — verified identical on both engines for
+    NEGATIVE slopes too); the median is the LOWER median selected by
+    row_number over the fully tie-ordered (slope, x_i, x_j) chain —
+    deterministic, no averaging of two middle elements (which would
+    reintroduce fractions).
+
+    Scale shape: one scan reduces orders to the MONTH-bounded (x, y)
+    relation; the quadratic pair join runs on that ~84-row statistics
+    relation (broadcast nested loop, ~3.5k pairs — the Jagadish-style
+    resolution-bounded quadratic, the ``v_optimal_histogram``
+    sibling); the numerator product runs in DECIMAL(38,0)/HUGEINT
+    (monthly revenue cents x 1e6 leaves BIGINT at planetary scale).
+    Output is one row: months, pairs, median slope, sign census.
+    """
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
+            .cast("bigint")
+            .alias("x"),
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    b = m.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = m.join(F.broadcast(b), F.col("bx") < F.col("x")).select(
+        "x",
+        "bx",
+        F.expr(
+            "CAST((CAST(y AS DECIMAL(38,0)) - by) * 1000000"
+            " div (x - bx) AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    w_all = Window.partitionBy()
+    ranked = pairs.select(
+        "slope_micro",
+        F.row_number()
+        .over(Window.orderBy("slope_micro", "bx", "x"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+        F.sum(F.when(F.col("slope_micro") > 0, 1).otherwise(0))
+        .over(w_all)
+        .alias("n_pos"),
+        F.sum(F.when(F.col("slope_micro") < 0, 1).otherwise(0))
+        .over(w_all)
+        .alias("n_neg"),
+    )
+    n_months = m.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return (
+        ranked.filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .join(F.broadcast(n_months))
+        .select(
+            "n_months",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("slope_micro").alias("slope_micro_median"),
+            F.col("n_pos").cast("bigint").alias("n_pos_slopes"),
+            F.col("n_neg").cast("bigint").alias("n_neg_slopes"),
+        )
+    )
+
+
+register(
+    "theil_sen_trend",
+    theil_sen_trend,
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                          AS BIGINT) AS x,
+                      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS y
+               FROM orders GROUP BY 1),
+    pairs AS (SELECT a.x, b.x AS bx,
+                     CAST((CAST(a.y AS HUGEINT) - b.y) * 1000000
+                          // (a.x - b.x) AS BIGINT) AS slope_micro
+              FROM m a JOIN m b ON b.x < a.x),
+    ranked AS (SELECT slope_micro,
+                      ROW_NUMBER() OVER (ORDER BY slope_micro, bx, x) AS rn,
+                      COUNT(*) OVER () AS n_pairs,
+                      SUM(CASE WHEN slope_micro > 0 THEN 1 ELSE 0 END)
+                        OVER () AS n_pos,
+                      SUM(CASE WHEN slope_micro < 0 THEN 1 ELSE 0 END)
+                        OVER () AS n_neg
+               FROM pairs)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope_micro AS slope_micro_median,
+           CAST(n_pos AS BIGINT) AS n_pos_slopes,
+           CAST(n_neg AS BIGINT) AS n_neg_slopes
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+    """,
+)

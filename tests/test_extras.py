@@ -1507,3 +1507,53 @@ def test_zone_map_skip_stats_semantics(spark, sf_dir):
         ), "clustered layout must out-skip the ingest-order layout"
         # date_month skips everything outside the predicate's months
         assert got[("date_month", q)][4] >= 900_000
+
+
+def test_theil_sen_trend_matches_bruteforce(spark, sf_dir):
+    """Python replay over all month pairs: truncated-toward-zero micros
+    slopes, lower median under the full (slope, x_i, x_j) tie order,
+    sign census; plus the robustness sanity that the median slope lies
+    within the slope range."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        theil_sen_trend,
+    )
+
+    months = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        x = r.o_orderdate.year * 12 + r.o_orderdate.month
+        months[x] += int(math.floor(r.o_totalprice * 100 + 0.5))
+    xs = sorted(months)
+    pairs = []
+    for i, bx in enumerate(xs):
+        for ax in xs[i + 1 :]:
+            num = (months[ax] - months[bx]) * 1_000_000
+            den = ax - bx
+            q = abs(num) // den
+            pairs.append((-q if num < 0 else q, bx, ax))
+    pairs.sort()
+    n = len(pairs)
+    med = pairs[(n + 1) // 2 - 1][0]
+    rows = theil_sen_trend(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r.n_months,
+        r.n_pairs,
+        r.slope_micro_median,
+        r.n_pos_slopes,
+        r.n_neg_slopes,
+    ) == (
+        len(xs),
+        n,
+        med,
+        sum(1 for s, _, _ in pairs if s > 0),
+        sum(1 for s, _, _ in pairs if s < 0),
+    )
+    assert pairs[0][0] <= med <= pairs[-1][0]
+    assert n == len(xs) * (len(xs) - 1) // 2
