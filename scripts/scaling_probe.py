@@ -78,6 +78,14 @@ PROBE = {
     "equi_depth_histogram": "orders",
     "ks_two_sample": "events",
     "join_key_skew_profile": "lineitem",
+    # r10 new keys (probed from birth)
+    "v_optimal_histogram": "orders",
+    "merkle_partition_diff": "orders",
+    "cusum_changepoint": "events",
+    "largest_remainder_alloc": "customer",
+    "interval_union_measure": "orders",
+    "zone_map_skip_stats": "orders",
+    "theil_sen_trend": "orders",
 }
 
 
