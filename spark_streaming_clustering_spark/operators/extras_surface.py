@@ -42,7 +42,9 @@ apportionment (exact integer budget allocation); a third batch adds
 the interval MEASURE-OF-UNION sweep (coverage length, partitioned by
 customer) and the zone-map skip-ratio audit (data-skipping
 effectiveness across two layouts) and the Theil-Sen robust trend
-(median of pairwise integer slopes) as the 300th registry key.
+(median of pairwise integer slopes) as the 300th registry key, and
+isotonic calibration via the PAVA minimax closed form (the r11
+handoff candidate landed early).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -3378,5 +3380,132 @@ register(
            CAST(n_neg AS BIGINT) AS n_neg_slopes
     FROM ranked
     WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of purchase rate
+    vs the DOLLAR-quantized score via the PAVA MINIMAX closed form
+    (Robertson/Wright/Dykstra, public): the pool-adjacent-violators
+    fit equals fit(i) = max over j <= i of min over k >= i of the
+    weighted mean positive-rate of cells j..k — which turns the
+    ITERATIVE algorithm into a bounded quadratic over the score-cell
+    relation (the ``v_optimal_histogram`` / ``theil_sen_trend``
+    pattern) and is what makes a DuckDB oracle possible at all.  The
+    eval-harness completion next to ``calibration_buckets`` (which
+    BUCKETS; this fits the canonical monotone calibrator).
+
+    Quantization contract: window means are floored to MICROS before
+    the minimax (exact rationals cannot flow through SQL MIN/MAX), so
+    the fit is within 1 micro of the exact-rational PAVA solution and
+    adjacent cells can regress by at most 2 micros — pinned in pytest
+    against an exact-fraction PAVA replay; all arithmetic integer,
+    identical on both engines.
+
+    Scale shape: one scan reduces events to the ~500-row dollar-cell
+    relation; the (j, k) window-average relation is M^2-bounded
+    (~125k rows); the suffix-min window is PARTITIONED BY j; the final
+    max is one grouped aggregate.  Numerators in DECIMAL(38,0)/HUGEINT.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "cast(floor(value * 100 + 0.5) as bigint) div 100"
+        ).alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    g = e.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum("pos").cast("bigint").alias("s"),
+    )
+    w_ord = Window.orderBy("v")
+    pref = g.select(
+        F.row_number().over(w_ord).cast("bigint").alias("i"),
+        "v",
+        "w",
+        "s",
+        F.sum("w")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)")
+        .alias("cw"),
+        F.sum("s")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)")
+        .alias("cs"),
+    )
+    zero = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("jm1"),
+        F.lit(0).cast("decimal(38,0)").alias("cwj"),
+        F.lit(0).cast("decimal(38,0)").alias("csj"),
+    )
+    starts = pref.select(
+        F.col("i").alias("jm1"), F.col("cw").alias("cwj"), F.col("cs").alias("csj")
+    ).unionByName(zero)
+    # window-average relation: one row per (start j = jm1+1, end k)
+    win = (
+        pref.select(F.col("i").alias("k"), F.col("cw").alias("cwk"), F.col("cs").alias("csk"))
+        .join(F.broadcast(starts), F.col("jm1") < F.col("k"))
+        .select(
+            (F.col("jm1") + 1).alias("j"),
+            "k",
+            F.expr(
+                "CAST((csk - csj) * 1000000 div (cwk - cwj) AS BIGINT)"
+            ).alias("a_micro"),
+        )
+    )
+    # suffix min over k within each start j: m(j,k) = min_{k' >= k} A(j,k')
+    w_sfx = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sfx = win.select("j", "k", F.min("a_micro").over(w_sfx).alias("m"))
+    # fit(k) = max over j <= k of m(j, k); every (j,k) row has j <= k
+    fit = sfx.groupBy("k").agg(F.max("m").cast("bigint").alias("fit_micro"))
+    return (
+        pref.join(fit, pref.i == fit.k)
+        .select(
+            "v",
+            F.col("w").alias("n"),
+            F.col("s").alias("n_pos"),
+            F.expr("s * 1000000 div w").cast("bigint").alias("rate_micro"),
+            "fit_micro",
+        )
+    )
+
+
+register(
+    "isotonic_calibration",
+    isotonic_calibration,
+    """
+    WITH g AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS v,
+                      CAST(COUNT(*) AS BIGINT) AS w,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS s
+               FROM events GROUP BY 1),
+    pref AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS i, v,
+                    w, s,
+                    CAST(SUM(w) OVER wd AS HUGEINT) AS cw,
+                    CAST(SUM(s) OVER wd AS HUGEINT) AS cs
+             FROM g
+             WINDOW wd AS (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    starts AS (SELECT i AS jm1, cw AS cwj, cs AS csj FROM pref
+               UNION ALL
+               SELECT 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)),
+    win AS (SELECT s.jm1 + 1 AS j, p.i AS k,
+                   CAST((p.cs - s.csj) * 1000000 // (p.cw - s.cwj) AS BIGINT)
+                     AS a_micro
+            FROM pref p JOIN starts s ON s.jm1 < p.i),
+    sfx AS (SELECT j, k,
+                   MIN(a_micro) OVER (PARTITION BY j ORDER BY k DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+            FROM win),
+    fit AS (SELECT k, CAST(MAX(m) AS BIGINT) AS fit_micro
+            FROM sfx GROUP BY k)
+    SELECT p.v, p.w AS n, p.s AS n_pos,
+           CAST(p.s * 1000000 // p.w AS BIGINT) AS rate_micro,
+           f.fit_micro
+    FROM pref p JOIN fit f ON f.k = p.i
     """,
 )

@@ -1557,3 +1557,86 @@ def test_theil_sen_trend_matches_bruteforce(spark, sf_dir):
     )
     assert pairs[0][0] <= med <= pairs[-1][0]
     assert n == len(xs) * (len(xs) - 1) // 2
+
+
+def test_isotonic_calibration_matches_minimax_and_pava(spark, sf_dir):
+    """Three-way pin: (1) exact equality to a Python replay of the
+    micros-floored minimax; (2) within 1 micro of the exact-fraction
+    PAVA fit (the quantization contract the docstring states); (3) the
+    exact PAVA fit is nondecreasing and the emitted fit regresses by
+    at most 2 micros between adjacent cells."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        isotonic_calibration,
+    )
+
+    cells = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, sf_dir, "events").select("value", "event_type").collect():
+        v = int(math.floor(r.value * 100 + 0.5)) // 100
+        cells[v][0] += 1
+        cells[v][1] += 1 if r.event_type == "purchase" else 0
+    vs = sorted(cells)
+    m = len(vs)
+    cw = [0] * (m + 1)
+    cs = [0] * (m + 1)
+    for idx, v in enumerate(vs, 1):
+        cw[idx] = cw[idx - 1] + cells[v][0]
+        cs[idx] = cs[idx - 1] + cells[v][1]
+    # floored-minimax replay (what the operator computes)
+    a = {}
+    for j in range(1, m + 1):
+        for k in range(j, m + 1):
+            a[(j, k)] = (cs[k] - cs[j - 1]) * 1_000_000 // (cw[k] - cw[j - 1])
+    expect_fit = {}
+    for i in range(1, m + 1):
+        expect_fit[i] = max(
+            min(a[(j, k)] for k in range(i, m + 1)) for j in range(1, i + 1)
+        )
+    # exact-fraction PAVA (independent algorithm: pooling, not minimax)
+    blocks = []  # (weight, sum)
+    for v in vs:
+        w, s = cells[v]
+        blocks.append((w, s))
+        while len(blocks) >= 2 and Fraction(blocks[-2][1], blocks[-2][0]) >= Fraction(
+            blocks[-1][1], blocks[-1][0]
+        ):
+            w2, s2 = blocks.pop()
+            w1, s1 = blocks.pop()
+            blocks.append((w1 + w2, s1 + s2))
+    # expand blocks back to cells (blocks pool whole cells)
+    pava_fit = []
+    bi = 0
+    remaining = blocks[0][0] if blocks else 0
+    for v in vs:
+        while remaining < cells[v][0]:
+            # cell spans blocks only if pooling broke mid-cell — impossible
+            # (blocks pool whole cells); advance defensively
+            bi += 1
+            remaining += blocks[bi][0]
+        pava_fit.append(Fraction(blocks[bi][1], blocks[bi][0]))
+        remaining -= cells[v][0]
+        if remaining == 0 and bi + 1 < len(blocks):
+            bi += 1
+            remaining = blocks[bi][0]
+    got = {
+        r.v: (r.n, r.n_pos, r.rate_micro, r.fit_micro)
+        for r in isotonic_calibration(spark, sf_dir).collect()
+    }
+    assert set(got) == set(vs)
+    for idx, v in enumerate(vs, 1):
+        n, s = cells[v]
+        assert got[v][0] == n and got[v][1] == s
+        assert got[v][2] == s * 1_000_000 // n
+        assert got[v][3] == expect_fit[idx]  # (1) exact minimax replay
+        exact_micro = (pava_fit[idx - 1].numerator * 1_000_000) // pava_fit[
+            idx - 1
+        ].denominator
+        assert abs(got[v][3] - exact_micro) <= 1  # (2) quantization bound
+    # (3) monotonicity: exact PAVA nondecreasing; emitted fit within 2
+    for p, q in zip(pava_fit, pava_fit[1:]):
+        assert p <= q
+    fits = [got[v][3] for v in vs]
+    for p, q in zip(fits, fits[1:]):
+        assert q >= p - 2
