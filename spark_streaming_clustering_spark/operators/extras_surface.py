@@ -3384,34 +3384,32 @@ register(
 )
 
 
-def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic (monotone nondecreasing) calibration of purchase rate
-    vs the DOLLAR-quantized score via the PAVA MINIMAX closed form
-    (Robertson/Wright/Dykstra, public): the pool-adjacent-violators
-    fit equals fit(i) = max over j <= i of min over k >= i of the
-    weighted mean positive-rate of cells j..k — which turns the
-    ITERATIVE algorithm into a bounded quadratic over the score-cell
-    relation (the ``v_optimal_histogram`` / ``theil_sen_trend``
-    pattern) and is what makes a DuckDB oracle possible at all.  The
-    eval-harness completion next to ``calibration_buckets`` (which
-    BUCKETS; this fits the canonical monotone calibrator).
+# Isotonic prefix relation cache: (applicationId, sf_dir) -> persisted
+# DF.  The M-row (i, v, w, s, cw, cs) relation feeds the window-average
+# join's BOTH sides plus the final join-back; uncached, the static plan
+# scans events three times (the _vopt_pref lesson, 7th shared relation).
+_ISO_PREF_CACHE: dict = {}
 
-    Quantization contract: window means are floored to MICROS before
-    the minimax (exact rationals cannot flow through SQL MIN/MAX), so
-    the fit is within 1 micro of the exact-rational PAVA solution and
-    adjacent cells can regress by at most 2 micros — pinned in pytest
-    against an exact-fraction PAVA replay; all arithmetic integer,
-    identical on both engines.
 
-    Scale shape: one scan reduces events to the ~500-row dollar-cell
-    relation; the (j, k) window-average relation is M^2-bounded
-    (~125k rows); the suffix-min window is PARTITIONED BY j; the final
-    max is one grouped aggregate.  Numerators in DECIMAL(38,0)/HUGEINT.
-    """
+def clear_iso_cache() -> None:
+    """Unpersist and drop all shared isotonic prefix relations."""
+    for df in _ISO_PREF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _ISO_PREF_CACHE.clear()
+
+
+def _iso_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, v, w, s, cw, cs): dollar-cell label/weight counts with
+    1-indexed rank and DECIMAL(38,0) cumulative sums."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ISO_PREF_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "events").select(
-        F.expr(
-            "cast(floor(value * 100 + 0.5) as bigint) div 100"
-        ).alias("v"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint) div 100").alias("v"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
     g = e.groupBy("v").agg(
@@ -3432,7 +3430,38 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("decimal(38,0)")
         .alias("cs"),
-    )
+    ).persist()
+    _ISO_PREF_CACHE[key] = pref
+    return pref
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of purchase rate
+    vs the DOLLAR-quantized score via the PAVA MINIMAX closed form
+    (Robertson/Wright/Dykstra, public): the pool-adjacent-violators
+    fit equals fit(i) = max over j <= i of min over k >= i of the
+    weighted mean positive-rate of cells j..k — which turns the
+    ITERATIVE algorithm into a bounded quadratic over the score-cell
+    relation (the ``v_optimal_histogram`` / ``theil_sen_trend``
+    pattern) and is what makes a DuckDB oracle possible at all.  The
+    eval-harness completion next to ``calibration_buckets`` (which
+    BUCKETS; this fits the canonical monotone calibrator).
+
+    Quantization contract: window means are floored to MICROS before
+    the minimax (exact rationals cannot flow through SQL MIN/MAX), so
+    the fit is within 1 micro of the exact-rational PAVA solution and
+    adjacent cells can regress by at most 2 micros — pinned in pytest
+    against an exact-fraction PAVA replay; all arithmetic integer,
+    identical on both engines.
+
+    Scale shape: one scan reduces events to the ~500-row dollar-cell
+    relation (session-cached — ONE events scan for its three static
+    consumers, the ``_vopt_pref`` lesson); the (j, k) window-average
+    relation is M^2-bounded (~125k rows); the suffix-min window is
+    PARTITIONED BY j; the final max is one grouped aggregate.
+    Numerators in DECIMAL(38,0)/HUGEINT.
+    """
+    pref = _iso_pref(spark, sf_dir)
     zero = spark.range(1).select(
         F.lit(0).cast("bigint").alias("jm1"),
         F.lit(0).cast("decimal(38,0)").alias("cwj"),
