@@ -86,6 +86,7 @@ PROBE = {
     "interval_union_measure": "orders",
     "zone_map_skip_stats": "orders",
     "theil_sen_trend": "orders",
+    "isotonic_calibration": "events",
 }
 
 
