@@ -87,6 +87,8 @@ PROBE = {
     "zone_map_skip_stats": "orders",
     "theil_sen_trend": "orders",
     "isotonic_calibration": "events",
+    "holt_linear_smoothing": "events",
+    "bitemporal_pit_query": "orders",
 }
 
 

@@ -43,8 +43,9 @@ the interval MEASURE-OF-UNION sweep (coverage length, partitioned by
 customer) and the zone-map skip-ratio audit (data-skipping
 effectiveness across two layouts) and the Theil-Sen robust trend
 (median of pairwise integer slopes) as the 300th registry key, and
-isotonic calibration via the PAVA minimax closed form (the r11
-handoff candidate landed early).
+isotonic calibration via the PAVA minimax closed form, Holt
+recursive-CTE smoothing, and the bitemporal point-in-time query
+(all three r11 handoff candidates landed early).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -3538,3 +3539,237 @@ register(
     FROM pref p JOIN fit f ON f.k = p.i
     """,
 )
+
+
+_HOLT_ANUM, _HOLT_ADEN = 1, 4  # level smoothing alpha = 1/4
+_HOLT_BNUM, _HOLT_BDEN = 1, 4  # trend smoothing beta = 1/4
+
+
+def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing of the daily
+    event-value series in integer MICRO-CENTS via a RECURSIVE CTE —
+    the stateful-smoothing class (public method; ``forecast_seasonal_
+    naive`` projects without state, ``cusum_changepoint`` locates a
+    shift; nothing previously carried smoothing STATE down a series).
+    With alpha = {an}/{ad}, beta = {bn}/{bd}:
+    level_t = (y_t*1e6*{an} + ({ad}-{an})*(level+trend)) div {ad},
+    trend_t = ((level_t - level)*{bn} + ({bd}-{bn})*trend) div {bd} —
+    every step floor-divided identically on both engines (truncation
+    toward zero verified for NEGATIVE trends too), so the engine's
+    WITH RECURSIVE fixpoint reproduces the Python replay bit-exactly.
+    This key exists because its oracle problem is the work (the
+    ``v_optimal_histogram`` lesson): per-step state recursion cannot
+    be a window, and aggregates-in-recursion are banned on both
+    engines — a rank-join in the recursive term is the one portable
+    shape (the ``recursive_cte_q`` precedent).
+
+    Scale shape: one scan reduces events to the ~30-row day relation
+    (map-side partials); the recursion is depth-#days over that
+    metadata-sized relation — a driver-bounded sequential tail, the
+    honest cost of any exponential smoother (state_t needs state_t-1);
+    each step is a 1-row equi-join against the day relation.  BIGINT
+    headroom: daily cents x 1e6 — loud ANSI failure past ~9e12 daily
+    dollars, never silent corruption.  Output: day, observed cents,
+    level/trend micro-cents, one-step-ahead forecast.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_holt")
+    return spark.sql(_holt_sql("events_holt", spark_side=True))
+
+
+def _holt_sql(table: str, spark_side: bool) -> str:
+    an, ad, bn, bd = _HOLT_ANUM, _HOLT_ADEN, _HOLT_BNUM, _HOLT_BDEN
+    idiv = "div" if spark_side else "//"
+    day = "CAST(ts AS DATE)"
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rk,
+             day, y
+      FROM (SELECT {day} AS day,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM {table} GROUP BY 1)
+    ),
+    h(rk, lvl, trd) AS (
+      SELECT rk, y * 1000000, CAST(0 AS BIGINT) FROM d WHERE rk = 1
+      UNION ALL
+      SELECT d.rk,
+             (d.y * 1000000 * {an} + ({ad - an}) * (h.lvl + h.trd)) {idiv} {ad},
+             (((d.y * 1000000 * {an} + ({ad - an}) * (h.lvl + h.trd))
+               {idiv} {ad} - h.lvl) * {bn} + ({bd - bn}) * h.trd) {idiv} {bd}
+      FROM d JOIN h ON d.rk = h.rk + 1
+    )
+    SELECT d.day, d.y AS y_cents,
+           CAST(h.lvl AS BIGINT) AS level_micro,
+           CAST(h.trd AS BIGINT) AS trend_micro,
+           CAST(h.lvl + h.trd AS BIGINT) AS forecast_next_micro
+    FROM h JOIN d ON d.rk = h.rk
+    """
+
+
+holt_linear_smoothing.__doc__ = holt_linear_smoothing.__doc__.format(
+    an=_HOLT_ANUM, ad=_HOLT_ADEN, bn=_HOLT_BNUM, bd=_HOLT_BDEN
+)
+
+register(
+    "holt_linear_smoothing",
+    holt_linear_smoothing,
+    _holt_sql("events", spark_side=False),
+)
+
+
+_BT_SYS_T0 = "1996-01-15"  # system-time AS OF (what the db knew then)
+# Valid-time AS OF is BEFORE system time — the classic retroactive-
+# history read (with V0 > T0 + amendment lag the amended_pre branch is
+# structurally unreachable: valid_from <= V0 needs od > V0 - 30 while
+# sys_from <= T0 needs od <= T0 - 20).
+_BT_VALID_V0 = "1995-12-20"
+_BT_CORR = 7  # orderkeys % 7 == 0: price CORRECTION recorded at +10 days
+_BT_AMND = 11  # orderkeys % 11 == 0: retroactive AMENDMENT at +20 days
+_BT_INF = "9999-12-31"
+
+
+def bitemporal_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal POINT-IN-TIME query: reconstruct the orders price
+    table AS OF system time {t0} (what the database had recorded by
+    then) x valid time {v0} (what was true in the world then) — the
+    two-axis temporal class (``scd2_dimension`` tracks ONE axis;
+    ``join_asof`` is event-time lookup; nothing previously separated
+    'when we learned it' from 'when it was true' — the Snodgrass /
+    SQL:2011 bitemporal model, public).
+
+    The version relation derives deterministically from orders: every
+    order's original price is recorded at its orderdate with valid
+    [orderdate, inf); orders with key % {corr} == 0 get a CORRECTION
+    (+100 cents, same validity — the recorded fact was wrong) at
+    system time +10 days, closing the original's system interval;
+    orders with key % {amnd} == 0 get a retroactive AMENDMENT at
+    system +20 days that SPLITS validity — old price until valid
+    +30 days, +200 cents after — so a system-time reader after the
+    amendment sees two valid-time rows where before it saw one.  The
+    PIT filter (sys_from <= T0 < sys_to AND valid_from <= V0 <
+    valid_to) therefore yields AT MOST ONE row per order — uniqueness
+    pinned in pytest against a Python bitemporal replay.
+
+    Scale shape: the version relation is a 4-way union of projections
+    of ONE scan (no join builds it); both interval predicates are
+    scan-level filters (at a real deployment's scale they prune via
+    partition/zone stats on sys_from — see ``zone_map_skip_stats``);
+    no shuffle at all until the driver collects.  All arithmetic is
+    integer days and cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+    key = F.col("o_orderkey")
+    is_corr = key % _BT_CORR == 0
+    is_amnd = key % _BT_AMND == 0
+    inf = F.lit(_BT_INF).cast("date")
+    corr_add = F.when(is_corr, 100).otherwise(0)
+
+    base = o.select(
+        key.alias("orderkey"),
+        od.alias("od"),
+        cents.alias("c"),
+        is_corr.alias("is_corr"),
+        is_amnd.alias("is_amnd"),
+    )
+    v0 = base.select(
+        "orderkey",
+        F.lit("original").alias("version"),
+        F.col("c").alias("price_cents"),
+        F.col("od").alias("valid_from"),
+        inf.alias("valid_to"),
+        F.col("od").alias("sys_from"),
+        F.when(F.col("is_corr"), F.date_add("od", 10))
+        .when(F.col("is_amnd"), F.date_add("od", 20))
+        .otherwise(inf)
+        .alias("sys_to"),
+    )
+    v1 = base.filter("is_corr").select(
+        "orderkey",
+        F.lit("corrected").alias("version"),
+        (F.col("c") + 100).alias("price_cents"),
+        F.col("od").alias("valid_from"),
+        inf.alias("valid_to"),
+        F.date_add("od", 10).alias("sys_from"),
+        F.when(F.col("is_amnd"), F.date_add("od", 20)).otherwise(inf).alias(
+            "sys_to"
+        ),
+    )
+    v2 = base.filter("is_amnd").select(
+        "orderkey",
+        F.lit("amended_pre").alias("version"),
+        (F.col("c") + F.when(F.col("is_corr"), 100).otherwise(0)).alias(
+            "price_cents"
+        ),
+        F.col("od").alias("valid_from"),
+        F.date_add("od", 30).alias("valid_to"),
+        F.date_add("od", 20).alias("sys_from"),
+        inf.alias("sys_to"),
+    )
+    v3 = base.filter("is_amnd").select(
+        "orderkey",
+        F.lit("amended_post").alias("version"),
+        (
+            F.col("c") + F.when(F.col("is_corr"), 100).otherwise(0) + 200
+        ).alias("price_cents"),
+        F.date_add("od", 30).alias("valid_from"),
+        inf.alias("valid_to"),
+        F.date_add("od", 20).alias("sys_from"),
+        inf.alias("sys_to"),
+    )
+    t0 = F.lit(_BT_SYS_T0).cast("date")
+    vv = F.lit(_BT_VALID_V0).cast("date")
+    versions = v0.unionByName(v1).unionByName(v2).unionByName(v3)
+    return versions.filter(
+        (F.col("sys_from") <= t0)
+        & (t0 < F.col("sys_to"))
+        & (F.col("valid_from") <= vv)
+        & (vv < F.col("valid_to"))
+    ).select("orderkey", "version", "price_cents", "valid_from", "sys_from")
+
+
+bitemporal_pit_query.__doc__ = bitemporal_pit_query.__doc__.format(
+    t0=_BT_SYS_T0, v0=_BT_VALID_V0, corr=_BT_CORR, amnd=_BT_AMND
+)
+
+
+def _bt_oracle() -> str:
+    inf = f"CAST('{_BT_INF}' AS DATE)"
+    return f"""
+    WITH base AS (SELECT o_orderkey AS orderkey,
+                         CAST(o_orderdate AS DATE) AS od,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                         o_orderkey % {_BT_CORR} = 0 AS is_corr,
+                         o_orderkey % {_BT_AMND} = 0 AS is_amnd
+                  FROM orders),
+    versions AS (
+      SELECT orderkey, 'original' AS version, c AS price_cents,
+             od AS valid_from, {inf} AS valid_to, od AS sys_from,
+             CASE WHEN is_corr THEN od + 10
+                  WHEN is_amnd THEN od + 20 ELSE {inf} END AS sys_to
+      FROM base
+      UNION ALL
+      SELECT orderkey, 'corrected', c + 100, od, {inf}, od + 10,
+             CASE WHEN is_amnd THEN od + 20 ELSE {inf} END
+      FROM base WHERE is_corr
+      UNION ALL
+      SELECT orderkey, 'amended_pre',
+             c + CASE WHEN is_corr THEN 100 ELSE 0 END,
+             od, od + 30, od + 20, {inf}
+      FROM base WHERE is_amnd
+      UNION ALL
+      SELECT orderkey, 'amended_post',
+             c + CASE WHEN is_corr THEN 100 ELSE 0 END + 200,
+             od + 30, {inf}, od + 20, {inf}
+      FROM base WHERE is_amnd)
+    SELECT orderkey, version, price_cents, valid_from, sys_from
+    FROM versions
+    WHERE sys_from <= CAST('{_BT_SYS_T0}' AS DATE)
+      AND CAST('{_BT_SYS_T0}' AS DATE) < sys_to
+      AND valid_from <= CAST('{_BT_VALID_V0}' AS DATE)
+      AND CAST('{_BT_VALID_V0}' AS DATE) < valid_to
+    """
+
+
+register("bitemporal_pit_query", bitemporal_pit_query, _bt_oracle())

@@ -1640,3 +1640,152 @@ def test_isotonic_calibration_matches_minimax_and_pava(spark, sf_dir):
     fits = [got[v][3] for v in vs]
     for p, q in zip(fits, fits[1:]):
         assert q >= p - 2
+
+
+def test_holt_linear_smoothing_matches_python_state_machine(spark, sf_dir):
+    """Bit-exact Python replay of the integer state recursion: the
+    engine's WITH RECURSIVE fixpoint must reproduce every (level,
+    trend) pair; plus the smoothing contracts — level tracks the
+    series (bounded by min/max of observed micros after warmup is
+    excluded... asserted via residual bound), forecast = level +
+    trend."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _HOLT_ADEN,
+        _HOLT_ANUM,
+        _HOLT_BDEN,
+        _HOLT_BNUM,
+        holt_linear_smoothing,
+    )
+
+    days = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select("ts", "value").collect():
+        days[r.ts.date()] += int(math.floor(r.value * 100 + 0.5))
+    ds = sorted(days)
+
+    def idiv(a, b):  # truncation toward zero, both engines' semantics
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    an, ad, bn, bd = _HOLT_ANUM, _HOLT_ADEN, _HOLT_BNUM, _HOLT_BDEN
+    expect = {}
+    lvl, trd = days[ds[0]] * 1_000_000, 0
+    expect[ds[0]] = (days[ds[0]], lvl, trd)
+    for d in ds[1:]:
+        new_lvl = idiv(days[d] * 1_000_000 * an + (ad - an) * (lvl + trd), ad)
+        trd = idiv((new_lvl - lvl) * bn + (bd - bn) * trd, bd)
+        lvl = new_lvl
+        expect[d] = (days[d], lvl, trd)
+    got = {
+        r.day: (r.y_cents, r.level_micro, r.trend_micro, r.forecast_next_micro)
+        for r in holt_linear_smoothing(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ds)
+    for d in ds:
+        y, lv, tr = expect[d]
+        assert got[d] == (y, lv, tr, lv + tr), d
+    # the smoother actually smooths: level stays within the observed
+    # envelope (true for convex-combination updates with zero init bias
+    # after the first step's exact seed)
+    lo = min(v * 1_000_000 for v in days.values())
+    hi = max(v * 1_000_000 for v in days.values())
+    # trend term can push level slightly past the envelope; bound it
+    span = hi - lo
+    for d in ds:
+        assert lo - span <= expect[d][1] <= hi + span
+
+
+def test_bitemporal_pit_matches_python_replay(spark, sf_dir):
+    """Python bitemporal replay: rebuild every order's version set,
+    apply both interval predicates, and require (a) exact row match,
+    (b) AT MOST ONE row per order (the bitemporal partition property),
+    (c) every version kind exercised by the fixture."""
+    from datetime import date, timedelta
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _BT_AMND,
+        _BT_CORR,
+        _BT_SYS_T0,
+        _BT_VALID_V0,
+        bitemporal_pit_query,
+    )
+
+    t0 = date.fromisoformat(_BT_SYS_T0)
+    v0 = date.fromisoformat(_BT_VALID_V0)
+    inf = date(9999, 12, 31)
+    expect = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        od = (
+            r.o_orderdate.date()
+            if hasattr(r.o_orderdate, "date")
+            else r.o_orderdate
+        )
+        c = int(math.floor(r.o_totalprice * 100 + 0.5))
+        k = r.o_orderkey
+        is_corr = k % _BT_CORR == 0
+        is_amnd = k % _BT_AMND == 0
+        corr = 100 if is_corr else 0
+        vers = [
+            (
+                "original",
+                c,
+                od,
+                inf,
+                od,
+                od + timedelta(days=10)
+                if is_corr
+                else (od + timedelta(days=20) if is_amnd else inf),
+            )
+        ]
+        if is_corr:
+            vers.append(
+                (
+                    "corrected",
+                    c + 100,
+                    od,
+                    inf,
+                    od + timedelta(days=10),
+                    od + timedelta(days=20) if is_amnd else inf,
+                )
+            )
+        if is_amnd:
+            vers.append(
+                (
+                    "amended_pre",
+                    c + corr,
+                    od,
+                    od + timedelta(days=30),
+                    od + timedelta(days=20),
+                    inf,
+                )
+            )
+            vers.append(
+                (
+                    "amended_post",
+                    c + corr + 200,
+                    od + timedelta(days=30),
+                    inf,
+                    od + timedelta(days=20),
+                    inf,
+                )
+            )
+        hits = [
+            (name, p, vf, sf)
+            for (name, p, vf, vt, sf, st) in vers
+            if sf <= t0 < st and vf <= v0 < vt
+        ]
+        assert len(hits) <= 1, (k, hits)  # bitemporal partition property
+        if hits:
+            expect[k] = hits[0]
+    got = {
+        r.orderkey: (r.version, r.price_cents, r.valid_from, r.sys_from)
+        for r in bitemporal_pit_query(spark, sf_dir).collect()
+    }
+    assert got == expect and expect
+    kinds = {v[0] for v in expect.values()}
+    assert kinds == {"original", "corrected", "amended_pre", "amended_post"}
