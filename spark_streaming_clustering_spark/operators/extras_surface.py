@@ -3650,9 +3650,12 @@ def bitemporal_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_to) therefore yields AT MOST ONE row per order — uniqueness
     pinned in pytest against a Python bitemporal replay.
 
-    Scale shape: the version relation is a 4-way union of projections
-    of ONE scan (no join builds it); both interval predicates are
-    scan-level filters (at a real deployment's scale they prune via
+    Scale shape: the version relation EXPLODES from ONE scan (an array
+    of up to four version structs per order, NULL branches filtered —
+    the ``concurrent_intervals`` delta-explode idiom; the plan shows
+    exactly one parquet scan, vs four for the naive 4-way union of
+    filtered branches); both interval predicates are then row-level
+    filters (at a real deployment's scale they prune via
     partition/zone stats on sys_from — see ``zone_map_skip_stats``);
     no shuffle at all until the driver collects.  All arithmetic is
     integer days and cents.
@@ -3666,62 +3669,68 @@ def bitemporal_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     inf = F.lit(_BT_INF).cast("date")
     corr_add = F.when(is_corr, 100).otherwise(0)
 
-    base = o.select(
-        key.alias("orderkey"),
-        od.alias("od"),
-        cents.alias("c"),
-        is_corr.alias("is_corr"),
-        is_amnd.alias("is_amnd"),
-    )
-    v0 = base.select(
-        "orderkey",
-        F.lit("original").alias("version"),
-        F.col("c").alias("price_cents"),
-        F.col("od").alias("valid_from"),
-        inf.alias("valid_to"),
-        F.col("od").alias("sys_from"),
-        F.when(F.col("is_corr"), F.date_add("od", 10))
-        .when(F.col("is_amnd"), F.date_add("od", 20))
-        .otherwise(inf)
-        .alias("sys_to"),
-    )
-    v1 = base.filter("is_corr").select(
-        "orderkey",
-        F.lit("corrected").alias("version"),
-        (F.col("c") + 100).alias("price_cents"),
-        F.col("od").alias("valid_from"),
-        inf.alias("valid_to"),
-        F.date_add("od", 10).alias("sys_from"),
-        F.when(F.col("is_amnd"), F.date_add("od", 20)).otherwise(inf).alias(
-            "sys_to"
+    def ver(name, price, vf, vt, sf, st):
+        return F.struct(
+            F.lit(name).alias("version"),
+            price.cast("bigint").alias("price_cents"),
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            sf.alias("sys_from"),
+            st.alias("sys_to"),
+        )
+
+    versions = F.array(
+        ver(
+            "original",
+            cents,
+            od,
+            inf,
+            od,
+            F.when(is_corr, F.date_add(od, 10))
+            .when(is_amnd, F.date_add(od, 20))
+            .otherwise(inf),
         ),
-    )
-    v2 = base.filter("is_amnd").select(
-        "orderkey",
-        F.lit("amended_pre").alias("version"),
-        (F.col("c") + F.when(F.col("is_corr"), 100).otherwise(0)).alias(
-            "price_cents"
+        F.when(
+            is_corr,
+            ver(
+                "corrected",
+                cents + 100,
+                od,
+                inf,
+                F.date_add(od, 10),
+                F.when(is_amnd, F.date_add(od, 20)).otherwise(inf),
+            ),
         ),
-        F.col("od").alias("valid_from"),
-        F.date_add("od", 30).alias("valid_to"),
-        F.date_add("od", 20).alias("sys_from"),
-        inf.alias("sys_to"),
-    )
-    v3 = base.filter("is_amnd").select(
-        "orderkey",
-        F.lit("amended_post").alias("version"),
-        (
-            F.col("c") + F.when(F.col("is_corr"), 100).otherwise(0) + 200
-        ).alias("price_cents"),
-        F.date_add("od", 30).alias("valid_from"),
-        inf.alias("valid_to"),
-        F.date_add("od", 20).alias("sys_from"),
-        inf.alias("sys_to"),
+        F.when(
+            is_amnd,
+            ver(
+                "amended_pre",
+                cents + corr_add,
+                od,
+                F.date_add(od, 30),
+                F.date_add(od, 20),
+                inf,
+            ),
+        ),
+        F.when(
+            is_amnd,
+            ver(
+                "amended_post",
+                cents + corr_add + 200,
+                F.date_add(od, 30),
+                inf,
+                F.date_add(od, 20),
+                inf,
+            ),
+        ),
     )
     t0 = F.lit(_BT_SYS_T0).cast("date")
     vv = F.lit(_BT_VALID_V0).cast("date")
-    versions = v0.unionByName(v1).unionByName(v2).unionByName(v3)
-    return versions.filter(
+    ex = o.select(
+        key.alias("orderkey"),
+        F.explode(F.filter(versions, lambda x: x.isNotNull())).alias("v"),
+    ).select("orderkey", "v.*")
+    return ex.filter(
         (F.col("sys_from") <= t0)
         & (t0 < F.col("sys_to"))
         & (F.col("valid_from") <= vv)
