@@ -89,6 +89,8 @@ PROBE = {
     "isotonic_calibration": "events",
     "holt_linear_smoothing": "events",
     "bitemporal_pit_query": "orders",
+    "kmv_distinct_sketch": "events",
+    "benford_digit_audit": "orders",
 }
 
 

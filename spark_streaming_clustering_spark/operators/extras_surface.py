@@ -45,7 +45,10 @@ effectiveness across two layouts) and the Theil-Sen robust trend
 (median of pairwise integer slopes) as the 300th registry key, and
 isotonic calibration via the PAVA minimax closed form, Holt
 recursive-CTE smoothing, and the bitemporal point-in-time query
-(all three r11 handoff candidates landed early).
+(all three r11 handoff candidates landed early); a fifth batch
+adds the KMV k-minimum-values distinct sketch (deterministic,
+exact-oracle-able, mergeability pinned) and the Benford
+first-digit audit.
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -3782,3 +3785,206 @@ def _bt_oracle() -> str:
 
 
 register("bitemporal_pit_query", bitemporal_pit_query, _bt_oracle())
+
+
+_KMV_K = 32  # sketch size: k smallest hash values
+_KMV_D = 268_435_456  # hash domain 2^28 (the house md5-prefix28)
+# (k-1)*D precomputed in Python: 31 * 2^28 overflows an INT32
+# literal multiply on BOTH engines (the 21600*1000000 lesson);
+# a single BIGINT literal parses safely everywhere.
+_KMV_NUM = (_KMV_K - 1) * _KMV_D
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch of users per
+    event_type + a merged 'ALL' grain — the DETERMINISTIC mergeable
+    distinct estimator (Bar-Yossef et al., public): the sketch is the
+    {k} smallest md5-prefix28 hash values of the distinct users;
+    est = (k-1) * D div h_k (h_k = the k-th smallest hash, D = 2^28),
+    exact when the group holds fewer than {k} distinct hashes.  Unlike
+    ``hll_sketch_q`` (whose register blob is engine-opaque, so only
+    the ESTIMATE can be contract-checked), KMV is pure order
+    statistics of a deterministic hash — every sketch member, the
+    k-th value, and the estimate are EXACT-oracle-checkable, and the
+    union-merge (k smallest of the deduplicated union of sketches)
+    is reproducible bit-for-bit: mergeability is pinned in pytest by
+    replaying the merge from the per-group sketches.
+
+    Scale shape: one distinct-reduce to (event_type, user) (map-side
+    partials), hashes map-side, the rank window PARTITIONED BY
+    event_type; the ALL grain reuses the same distinct-hash relation
+    (in a deployment it would merge persisted k-value sketches — the
+    ``hll_union_rollup`` write-boundary shape).  All arithmetic
+    integer; h_k = 0 guarded with greatest(1).
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+            .cast("bigint")
+            .alias("v"),
+            F.col("user_id"),
+        )
+    )
+
+    def _grain(rel: DataFrame) -> DataFrame:
+        hv = rel.select("event_type", "v").distinct()
+        w = Window.partitionBy("event_type").orderBy("v")
+        r = hv.select(
+            "event_type",
+            "v",
+            F.row_number().over(w).alias("rn"),
+        )
+        nd = rel.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_ndv")
+        )
+        sk = (
+            r.filter(F.col("rn") <= _KMV_K)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+                F.max(F.when(F.col("rn") == _KMV_K, F.col("v")))
+                .cast("bigint")
+                .alias("kth_hash"),
+            )
+        )
+        return sk.join(nd, "event_type").select(
+            "event_type",
+            "n_sketch",
+            F.coalesce("kth_hash", F.lit(-1)).cast("bigint").alias("kth_hash"),
+            F.expr(
+                f"CASE WHEN n_sketch < {_KMV_K} THEN n_sketch"
+                f" ELSE {_KMV_NUM}"
+                f" div greatest(kth_hash, 1) END"
+            )
+            .cast("bigint")
+            .alias("est_ndv"),
+            "exact_ndv",
+        )
+
+    per = _grain(d)
+    allg = _grain(d.select(F.lit("ALL").alias("event_type"), "v", "user_id"))
+    return per.unionByName(allg)
+
+
+kmv_distinct_sketch.__doc__ = kmv_distinct_sketch.__doc__.format(k=_KMV_K)
+
+
+def _kmv_grain_sql(rel: str) -> str:
+    return f"""
+      SELECT s.event_type, s.n_sketch,
+             coalesce(s.kth_hash, -1) AS kth_hash,
+             CAST(CASE WHEN s.n_sketch < {_KMV_K} THEN s.n_sketch
+                       ELSE {_KMV_NUM}
+                            // greatest(s.kth_hash, 1) END AS BIGINT)
+               AS est_ndv,
+             x.exact_ndv
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                   CAST(MAX(CASE WHEN rn = {_KMV_K} THEN v END) AS BIGINT)
+                     AS kth_hash
+            FROM (SELECT event_type, v,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY v) AS rn
+                  FROM (SELECT DISTINCT event_type, v FROM {rel}))
+            WHERE rn <= {_KMV_K} GROUP BY 1) s
+      JOIN (SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv
+            FROM {rel} GROUP BY 1) x USING (event_type)"""
+
+
+register(
+    "kmv_distinct_sketch",
+    kmv_distinct_sketch,
+    f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id,
+                      CAST(('0x' || substr(md5(CAST(user_id AS STRING)),
+                                           1, 7)) AS BIGINT) AS v
+               FROM events),
+    da AS (SELECT 'ALL' AS event_type, user_id, v FROM d)
+    {_kmv_grain_sql("d")}
+    UNION ALL
+    {_kmv_grain_sql("da")}
+    """,
+)
+
+
+# Benford expected first-digit shares in integer micros: floor(log10(1
+# + 1/d) * 1e6) — computed ONCE here in Python and embedded as
+# literals so both engines compare against the identical constants (no
+# engine log/float in the query).
+import math as _math
+
+_BENFORD_MICRO = {
+    d: int(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of o_totalprice in
+    integer cents — the data-forensics class (public law; naturally
+    grown multiplicative quantities lead with 1 ~30% of the time,
+    fabricated or truncated data doesn't): per digit 1-9, the observed
+    count and share vs the Benford expectation, and the absolute
+    deviation — all in integer micros, with the expected shares
+    embedded as Python-precomputed literal constants so neither
+    engine evaluates a log.
+
+    Scale shape: first digit = first character of the integer cents
+    rendering (map-side), one 9-group hash aggregate, shares against
+    the window total over the 9-row relation.  Whether a column IS
+    Benford-ish is the artifact's judgment call (TPC-H's uniform
+    synthetic prices are NOT, and the deviations show it — that's the
+    audit working); the operator's contract is the exact census.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5)"
+            " as bigint) as string), 1, 1) as bigint)"
+        ).alias("digit")
+    )
+    g = o.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    w_all = Window.partitionBy()
+    exp_col = F.lit(None).cast("bigint")
+    expr = "CAST(CASE digit "
+    for dg, micro in _BENFORD_MICRO.items():
+        expr += f"WHEN {dg} THEN {micro} "
+    expr += "END AS BIGINT)"
+    return (
+        g.withColumn("total", F.sum("n_obs").over(w_all))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("CAST(n_obs * 1000000 div total AS BIGINT)").alias(
+                "obs_micro"
+            ),
+            F.expr(expr).alias("exp_micro"),
+        )
+        .withColumn(
+            "dev_micro", F.abs(F.col("obs_micro") - F.col("exp_micro"))
+        )
+    )
+
+
+def _benford_oracle() -> str:
+    case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+    ) + " END"
+    return f"""
+    WITH g AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) AS STRING), 1, 1)
+                           AS BIGINT) AS digit,
+                      CAST(COUNT(*) AS BIGINT) AS n_obs
+               FROM orders GROUP BY 1)
+    SELECT digit, n_obs,
+           CAST(n_obs * 1000000 // SUM(n_obs) OVER () AS BIGINT) AS obs_micro,
+           CAST({case} AS BIGINT) AS exp_micro,
+           CAST(abs(n_obs * 1000000 // SUM(n_obs) OVER ()
+                    - ({case})) AS BIGINT) AS dev_micro
+    FROM g
+    """
+
+
+register("benford_digit_audit", benford_digit_audit, _benford_oracle())

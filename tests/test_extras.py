@@ -1789,3 +1789,98 @@ def test_bitemporal_pit_matches_python_replay(spark, sf_dir):
     assert got == expect and expect
     kinds = {v[0] for v in expect.values()}
     assert kinds == {"original", "corrected", "amended_pre", "amended_post"}
+
+
+def test_kmv_sketch_matches_replay_and_merges(spark, sf_dir):
+    """hashlib replay of every grain (members, k-th value, estimate,
+    exact NDV) + the mergeability theorem made exact: the k smallest
+    of the deduplicated UNION of per-group sketches must equal the
+    from-scratch global sketch (true because a globally-k-smallest
+    hash is k-smallest within its own group) — and both must equal
+    the operator's ALL row."""
+    import hashlib
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _KMV_D,
+        _KMV_K,
+        kmv_distinct_sketch,
+    )
+
+    users = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .collect()
+    ):
+        users[r.event_type].add(r.user_id)
+
+    def hv(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16)
+
+    def grain(uset):
+        hs = sorted({hv(u) for u in uset})
+        sk = hs[:_KMV_K]
+        n_sk = len(sk)
+        kth = sk[-1] if n_sk == _KMV_K else -1
+        est = (
+            n_sk
+            if n_sk < _KMV_K
+            else (_KMV_K - 1) * _KMV_D // max(kth, 1)
+        )
+        return sk, n_sk, kth, est
+
+    expect = {}
+    for et, uset in users.items():
+        sk, n_sk, kth, est = grain(uset)
+        expect[et] = (n_sk, kth, est, len(uset))
+    all_users = set().union(*users.values())
+    sk_all, n_all, kth_all, est_all = grain(all_users)
+    expect["ALL"] = (n_all, kth_all, est_all, len(all_users))
+    # mergeability: k smallest of the union of per-group sketches
+    merged = sorted(set().union(*(set(grain(u)[0]) for u in users.values())))[
+        :_KMV_K
+    ]
+    assert merged == sk_all
+    got = {
+        r.event_type: (r.n_sketch, r.kth_hash, r.est_ndv, r.exact_ndv)
+        for r in kmv_distinct_sketch(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the estimator estimates: within 50% on every full sketch (k=32
+    # gives ~18% expected relative error; 50% is a loose determinism-
+    # safe bound), exact on partial sketches
+    for et, (n_sk, kth, est, exact) in expect.items():
+        if n_sk < _KMV_K:
+            assert est == exact
+        else:
+            assert abs(est - exact) <= exact // 2, (et, est, exact)
+
+
+def test_benford_digit_audit_matches_census(spark, sf_dir):
+    """Counter replay of the first-digit census; expected shares match
+    math.log10 exactly (the embedded literals); shares sum to ~1e6."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _BENFORD_MICRO,
+        benford_digit_audit,
+    )
+
+    cnt = Counter()
+    for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect():
+        cents = int(math.floor(r.o_totalprice * 100 + 0.5))
+        cnt[int(str(cents)[0])] += 1
+    total = sum(cnt.values())
+    got = {
+        r.digit: (r.n_obs, r.obs_micro, r.exp_micro, r.dev_micro)
+        for r in benford_digit_audit(spark, sf_dir).collect()
+    }
+    assert set(got) <= set(range(1, 10))
+    assert {d: v[0] for d, v in got.items()} == dict(cnt)
+    for d, (n, obs, exp, dev) in got.items():
+        assert obs == n * 1_000_000 // total
+        assert exp == _BENFORD_MICRO[d] == int(math.log10(1 + 1 / d) * 1e6)
+        assert dev == abs(obs - exp)
+    s = sum(v[1] for v in got.values())
+    assert 1_000_000 - len(got) <= s <= 1_000_000
