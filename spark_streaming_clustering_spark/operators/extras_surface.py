@@ -3795,6 +3795,52 @@ _KMV_D = 268_435_456  # hash domain 2^28 (the house md5-prefix28)
 _KMV_NUM = (_KMV_K - 1) * _KMV_D
 
 
+# Distinct (event_type, user, hash) relation cache: (applicationId,
+# sf_dir) -> persisted DF.  Both grains consume it twice each (the
+# hash-rank side and the exact-NDV side); uncached, the static plan
+# scans events four times (8th shared relation, the _vopt_pref rule:
+# a relation a key's own plan consumes >2x must session-cache).
+_KMV_D_CACHE: dict = {}
+
+
+def clear_kmv_cache() -> None:
+    """Unpersist and drop all shared KMV distinct relations."""
+    for df in _KMV_D_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _KMV_D_CACHE.clear()
+
+
+def _kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, user_id, v): distinct users per type with the
+    md5-prefix28 hash, persisted once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMV_D_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 7),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("v"),
+            F.col("user_id"),
+        )
+        .persist()
+    )
+    _KMV_D_CACHE[key] = d
+    return d
+
+
 def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch of users per
     event_type + a merged 'ALL' grain — the DETERMINISTIC mergeable
@@ -3812,23 +3858,13 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one distinct-reduce to (event_type, user) (map-side
     partials), hashes map-side, the rank window PARTITIONED BY
-    event_type; the ALL grain reuses the same distinct-hash relation
-    (in a deployment it would merge persisted k-value sketches — the
-    ``hll_union_rollup`` write-boundary shape).  All arithmetic
-    integer; h_k = 0 guarded with greatest(1).
+    event_type; the ALL grain reuses the same distinct-hash relation,
+    which is session-cached — ONE events scan for the four static
+    consumers (in a deployment it would merge persisted k-value
+    sketches — the ``hll_union_rollup`` write-boundary shape).  All
+    arithmetic integer; h_k = 0 guarded with greatest(1).
     """
-    d = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type", "user_id")
-        .distinct()
-        .select(
-            "event_type",
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
-            .cast("bigint")
-            .alias("v"),
-            F.col("user_id"),
-        )
-    )
+    d = _kmv_distinct(spark, sf_dir)
 
     def _grain(rel: DataFrame) -> DataFrame:
         hv = rel.select("event_type", "v").distinct()

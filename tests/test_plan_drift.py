@@ -51,6 +51,7 @@ def _clear_shared_caches() -> None:
     from spark_streaming_clustering_spark.operators._text import clear_tf_cache
     from spark_streaming_clustering_spark.operators.extras_surface import (
         clear_iso_cache,
+        clear_kmv_cache,
         clear_merkle_cache,
         clear_ppj_cache,
         clear_vopt_cache,
@@ -62,6 +63,7 @@ def _clear_shared_caches() -> None:
     clear_vopt_cache()
     clear_merkle_cache()
     clear_iso_cache()
+    clear_kmv_cache()
     for df in pipeline_surface._QSTATS_CACHE.values():
         try:
             df.unpersist()
