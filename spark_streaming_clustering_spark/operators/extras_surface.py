@@ -48,7 +48,12 @@ recursive-CTE smoothing, and the bitemporal point-in-time query
 (all three r11 handoff candidates landed early); a fifth batch
 adds the KMV k-minimum-values distinct sketch (deterministic,
 exact-oracle-able, mergeability pinned) and the Benford
-first-digit audit.
+first-digit audit; a sixth batch lands the two classes the r10
+handoff named for r11 — the SQL:2011 valid-time temporal JOIN
+(period-overlap join with intersection intervals, broadcast
+calendar) and theta-sketch-style KMV set operations (pairwise
+union/intersection/Jaccard estimates from merged sketches, the
+whole estimator chain exact-oracle-checked).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -4024,3 +4029,404 @@ def _benford_oracle() -> str:
 
 
 register("benford_digit_audit", benford_digit_audit, _benford_oracle())
+
+
+# --------------------------------------------------------------------------
+# temporal_join_sql2011 — valid-time temporal inner join (overlap +
+# intersection interval), the SQL:2011 join the r10 handoff named
+# --------------------------------------------------------------------------
+
+_TJ_HORIZON = "1997-01-01"  # open episodes close here (clip bound)
+_TJ_PROMO_YEAR = 1995  # the promo calendar covers this year's 4 quarters
+
+
+def _tj_rate_micro_expr(nk: str, q: str) -> str:
+    """Deterministic promo rate in micros: ((nk*7 + q*13) % 50) * 1000 —
+    pure integer arithmetic, identical literal form on both engines."""
+    return f"(({nk} * 7 + {q} * 13) % 50) * 1000"
+
+
+def temporal_join_sql2011(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 valid-time temporal INNER JOIN (Snodgrass; the standard's
+    period OVERLAPS semantics): customer spending EPISODES joined to a
+    per-nation PROMO CALENDAR wherever their validity periods overlap,
+    emitting the INTERSECTION interval — the temporal-JOIN class
+    (``bitemporal_pit_query`` is a two-axis temporal READ;
+    ``join_asof``/``join_range`` match points to intervals; nothing
+    previously joined two interval relations period-to-period).
+
+    Episodes derive from orders: per (custkey, orderdate) the summed
+    spend in cents, valid [orderdate, next orderdate) by LEAD over the
+    per-customer date sequence (dates pre-collapsed so zero-length
+    intervals cannot exist), open episodes clipped at {horizon}.  The
+    calendar derives from nation: four {year} quarters per nation,
+    rate_micro = ((nationkey*7 + quarter*13) %% 50) * 1000 — explode of
+    a 4-struct literal array, NO join builds it.  Overlap predicate:
+    a.valid_from < b.valid_to AND b.valid_from < a.valid_to; output
+    carries greatest/least intersection bounds and the day measure.
+
+    Scale shape: episodes are one orders scan + one window PARTITIONED
+    BY custkey; nationkey arrives via the customer dim join (broadcast
+    below the AQE threshold; at 100 TB the dim is still ~1e-4 of the
+    fact); the temporal join itself is a BROADCAST HASH join equi-keyed
+    on nationkey with the overlap residual — the calendar is
+    #nations x 4 rows at ANY scale, so no shuffle and no interval
+    index is needed.  All arithmetic integer days / cents / micros.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    day_spend = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("o_orderdate").alias("valid_from"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+            .cast("bigint")
+            .alias("spend_cents")
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    episodes = day_spend.select(
+        "custkey",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w), F.lit(_TJ_HORIZON).cast("date")
+        ).alias("valid_to"),
+        "spend_cents",
+    ).join(F.broadcast(c), F.col("custkey") == c.c_custkey).select(
+        "custkey", "nationkey", "valid_from", "valid_to", "spend_cents"
+    )
+    y = _TJ_PROMO_YEAR
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("bigint").alias("quarter"),
+                F.lit(f"{y}-{3 * q - 2:02d}-01").cast("date").alias("p_from"),
+                F.lit(
+                    f"{y + 1}-01-01" if q == 4 else f"{y}-{3 * q + 1:02d}-01"
+                )
+                .cast("date")
+                .alias("p_to"),
+            )
+            for q in range(1, 5)
+        ]
+    )
+    cal = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("nationkey"),
+            F.explode(quarters).alias("p"),
+        )
+        .select(
+            "nationkey",
+            "p.quarter",
+            "p.p_from",
+            "p.p_to",
+            F.expr(_tj_rate_micro_expr("nationkey", "quarter"))
+            .cast("bigint")
+            .alias("rate_micro"),
+        )
+    )
+    j = episodes.join(
+        F.broadcast(cal),
+        on=[
+            episodes.nationkey == cal.nationkey,
+            episodes.valid_from < cal.p_to,
+            cal.p_from < episodes.valid_to,
+        ],
+    )
+    return j.select(
+        "custkey",
+        episodes.nationkey.alias("nationkey"),
+        "quarter",
+        F.greatest(episodes.valid_from, cal.p_from).alias("ivl_from"),
+        F.least(episodes.valid_to, cal.p_to).alias("ivl_to"),
+        F.datediff(
+            F.least(episodes.valid_to, cal.p_to),
+            F.greatest(episodes.valid_from, cal.p_from),
+        )
+        .cast("bigint")
+        .alias("overlap_days"),
+        "spend_cents",
+        "rate_micro",
+    )
+
+
+temporal_join_sql2011.__doc__ = temporal_join_sql2011.__doc__.format(
+    horizon=_TJ_HORIZON, year=_TJ_PROMO_YEAR
+)
+
+
+def _tj_oracle() -> str:
+    y = _TJ_PROMO_YEAR
+    qrows = ", ".join(
+        f"({q}, DATE '{y}-{3 * q - 2:02d}-01', "
+        f"DATE '{(y + 1 if q == 4 else y)}-"
+        f"{(1 if q == 4 else 3 * q + 1):02d}-01')"
+        for q in range(1, 5)
+    )
+    return f"""
+    WITH day_spend AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY 1, 2),
+    episodes AS (
+      SELECT d.custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,
+             d.valid_from,
+             coalesce(LEAD(d.valid_from) OVER (PARTITION BY d.custkey
+                                               ORDER BY d.valid_from),
+                      DATE '{_TJ_HORIZON}') AS valid_to,
+             d.spend_cents
+      FROM day_spend d JOIN customer c ON d.custkey = c.c_custkey),
+    cal AS (
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+             CAST(q.quarter AS BIGINT) AS quarter, q.p_from, q.p_to,
+             CAST({_tj_rate_micro_expr("CAST(n.n_nationkey AS BIGINT)",
+                                       "q.quarter")} AS BIGINT) AS rate_micro
+      FROM nation n
+      CROSS JOIN (VALUES {qrows}) AS q(quarter, p_from, p_to))
+    SELECT e.custkey, e.nationkey, cal.quarter,
+           greatest(e.valid_from, cal.p_from) AS ivl_from,
+           least(e.valid_to, cal.p_to) AS ivl_to,
+           CAST(date_diff('day', greatest(e.valid_from, cal.p_from),
+                          least(e.valid_to, cal.p_to)) AS BIGINT)
+             AS overlap_days,
+           e.spend_cents, cal.rate_micro
+    FROM episodes e JOIN cal
+      ON e.nationkey = cal.nationkey
+     AND e.valid_from < cal.p_to AND cal.p_from < e.valid_to
+    """
+
+
+register("temporal_join_sql2011", temporal_join_sql2011, _tj_oracle())
+
+
+# --------------------------------------------------------------------------
+# kmv_set_ops — theta-sketch-style set INTERSECTION / UNION / Jaccard
+# estimates between every pair of event types from their merged KMV
+# sketches (the r10 handoff's second named candidate)
+# --------------------------------------------------------------------------
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS over merged KMV sketches
+    (Dasgupta et al. / DataSketches theta model, public): for every
+    unordered pair of event types, merge the two {k}-minimum-values
+    user sketches (k smallest of the deduplicated union), read theta =
+    the k-th smallest merged hash, count the merged members present in
+    BOTH input sketches, and estimate |A∪B| = (k-1)*D div theta and
+    |A∩B| = n_match * est_union div k — every quantity pure order
+    statistics of the deterministic md5-prefix28 hash, so (unlike an
+    HLL register blob) the WHOLE estimator chain is exact-oracle-able.
+    Exact distinct counts ride along so the artifact itself shows the
+    estimation error.
+
+    Scale shape: sketches reuse the session-cached distinct relation of
+    ``kmv_distinct_sketch`` (ONE events scan across both keys); every
+    relation after the rank window is #types x k rows — metadata-sized
+    at any scale (a deployment merges persisted sketches, the
+    ``hll_union_rollup`` write-boundary shape); the exact-side
+    verification join is bounded by the distinct (type, user) relation.
+    Pair enumeration is a broadcast non-equi join of the #types-row
+    type relation with itself — never the data.  Division guarded with
+    greatest(theta, 1); partial (n_merged < k) sketches fall back to
+    their exact member counts, pinned in pytest.
+    """
+    d = _kmv_distinct(spark, sf_dir)
+    hv = d.select("event_type", "v").distinct()
+    w = Window.partitionBy("event_type").orderBy("v")
+    sk = (
+        hv.select("event_type", "v", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "v")
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("ta")
+        .join(
+            F.broadcast(types.alias("tb")),
+            F.col("ta.event_type") < F.col("tb.event_type"),
+        )
+        .select(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+        )
+    )
+    mem = pairs.join(
+        F.broadcast(sk),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    merged = mem.groupBy("type_a", "type_b", "v").agg(
+        F.max((F.col("event_type") == F.col("type_a")).cast("int")).alias(
+            "in_a"
+        ),
+        F.max((F.col("event_type") == F.col("type_b")).cast("int")).alias(
+            "in_b"
+        ),
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("v")
+    ranked = merged.select(
+        "type_a",
+        "type_b",
+        "v",
+        "in_a",
+        "in_b",
+        F.row_number().over(wm).alias("rn"),
+    ).filter(F.col("rn") <= _KMV_K)
+    est = ranked.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("v"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("theta"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    est = est.select(
+        "type_a",
+        "type_b",
+        "n_merged",
+        "theta",
+        "n_match",
+        F.expr(
+            f"CASE WHEN n_merged < {_KMV_K} THEN n_merged"
+            f" ELSE {_KMV_NUM} div greatest(theta, 1) END"
+        )
+        .cast("bigint")
+        .alias("est_union"),
+    ).select(
+        "*",
+        F.expr(
+            f"CASE WHEN n_merged < {_KMV_K} THEN n_match"
+            f" ELSE n_match * est_union div {_KMV_K} END"
+        )
+        .cast("bigint")
+        .alias("est_inter"),
+    )
+    e = d.select("event_type", "user_id")
+    nd = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    ex_i = (
+        e.alias("ea")
+        .join(
+            e.alias("eb"),
+            (F.col("ea.user_id") == F.col("eb.user_id"))
+            & (F.col("ea.event_type") < F.col("eb.event_type")),
+        )
+        .groupBy(
+            F.col("ea.event_type").alias("type_a"),
+            F.col("eb.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    exact = (
+        est.select("type_a", "type_b")
+        .join(F.broadcast(nd.withColumnRenamed("event_type", "type_a")), "type_a")
+        .withColumnRenamed("nd", "nd_a")
+        .join(F.broadcast(nd.withColumnRenamed("event_type", "type_b")), "type_b")
+        .withColumnRenamed("nd", "nd_b")
+        .join(F.broadcast(ex_i), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_inter", F.lit(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+            (F.col("nd_a") + F.col("nd_b") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("exact_union"),
+        )
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_merged",
+        "theta",
+        "n_match",
+        "est_union",
+        "est_inter",
+        F.expr("est_inter * 1000000 div greatest(est_union, 1)")
+        .cast("bigint")
+        .alias("est_jaccard_micro"),
+        "exact_inter",
+        "exact_union",
+    )
+
+
+kmv_set_ops.__doc__ = kmv_set_ops.__doc__.format(k=_KMV_K)
+
+
+def _kmv_setops_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id,
+                      CAST(('0x' || substr(md5(CAST(user_id AS STRING)),
+                                           1, 7)) AS BIGINT) AS v
+               FROM events),
+    sk AS (SELECT event_type, v
+           FROM (SELECT event_type, v,
+                        ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY v) AS rn
+                 FROM (SELECT DISTINCT event_type, v FROM d))
+           WHERE rn <= {_KMV_K}),
+    pairs AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b
+              FROM (SELECT DISTINCT event_type FROM sk) ta
+              JOIN (SELECT DISTINCT event_type FROM sk) tb
+                ON ta.event_type < tb.event_type),
+    merged AS (SELECT p.type_a, p.type_b, s.v,
+                      MAX(CASE WHEN s.event_type = p.type_a
+                               THEN 1 ELSE 0 END) AS in_a,
+                      MAX(CASE WHEN s.event_type = p.type_b
+                               THEN 1 ELSE 0 END) AS in_b
+               FROM pairs p JOIN sk s
+                 ON s.event_type IN (p.type_a, p.type_b)
+               GROUP BY 1, 2, 3),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                            ORDER BY v) AS rn
+               FROM merged),
+    est0 AS (SELECT type_a, type_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_merged,
+                    CAST(coalesce(MAX(CASE WHEN rn = {_KMV_K} THEN v END),
+                                  -1) AS BIGINT) AS theta,
+                    CAST(SUM(in_a * in_b) AS BIGINT) AS n_match
+             FROM ranked WHERE rn <= {_KMV_K} GROUP BY 1, 2),
+    est1 AS (SELECT *,
+                    CAST(CASE WHEN n_merged < {_KMV_K} THEN n_merged
+                         ELSE {_KMV_NUM} // greatest(theta, 1) END
+                         AS BIGINT) AS est_union
+             FROM est0),
+    est AS (SELECT *,
+                   CAST(CASE WHEN n_merged < {_KMV_K} THEN n_match
+                        ELSE n_match * est_union // {_KMV_K} END
+                        AS BIGINT) AS est_inter
+            FROM est1),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM d
+           GROUP BY 1),
+    ex_i AS (SELECT ea.event_type AS type_a, eb.event_type AS type_b,
+                    CAST(COUNT(*) AS BIGINT) AS exact_inter
+             FROM d ea JOIN d eb
+               ON ea.user_id = eb.user_id
+              AND ea.event_type < eb.event_type
+             GROUP BY 1, 2)
+    SELECT e.type_a, e.type_b, e.n_merged, e.theta, e.n_match,
+           e.est_union, e.est_inter,
+           CAST(e.est_inter * 1000000 // greatest(e.est_union, 1)
+                AS BIGINT) AS est_jaccard_micro,
+           CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(na.nd + nb.nd - coalesce(x.exact_inter, 0) AS BIGINT)
+             AS exact_union
+    FROM est e
+    JOIN nd na ON na.event_type = e.type_a
+    JOIN nd nb ON nb.event_type = e.type_b
+    LEFT JOIN ex_i x ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """
+
+
+register("kmv_set_ops", kmv_set_ops, _kmv_setops_oracle())

@@ -1884,3 +1884,148 @@ def test_benford_digit_audit_matches_census(spark, sf_dir):
         assert dev == abs(obs - exp)
     s = sum(v[1] for v in got.values())
     assert 1_000_000 - len(got) <= s <= 1_000_000
+
+
+# ---------------------------------------------------------------- round 10
+# batch 6: temporal_join_sql2011 + kmv_set_ops
+
+
+def test_temporal_join_matches_interval_replay(spark, sf_dir):
+    """Python interval replay: rebuild the episode relation (per
+    (custkey, day) spend, LEAD validity), the 4-quarter promo calendar,
+    nested-loop the overlap predicate, and require the operator's rows
+    EQUAL the replay — plus the SQL:2011 intersection invariants
+    (ivl_from < ivl_to, overlap_days >= 1, intersection inside both
+    input periods by construction)."""
+    import datetime
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _TJ_HORIZON,
+        _TJ_PROMO_YEAR,
+        temporal_join_sql2011,
+    )
+
+    nat = {
+        r.c_custkey: int(r.c_nationkey)
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    day_spend = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        d = r.o_orderdate.date()
+        day_spend[(r.o_custkey, d)] += int(
+            math.floor(r.o_totalprice * 100 + 0.5)
+        )
+    horizon = datetime.date.fromisoformat(_TJ_HORIZON)
+    by_cust = defaultdict(list)
+    for (ck, d), sp in day_spend.items():
+        by_cust[ck].append((d, sp))
+    episodes = []
+    for ck, rows in by_cust.items():
+        rows.sort()
+        for i, (d, sp) in enumerate(rows):
+            vt = rows[i + 1][0] if i + 1 < len(rows) else horizon
+            episodes.append((ck, nat[ck], d, vt, sp))
+    y = _TJ_PROMO_YEAR
+    cal = []
+    for nk in sorted(set(nat.values())):
+        for q in range(1, 5):
+            pf = datetime.date(y, 3 * q - 2, 1)
+            pt = (
+                datetime.date(y + 1, 1, 1)
+                if q == 4
+                else datetime.date(y, 3 * q + 1, 1)
+            )
+            cal.append((nk, q, pf, pt, ((nk * 7 + q * 13) % 50) * 1000))
+    expect = set()
+    for ck, nk, vf, vt, sp in episodes:
+        for cnk, q, pf, pt, rate in cal:
+            if cnk == nk and vf < pt and pf < vt:
+                ivf, ivt = max(vf, pf), min(vt, pt)
+                expect.add(
+                    (ck, nk, q, ivf, ivt, (ivt - ivf).days, sp, rate)
+                )
+    got = {tuple(r) for r in temporal_join_sql2011(spark, sf_dir).collect()}
+    assert got == expect and len(got) >= 1
+    for _, _, _, ivf, ivt, days, _, _ in got:
+        assert ivf < ivt and days >= 1
+
+
+def test_kmv_set_ops_matches_replay(spark, sf_dir):
+    """hashlib replay of the whole theta chain per pair — merged
+    sketch, theta, match count, union/intersection estimates — plus
+    the exact counts and the partial-sketch fallback (n_merged < k ->
+    estimates ARE the exact member counts of the merged hash sets)."""
+    import hashlib
+    from collections import defaultdict
+    from itertools import combinations
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _KMV_D,
+        _KMV_K,
+        kmv_set_ops,
+    )
+
+    users = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .collect()
+    ):
+        users[r.event_type].add(r.user_id)
+
+    def hv(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16)
+
+    sketch = {
+        et: sorted({hv(u) for u in us})[:_KMV_K] for et, us in users.items()
+    }
+    expect = {}
+    for a, b in combinations(sorted(users), 2):
+        sa, sb = set(sketch[a]), set(sketch[b])
+        merged = sorted(sa | sb)[:_KMV_K]
+        n_merged = len(merged)
+        theta = merged[-1] if n_merged == _KMV_K else -1
+        n_match = sum(1 for v in merged if v in sa and v in sb)
+        if n_merged < _KMV_K:
+            est_union, est_inter = n_merged, n_match
+        else:
+            est_union = (_KMV_K - 1) * _KMV_D // max(theta, 1)
+            est_inter = n_match * est_union // _KMV_K
+        exact_inter = len(users[a] & users[b])
+        exact_union = len(users[a] | users[b])
+        expect[(a, b)] = (
+            n_merged,
+            theta,
+            n_match,
+            est_union,
+            est_inter,
+            est_inter * 1_000_000 // max(est_union, 1),
+            exact_inter,
+            exact_union,
+        )
+    got = {
+        (r.type_a, r.type_b): (
+            r.n_merged,
+            r.theta,
+            r.n_match,
+            r.est_union,
+            r.est_inter,
+            r.est_jaccard_micro,
+            r.exact_inter,
+            r.exact_union,
+        )
+        for r in kmv_set_ops(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
+    # the estimator estimates: union within 50% of exact on every full
+    # sketch (loose determinism-safe bound, the kmv_distinct precedent)
+    for key, (n_m, _, _, est_u, _, _, _, ex_u) in expect.items():
+        if n_m == _KMV_K:
+            assert abs(est_u - ex_u) <= ex_u // 2, (key, est_u, ex_u)
