@@ -53,7 +53,11 @@ handoff named for r11 — the SQL:2011 valid-time temporal JOIN
 (period-overlap join with intersection intervals, broadcast
 calendar) and theta-sketch-style KMV set operations (pairwise
 union/intersection/Jaccard estimates from merged sketches, the
-whole estimator chain exact-oracle-checked).
+whole estimator chain exact-oracle-checked); a seventh batch adds
+two exact-integer statistical-test classes — the Mann-Whitney U
+rank-sum test (doubled midranks, tie-exact) and the Pearson
+chi-square independence census (expected-count model in micros over
+the bounded cell relation).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -4430,3 +4434,208 @@ def _kmv_setops_oracle() -> str:
 
 
 register("kmv_set_ops", kmv_set_ops, _kmv_setops_oracle())
+
+
+# --------------------------------------------------------------------------
+# mann_whitney_u — two-sample rank-sum test in doubled-midrank integer
+# arithmetic (the nonparametric sibling of ks_two_sample)
+# --------------------------------------------------------------------------
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between purchase and
+    non-purchase event values in PURE INTEGER arithmetic — the
+    rank-test class (``ks_two_sample`` compares CDF sup-distance,
+    ``welch_ttest_q`` means; the U test is the standard nonparametric
+    location test).  Tie handling is exact via DOUBLED midranks: for a
+    tied value group, 2*midrank = 2*(count below) + (count tied) + 1 —
+    always an integer, so no fractional rank ever materializes.
+    Outputs 2*U for both samples (the tie-exact doubled statistics,
+    2U_A + 2U_B = 2*nA*nB pinned in pytest) and the rank-biserial
+    effect size in micros.
+
+    Shape (the ``_score_groups`` idiom, same as ks_two_sample): values
+    quantize to cents so the grouped relation is bounded by the VALUE
+    RANGE at any input size; one cumulative window over that bounded
+    relation computes counts-below; ONE single-row aggregate forms the
+    rank sum.  All products (count x rank ~ N^2) run in
+    DECIMAL(38,0) / HUGEINT — past BIGINT at ~3e9 rows per sample —
+    and only the final columns cast down; the effect-size division
+    routes through NULLIF so a degenerate empty sample yields NULL
+    identically on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+    )
+    g = e.groupBy("cents").agg(
+        F.sum("a").cast("bigint").alias("na_i"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("nb_i"),
+    )
+    w_lt = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "na_i",
+        "nb_i",
+        F.coalesce(
+            F.sum(F.col("na_i") + F.col("nb_i")).over(w_lt), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("below"),
+    )
+    # 2*midrank of the tied group = 2*below + (na_i + nb_i) + 1;
+    # the count x rank product runs in DECIMAL(38,0).
+    r2a = F.sum(
+        F.col("na_i").cast("decimal(38,0)")
+        * (F.lit(2) * F.col("below") + F.col("na_i") + F.col("nb_i") + 1)
+    ).alias("r2a")
+    agg = c.agg(
+        F.sum("na_i").cast("bigint").alias("n_a"),
+        F.sum("nb_i").cast("bigint").alias("n_b"),
+        r2a,
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)"
+        ).alias("u2_a"),
+        F.expr(
+            "CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " - (r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT)"
+        ).alias("u2_b"),
+        # rank-biserial r = (2U_A - nA*nB) / (nA*nB), in micros
+        F.expr(
+            "CAST(((r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1))"
+            " - CAST(n_a AS DECIMAL(38,0)) * n_b) * 1000000"
+            " div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) AS BIGINT)"
+        ).alias("rank_biserial_micro"),
+    )
+
+
+register(
+    "mann_whitney_u",
+    mann_whitney_u,
+    """
+    WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+               FROM events),
+    g AS (SELECT cents, CAST(SUM(a) AS BIGINT) AS na_i,
+                 CAST(SUM(1 - a) AS BIGINT) AS nb_i
+          FROM e GROUP BY 1),
+    c AS (SELECT na_i, nb_i,
+                 CAST(coalesce(SUM(na_i + nb_i) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS below
+          FROM g),
+    agg AS (SELECT CAST(SUM(na_i) AS BIGINT) AS n_a,
+                   CAST(SUM(nb_i) AS BIGINT) AS n_b,
+                   SUM(CAST(na_i AS HUGEINT)
+                       * (2 * below + na_i + nb_i + 1)) AS r2a
+            FROM c)
+    SELECT n_a, n_b,
+           CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * CAST(n_a AS HUGEINT) * n_b
+                - (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) AS BIGINT) AS u2_b,
+           CAST(((r2a - CAST(n_a AS HUGEINT) * (n_a + 1))
+                 - CAST(n_a AS HUGEINT) * n_b) * 1000000
+                // NULLIF(CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT)
+             AS rank_biserial_micro
+    FROM agg
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# chi_square_independence — contingency-table independence audit in
+# integer micros (event_type x epoch-day-of-week)
+# --------------------------------------------------------------------------
+
+
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square INDEPENDENCE census of event_type x day-of-
+    week — the contingency-audit class (``stat_crosstab`` emits the
+    raw table; this adds the expected-count model and the per-cell
+    chi-square terms, all integer micros): per cell the observed
+    count, expected count in micros E = RT*CT*1e6 div N, and
+    term_micro = (O*1e6 - E_micro)^2 div E_micro — the summands of the
+    chi-square statistic (sum pinned against a Python replay; whether
+    the synthetic fixture IS independent is the artifact's finding).
+
+    Day-of-week is days-since-epoch %% 7 (0 = Thursday) — a pure
+    integer derivation with NO engine weekday function, so both
+    engines agree by construction.  Shape: one grouped count (map-side
+    partials) to the <= #types x 7 cell relation; row/column totals
+    are windows OVER THAT relation, never the data.  Headroom: dev^2
+    reaches (N*1e6)^2 — inside DECIMAL(38,0)/HUGEINT to N ~ 1e13 rows,
+    and ANSI mode makes any breach loud; output columns BIGINT.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "pmod(datediff(cast(ts as date), date'1970-01-01'), 7)"
+        )
+        .cast("bigint")
+        .alias("dow"),
+    )
+    cells = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.sum("n_obs").over(w_row).alias("rt"),
+        F.sum("n_obs").over(w_col).alias("ct"),
+        F.sum("n_obs").over(w_all).alias("n"),
+    )
+    return t.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.expr(
+            "CAST(CAST(rt AS DECIMAL(38,0)) * ct * 1000000"
+            " div n AS BIGINT)"
+        ).alias("exp_micro"),
+        F.expr(
+            "CAST((CAST(n_obs AS DECIMAL(38,0)) * 1000000"
+            " - CAST(rt AS DECIMAL(38,0)) * ct * 1000000 div n)"
+            " * (CAST(n_obs AS DECIMAL(38,0)) * 1000000"
+            " - CAST(rt AS DECIMAL(38,0)) * ct * 1000000 div n)"
+            " div nullif(CAST(rt AS DECIMAL(38,0)) * ct * 1000000"
+            " div n, 0) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+
+
+register(
+    "chi_square_independence",
+    chi_square_independence,
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) % 7 AS BIGINT) AS dow
+               FROM events),
+    cells AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, dow, n_obs,
+                 SUM(n_obs) OVER (PARTITION BY event_type) AS rt,
+                 SUM(n_obs) OVER (PARTITION BY dow) AS ct,
+                 SUM(n_obs) OVER () AS n
+          FROM cells)
+    SELECT event_type, dow, n_obs,
+           CAST(CAST(rt AS HUGEINT) * ct * 1000000 // n AS BIGINT)
+             AS exp_micro,
+           CAST((CAST(n_obs AS HUGEINT) * 1000000
+                 - CAST(rt AS HUGEINT) * ct * 1000000 // n)
+                * (CAST(n_obs AS HUGEINT) * 1000000
+                   - CAST(rt AS HUGEINT) * ct * 1000000 // n)
+                // NULLIF(CAST(rt AS HUGEINT) * ct * 1000000 // n, 0)
+                AS BIGINT) AS term_micro
+    FROM t
+    """,
+)

@@ -2029,3 +2029,79 @@ def test_kmv_set_ops_matches_replay(spark, sf_dir):
     for key, (n_m, _, _, est_u, _, _, _, ex_u) in expect.items():
         if n_m == _KMV_K:
             assert abs(est_u - ex_u) <= ex_u // 2, (key, est_u, ex_u)
+
+
+# batch 7: mann_whitney_u + chi_square_independence
+
+
+def test_mann_whitney_matches_rank_replay(spark, sf_dir):
+    """Doubled-midrank Python replay: sort the pooled cents sample,
+    assign each tied group 2*midrank = 2*below + tied + 1, form
+    2*R_A and the U identities; operator must match bit-exactly and
+    2U_A + 2U_B must equal 2*nA*nB (the U identity)."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        mann_whitney_u,
+    )
+
+    ca, cb = Counter(), Counter()
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        cents = int(math.floor(r.value * 100 + 0.5))
+        (ca if r.event_type == "purchase" else cb)[cents] += 1
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    below, r2a = 0, 0
+    for v in sorted(set(ca) | set(cb)):
+        tied = ca[v] + cb[v]
+        r2a += ca[v] * (2 * below + tied + 1)
+        below += tied
+    u2_a = r2a - n_a * (n_a + 1)
+    u2_b = 2 * n_a * n_b - u2_a
+    rb = (u2_a - n_a * n_b) * 1_000_000
+    rb = rb // (n_a * n_b) if rb >= 0 else -((-rb) // (n_a * n_b))
+    rows = mann_whitney_u(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_a, r.n_b, r.u2_a, r.u2_b) == (n_a, n_b, u2_a, u2_b)
+    assert r.u2_a + r.u2_b == 2 * n_a * n_b
+    assert r.rank_biserial_micro == rb
+
+
+def test_chi_square_matches_census_replay(spark, sf_dir):
+    """Counter replay of the contingency census with the identical
+    integer-micro formulas; every cell must match and the term sum
+    must equal the replay's chi-square-in-micros."""
+    from collections import Counter
+    import datetime
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        chi_square_independence,
+    )
+
+    epoch = datetime.date(1970, 1, 1)
+    cells = Counter()
+    for r in load_table(spark, sf_dir, "events").select("event_type", "ts").collect():
+        dow = (r.ts.date() - epoch).days % 7
+        cells[(r.event_type, dow)] += 1
+    n = sum(cells.values())
+    rt = Counter()
+    ct = Counter()
+    for (et, dow), c in cells.items():
+        rt[et] += c
+        ct[dow] += c
+    expect = {}
+    for (et, dow), o in cells.items():
+        e_micro = rt[et] * ct[dow] * 1_000_000 // n
+        dev = o * 1_000_000 - e_micro
+        expect[(et, dow)] = (o, e_micro, dev * dev // e_micro)
+    got = {
+        (r.event_type, r.dow): (r.n_obs, r.exp_micro, r.term_micro)
+        for r in chi_square_independence(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
+    chi2 = sum(v[2] for v in expect.values())
+    assert chi2 == sum(v[2] for v in got.values()) and chi2 >= 0
