@@ -57,7 +57,11 @@ whole estimator chain exact-oracle-checked); a seventh batch adds
 two exact-integer statistical-test classes — the Mann-Whitney U
 rank-sum test (doubled midranks, tie-exact) and the Pearson
 chi-square independence census (expected-count model in micros over
-the bounded cell relation).
+the bounded cell relation); an eighth batch adds the Lorenz/Gini
+revenue-concentration audit (rank-weighted closed form on the
+dollar-quantized cell relation) and the lag-1..7 autocorrelation of
+the daily revenue series (integer-centered ACF, one ordered window
+of LEADs posexploded).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -4639,3 +4643,226 @@ register(
     FROM t
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# gini_concentration — Lorenz/Gini revenue-concentration audit over the
+# dollar-quantized grouped relation (exact integer micros)
+# --------------------------------------------------------------------------
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration-audit class (``join_key_skew_profile`` profiles a
+    single heaviest key; Gini summarizes the WHOLE concentration
+    curve; Lorenz 1905 / Gini 1912, public): with per-customer revenue
+    quantized to whole dollars (the ``equi_depth_histogram`` /
+    ``isotonic_calibration`` bounded-cell rule), customers sorted
+    ascending by value occupy rank ranges per dollar cell, so
+    2*sum(i * x_i) = sum over cells of v * (2*c*below + c*(c+1)) —
+    exact BECAUSE ties share one value — and
+    G_micro = (2*sum(i*x_i) - (n+1)*S) * 1e6 div (n*S).
+
+    Shape: one orders scan reduced map-side to the per-customer
+    relation (dimension-sized), re-grouped to the DOLLAR-bounded cell
+    relation; the only ordered window runs over those cells, never
+    over customers — no global sort of a data- or dimension-sized
+    relation anywhere.  Rank-weighted products run in
+    DECIMAL(38,0) / HUGEINT (sum i*x_i reaches n*S ~ 1e9 * 1e15 cents
+    at 100 TB — far past BIGINT); the contract is the Gini OF THE
+    QUANTIZED distribution, stated on both engines identically.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(F.expr("(cents div 100) * 100").cast("bigint").alias("v"))
+    )
+    cells = per_cust.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_lt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = cells.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).cast("bigint").alias(
+            "below"
+        ),
+    )
+    agg = t.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)")
+            * (
+                F.lit(2) * F.col("c") * F.col("below")
+                + F.col("c") * (F.col("c") + 1)
+            )
+        ).alias("num2"),
+    )
+    return agg.select(
+        "n",
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((num2 - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000"
+            " div nullif(CAST(n AS DECIMAL(38,0)) * s, 0) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+register(
+    "gini_concentration",
+    gini_concentration,
+    """
+    WITH per_cust AS (
+      SELECT (CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) // 100) * 100 AS v
+      FROM orders GROUP BY o_custkey),
+    cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM per_cust
+              GROUP BY 1),
+    t AS (SELECT v, c,
+                 CAST(coalesce(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS below
+          FROM cells),
+    agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   SUM(CAST(v AS HUGEINT) * c) AS s,
+                   SUM(CAST(v AS HUGEINT)
+                       * (2 * c * below + c * (c + 1))) AS num2
+            FROM t)
+    SELECT n, CAST(s AS BIGINT) AS total_cents,
+           CAST((num2 - (CAST(n AS HUGEINT) + 1) * s) * 1000000
+                // NULLIF(CAST(n AS HUGEINT) * s, 0) AS BIGINT) AS gini_micro
+    FROM agg
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# acf_autocorrelation — lag-1..7 autocorrelation of the daily revenue
+# series in exact integer micros
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def acf_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily events-revenue series at
+    lags 1..{maxlag} — the serial-dependence class
+    (``holt_linear_smoothing`` smooths the series,
+    ``forecast_seasonal_naive`` assumes a period; the ACF is the
+    diagnostic that MEASURES the period): with y_t the per-day cents
+    sum over the RANK-ordered day sequence, n days and S = sum(y),
+    r_k = sum_t (n*y_t - S)(n*y_(t+k) - S) / sum_t (n*y_t - S)^2 in
+    micros — centering by n*y - S keeps every term integer (no float
+    mean), and the shared denominator is the lag-0 sum of squares.
+
+    Shape: one events scan reduced map-side to the day relation
+    (metadata-sized at any input — the ``holt_linear_smoothing``
+    rule); the seven lags come from ONE ordered window (array of
+    LEADs, posexploded), so the series is traversed once; products
+    (n*y ~ days x daily cents) run in DECIMAL(38,0) / HUGEINT and only
+    the final micro ratios cast down; NULLIF guards the
+    constant-series denominator identically on both engines.
+    """
+    day = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("d")
+    leads = F.array(
+        *[F.lead("y", k).over(w_ord) for k in range(1, _ACF_MAX_LAG + 1)]
+    )
+    t = day.select(
+        "y",
+        F.sum("y").over(w_all).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(w_all).cast("decimal(38,0)").alias("n"),
+        leads.alias("leads"),
+    ).select(
+        "y",
+        "s",
+        "n",
+        F.posexplode("leads").alias("k0", "y2"),
+    ).select(
+        (F.col("k0") + 1).cast("bigint").alias("lag"),
+        "y",
+        "y2",
+        "s",
+        "n",
+    )
+    den = day.select(
+        F.sum("y").over(w_all).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(w_all).cast("decimal(38,0)").alias("n"),
+        F.col("y"),
+    ).agg(
+        F.sum(
+            (F.col("n") * F.col("y") - F.col("s"))
+            * (F.col("n") * F.col("y") - F.col("s"))
+        ).alias("den")
+    )
+    num = (
+        t.filter(F.col("y2").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("y") - F.col("s"))
+                * (F.col("n") * F.col("y2") - F.col("s"))
+            ).alias("num"),
+        )
+    )
+    return num.join(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.expr(
+            "CAST(num * 1000000 div nullif(den, 0) AS BIGINT)"
+        ).alias("acf_micro"),
+    )
+
+
+acf_autocorrelation.__doc__ = acf_autocorrelation.__doc__.format(
+    maxlag=_ACF_MAX_LAG
+)
+
+
+def _acf_oracle() -> str:
+    lead_cols = ", ".join(
+        f"LEAD(y, {k}) OVER (ORDER BY d) AS y_{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    lag_union = " UNION ALL ".join(
+        f"SELECT {k} AS lag, y, y_{k} AS y2, s, n FROM t"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1),
+    t AS (SELECT y, {lead_cols},
+                 CAST(SUM(y) OVER () AS HUGEINT) AS s,
+                 CAST(COUNT(*) OVER () AS HUGEINT) AS n
+          FROM day),
+    den AS (SELECT SUM((n * y - s) * (n * y - s)) AS den FROM t),
+    lagged AS ({lag_union})
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((n * y - s) * (n * y2 - s)) * 1000000
+                // NULLIF((SELECT den FROM den), 0) AS BIGINT) AS acf_micro
+    FROM lagged WHERE y2 IS NOT NULL
+    GROUP BY lag
+    """
+
+
+register("acf_autocorrelation", acf_autocorrelation, _acf_oracle())

@@ -2105,3 +2105,70 @@ def test_chi_square_matches_census_replay(spark, sf_dir):
     assert got == expect and len(got) >= 1
     chi2 = sum(v[2] for v in expect.values())
     assert chi2 == sum(v[2] for v in got.values()) and chi2 >= 0
+
+
+# batch 8: gini_concentration + acf_autocorrelation
+
+
+def test_gini_matches_sorted_replay(spark, sf_dir):
+    """Python replay: per-customer revenue, dollar-quantize, sort
+    ascending, exact rank-weighted Gini; also the closed-form identity
+    on the cell decomposition (2*sum i*x_i computed both ways) and the
+    [0, 1e6) range."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        gini_concentration,
+    )
+
+    rev = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        rev[r.o_custkey] += int(math.floor(r.o_totalprice * 100 + 0.5))
+    xs = sorted((c // 100) * 100 for c in rev.values())
+    n, s = len(xs), sum(xs)
+    num2 = 2 * sum(i * x for i, x in enumerate(xs, start=1))
+    gini = (num2 - (n + 1) * s) * 1_000_000 // (n * s)
+    rows = gini_concentration(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.total_cents, r.gini_micro) == (n, s, gini)
+    assert 0 <= r.gini_micro < 1_000_000
+
+
+def test_acf_matches_series_replay(spark, sf_dir):
+    """Python replay of the rank-ordered daily series: exact
+    integer-centered ACF at every lag 1..7, plus the pair-count
+    arithmetic (n_pairs = n - lag)."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _ACF_MAX_LAG,
+        acf_autocorrelation,
+    )
+
+    daily = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select("ts", "value").collect():
+        daily[r.ts.date()] += int(math.floor(r.value * 100 + 0.5))
+    ys = [daily[d] for d in sorted(daily)]
+    n, s = len(ys), sum(ys)
+    cs = [n * y - s for y in ys]
+    den = sum(c * c for c in cs)
+    expect = {}
+    for k in range(1, _ACF_MAX_LAG + 1):
+        if k >= n:
+            continue
+        num = sum(cs[i] * cs[i + k] for i in range(n - k))
+        q = num * 1_000_000
+        acf = q // den if q >= 0 else -((-q) // den)
+        expect[k] = (n - k, acf)
+    got = {
+        r.lag: (r.n_pairs, r.acf_micro)
+        for r in acf_autocorrelation(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
+    for _, acf in got.values():
+        assert -1_000_000 <= acf <= 1_000_000
