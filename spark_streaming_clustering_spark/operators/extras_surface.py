@@ -61,7 +61,11 @@ the bounded cell relation); an eighth batch adds the Lorenz/Gini
 revenue-concentration audit (rank-weighted closed form on the
 dollar-quantized cell relation) and the lag-1..7 autocorrelation of
 the daily revenue series (integer-centered ACF, one ordered window
-of LEADs posexploded).
+of LEADs posexploded); a ninth batch adds market-basket association
+rules (support/confidence/lift micros over order x brand baskets,
+pair expansion bounded by the fixed brand domain) and
+reciprocal-rank fusion of two per-language document rankings (the
+rank-aggregation class, all windows partitioned by lang).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -4866,3 +4870,219 @@ def _acf_oracle() -> str:
 
 
 register("acf_autocorrelation", acf_autocorrelation, _acf_oracle())
+
+
+# --------------------------------------------------------------------------
+# assoc_rules_lift — market-basket association rules (support /
+# confidence / lift in integer micros) over order x brand baskets
+# --------------------------------------------------------------------------
+
+_AR_MIN_PAIR = 5  # minimum co-occurrence count for an emitted rule
+
+
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules antecedent -> consequent over order baskets of
+    part BRANDS — the market-basket class (Agrawal et al. SIGMOD'93,
+    public; ``cooccurrence_pmi`` scores token pairs by PMI — this is
+    the RULE form with the three canonical metrics): for every ordered
+    brand pair co-occurring in >= {minpair} baskets, support =
+    cnt_ab*1e6 div n_baskets, confidence = cnt_ab*1e6 div cnt_a, and
+    lift = cnt_ab*n*1e6 div (cnt_a*cnt_b) — all integer micros.
+
+    Shape: lineitem joins the BROADCAST part dim to brand, reduces to
+    the DISTINCT (orderkey, brand) presence relation (map-side
+    partials); the pair expansion is a self-equi-join ON ORDERKEY —
+    per-basket output is bounded by C(#brands, 2), never |basket|^2
+    in items, because brands are a fixed 25-value domain at every
+    TPC-H scale; brand marginals and the basket total are
+    #brand-sized relations broadcast back.  Lift products
+    (cnt_ab * n ~ N^2) run in DECIMAL(38,0) / HUGEINT; both rule
+    directions emit from one unordered pair count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pres = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_b = pres.agg(
+        F.countDistinct("ok").cast("decimal(38,0)").alias("n_baskets")
+    )
+    marg = pres.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    pair = (
+        pres.alias("x")
+        .join(
+            pres.alias("y"),
+            (F.col("x.ok") == F.col("y.ok"))
+            & (F.col("x.b") < F.col("y.b")),
+        )
+        .groupBy(F.col("x.b").alias("ba"), F.col("y.b").alias("bb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= _AR_MIN_PAIR)
+    )
+    both = pair.select("ba", "bb", "cnt_ab").unionByName(
+        pair.select(
+            F.col("bb").alias("ba"), F.col("ba").alias("bb"), "cnt_ab"
+        )
+    )
+    j = (
+        both.join(
+            F.broadcast(marg.withColumnRenamed("b", "ba")), "ba"
+        )
+        .withColumnRenamed("cnt", "cnt_a")
+        .join(F.broadcast(marg.withColumnRenamed("b", "bb")), "bb")
+        .withColumnRenamed("cnt", "cnt_b")
+        .join(F.broadcast(n_b))
+    )
+    return j.select(
+        F.col("ba").alias("antecedent"),
+        F.col("bb").alias("consequent"),
+        "cnt_ab",
+        "cnt_a",
+        "cnt_b",
+        F.expr(
+            "CAST(CAST(cnt_ab AS DECIMAL(38,0)) * 1000000"
+            " div n_baskets AS BIGINT)"
+        ).alias("support_micro"),
+        F.expr(
+            "CAST(CAST(cnt_ab AS DECIMAL(38,0)) * 1000000"
+            " div cnt_a AS BIGINT)"
+        ).alias("confidence_micro"),
+        F.expr(
+            "CAST(CAST(cnt_ab AS DECIMAL(38,0)) * n_baskets * 1000000"
+            " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"
+        ).alias("lift_micro"),
+    )
+
+
+assoc_rules_lift.__doc__ = assoc_rules_lift.__doc__.format(
+    minpair=_AR_MIN_PAIR
+)
+
+register(
+    "assoc_rules_lift",
+    assoc_rules_lift,
+    f"""
+    WITH pres AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n_b AS (SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS n_baskets
+            FROM pres),
+    marg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM pres GROUP BY 1),
+    pair AS (SELECT x.b AS ba, y.b AS bb,
+                    CAST(COUNT(*) AS BIGINT) AS cnt_ab
+             FROM pres x JOIN pres y ON x.ok = y.ok AND x.b < y.b
+             GROUP BY 1, 2
+             HAVING COUNT(*) >= {_AR_MIN_PAIR}),
+    dirs AS (SELECT ba, bb, cnt_ab FROM pair
+             UNION ALL
+             SELECT bb, ba, cnt_ab FROM pair)
+    SELECT t.ba AS antecedent, t.bb AS consequent, t.cnt_ab,
+           ma.cnt AS cnt_a, mb.cnt AS cnt_b,
+           CAST(CAST(t.cnt_ab AS HUGEINT) * 1000000
+                // (SELECT n_baskets FROM n_b) AS BIGINT) AS support_micro,
+           CAST(CAST(t.cnt_ab AS HUGEINT) * 1000000 // ma.cnt AS BIGINT)
+             AS confidence_micro,
+           CAST(CAST(t.cnt_ab AS HUGEINT) * (SELECT n_baskets FROM n_b)
+                * 1000000 // (CAST(ma.cnt AS HUGEINT) * mb.cnt) AS BIGINT)
+             AS lift_micro
+    FROM dirs t
+    JOIN marg ma ON ma.b = t.ba
+    JOIN marg mb ON mb.b = t.bb
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# reciprocal_rank_fusion — fuse two per-language document rankings via
+# RRF (integer micros, deterministic tie-breaks)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical RRF constant (Cormack et al. SIGIR'09)
+_RRF_TOP = 5  # fused results kept per language
+
+
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings per language —
+    the rank-aggregation class used to merge retrieval backends
+    (Cormack et al. SIGIR'09, public; ``tf_idf_topk``/``bm25_topk``
+    each produce ONE ranking — RRF is how an engine combines them):
+    ranking 1 orders by n_chars DESC, ranking 2 by whitespace token
+    count DESC (the ``token_count`` measure), both tie-broken by
+    doc_id ASC; rrf_micro = 1e6 div ({k}+r1) + 1e6 div ({k}+r2); the
+    fused top {top} per language emit with their fused rank
+    (tie-break doc_id ASC — every ordering total, so the result is a
+    deterministic SET).
+
+    Shape: one documents scan; token count is a map-side expression
+    (size of a regex split — no UDF); all three windows are
+    PARTITIONED BY lang, so no global sort of the corpus exists at
+    any scale (per-partition top-k via rank filter); integer
+    arithmetic end to end.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("toks"),
+    )
+    w1 = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("lang").orderBy(
+        F.col("toks").desc(), F.col("doc_id").asc()
+    )
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w1).cast("bigint").alias("r1"),
+        F.row_number().over(w2).cast("bigint").alias("r2"),
+    ).withColumn(
+        "rrf_micro",
+        F.expr(
+            f"CAST(1000000 div ({_RRF_K} + r1)"
+            f" + 1000000 div ({_RRF_K} + r2) AS BIGINT)"
+        ),
+    )
+    wf = Window.partitionBy("lang").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        r.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select("lang", "fused_rank", "doc_id", "r1", "r2", "rrf_micro")
+    )
+
+
+reciprocal_rank_fusion.__doc__ = reciprocal_rank_fusion.__doc__.format(
+    k=_RRF_K, top=_RRF_TOP
+)
+
+register(
+    "reciprocal_rank_fusion",
+    reciprocal_rank_fusion,
+    f"""
+    WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                      CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS BIGINT) AS toks
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS r1,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY toks DESC, doc_id ASC) AS BIGINT) AS r2
+          FROM d),
+    s AS (SELECT *, CAST(1000000 // ({_RRF_K} + r1)
+                         + 1000000 // ({_RRF_K} + r2) AS BIGINT) AS rrf_micro
+          FROM r)
+    SELECT lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT)
+             AS fused_rank,
+           doc_id, r1, r2, rrf_micro
+    FROM s
+    QUALIFY fused_rank <= {_RRF_TOP}
+    """,
+)

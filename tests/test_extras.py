@@ -2172,3 +2172,122 @@ def test_acf_matches_series_replay(spark, sf_dir):
     assert got == expect and len(got) >= 1
     for _, acf in got.values():
         assert -1_000_000 <= acf <= 1_000_000
+
+
+# batch 9: assoc_rules_lift + reciprocal_rank_fusion
+
+
+def test_assoc_rules_match_basket_replay(spark, sf_dir):
+    """Python basket replay: distinct (order, brand) presence sets,
+    unordered pair counts, both rule directions with the identical
+    integer-micro metrics; also the metric identities (symmetric lift,
+    confidence_a->b * cnt_a == confidence_b->a * cnt_b scaled)."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _AR_MIN_PAIR,
+        assoc_rules_lift,
+    )
+
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    baskets = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets[r.l_orderkey].add(brand[r.l_partkey])
+    n = len(baskets)
+    marg = Counter()
+    pairs = Counter()
+    for bs in baskets.values():
+        for b in bs:
+            marg[b] += 1
+        for a, b in combinations(sorted(bs), 2):
+            pairs[(a, b)] += 1
+    expect = {}
+    for (a, b), cab in pairs.items():
+        if cab < _AR_MIN_PAIR:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            expect[(ant, con)] = (
+                cab,
+                marg[ant],
+                marg[con],
+                cab * 1_000_000 // n,
+                cab * 1_000_000 // marg[ant],
+                cab * n * 1_000_000 // (marg[ant] * marg[con]),
+            )
+    got = {
+        (r.antecedent, r.consequent): (
+            r.cnt_ab,
+            r.cnt_a,
+            r.cnt_b,
+            r.support_micro,
+            r.confidence_micro,
+            r.lift_micro,
+        )
+        for r in assoc_rules_lift(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 2
+    for (a, b), v in got.items():
+        assert got[(b, a)][5] == v[5]  # lift is symmetric
+
+
+def test_rrf_matches_rank_replay(spark, sf_dir):
+    """Python replay of both per-language rankings (total orders via
+    the doc_id tie-break), the RRF integer score, and the fused
+    top-5 — set-equal to the operator."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _RRF_K,
+        _RRF_TOP,
+        reciprocal_rank_fusion,
+    )
+
+    import re as _re
+
+    docs = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+        .collect()
+    ):
+        toks = len(_re.split(r"\s+", r.text.strip()))
+        docs[r.lang].append((r.doc_id, int(r.n_chars), toks))
+    expect = set()
+    for lang, rows in docs.items():
+        r1 = {
+            d: i
+            for i, (d, _, _) in enumerate(
+                sorted(rows, key=lambda t: (-t[1], t[0])), start=1
+            )
+        }
+        r2 = {
+            d: i
+            for i, (d, _, _) in enumerate(
+                sorted(rows, key=lambda t: (-t[2], t[0])), start=1
+            )
+        }
+        scored = sorted(
+            (
+                (
+                    1_000_000 // (_RRF_K + r1[d])
+                    + 1_000_000 // (_RRF_K + r2[d]),
+                    d,
+                )
+                for d, _, _ in rows
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for fr, (sc, d) in enumerate(scored[:_RRF_TOP], start=1):
+            expect.add((lang, fr, d, r1[d], r2[d], sc))
+    got = {tuple(r) for r in reciprocal_rank_fusion(spark, sf_dir).collect()}
+    assert got == expect and len(got) >= _RRF_TOP
