@@ -65,7 +65,11 @@ of LEADs posexploded); a ninth batch adds market-basket association
 rules (support/confidence/lift micros over order x brand baskets,
 pair expansion bounded by the fixed brand domain) and
 reciprocal-rank fusion of two per-language document rankings (the
-rank-aggregation class, all windows partitioned by lang).
+rank-aggregation class, all windows partitioned by lang); a tenth
+batch adds the Mann-Kendall trend test (exact S + tie-corrected
+18*Var on the month-bounded relation — the significance complement
+of theil_sen_trend) and the LOCF time-weighted average (TWAP over
+exact microsecond intervals, LEAD partitioned by user).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -5084,5 +5088,202 @@ register(
            doc_id, r1, r2, rrf_micro
     FROM s
     QUALIFY fused_rank <= {_RRF_TOP}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# mann_kendall_trend — the Mann-Kendall trend TEST (exact S statistic +
+# tie-corrected variance), the significance complement of theil_sen
+# --------------------------------------------------------------------------
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the monthly order-revenue series —
+    the trend-SIGNIFICANCE class (``theil_sen_trend`` estimates the
+    slope; Mann-Kendall is the distribution-free test usually paired
+    with it; Mann 1945 / Kendall 1975, public): S = sum over ordered
+    month pairs of sgn(y_j - y_i), and the tie-corrected variance
+    kept as 18*Var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) — both exact
+    integers, so no sqrt/float enters the operator (a consumer takes
+    z = (S -/+ 1)/sqrt(Var) downstream).
+
+    Shape: identical to ``theil_sen_trend`` — one scan to the
+    MONTH-bounded (x, y) relation, the quadratic sign census on that
+    ~84-row statistics relation (broadcast nested loop), the tie
+    census a second grouped aggregate on the same relation; every
+    product is counts-of-months-cubed, BIGINT-safe to ~1e6 months
+    (~80k years of data) and ANSI-loud past it.
+    """
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
+            .cast("bigint")
+            .alias("x"),
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    b = m.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    s = (
+        m.join(F.broadcast(b), F.col("bx") < F.col("x"))
+        .agg(
+            F.sum(
+                F.when(F.col("y") > F.col("by"), 1)
+                .when(F.col("y") < F.col("by"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        m.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("t").cast("bigint").alias("n_months"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    return s.join(F.broadcast(ties)).select(
+        "n_months",
+        "s_stat",
+        F.expr(
+            "CAST(n_months * (n_months - 1) * (2 * n_months + 5)"
+            " - tie_term AS BIGINT)"
+        ).alias("var18"),
+        F.expr(
+            "CASE WHEN s_stat > 0 THEN 'increasing'"
+            " WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END"
+        ).alias("direction"),
+    )
+
+
+register(
+    "mann_kendall_trend",
+    mann_kendall_trend,
+    """
+    WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                          AS BIGINT) AS x,
+                      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS y
+               FROM orders GROUP BY 1),
+    s AS (SELECT CAST(SUM(CASE WHEN a.y > b.y THEN 1
+                               WHEN a.y < b.y THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM m a JOIN m b ON b.x < a.x),
+    ties AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                    CAST(SUM(t) AS BIGINT) AS n_months,
+                    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                      AS tie_term
+             FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY y))
+    SELECT ties.n_months, s.s_stat,
+           CAST(ties.n_months * (ties.n_months - 1)
+                * (2 * ties.n_months + 5) - ties.tie_term AS BIGINT)
+             AS var18,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'none' END
+             AS direction
+    FROM s, ties
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# time_weighted_average — LOCF interval-weighted TWAP of event values
+# per event_type (financial time-weighting over irregular samples)
+# --------------------------------------------------------------------------
+
+
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event_type — the
+    irregular-sampling aggregation class (a plain AVG over-weights
+    burst periods; TWAP weights each observation by how long it REMAINS
+    CURRENT — the standard financial/metrics semantics):
+    each event's value (cents) holds last-observation-carried-forward
+    until the SAME USER's next event (``join_asof`` is this lookup's
+    join form); the interval duration in exact integer MICROSECONDS weights the
+    cents (second-granularity epochs round fractional seconds
+    differently across engines),
+    grouped by the event_type that OPENED the interval; each user's
+    final event closes no interval and is excluded (the honest LOCF
+    boundary).  twap_milli = sum(cents*dur) * 1000 div sum(dur) —
+    integer milli-cents.
+
+    Shape: one events scan; the LOCF successor is ONE LEAD window
+    PARTITIONED BY user_id (ties broken by event_id so the order is
+    total), then a 5-group aggregate; the cents x microseconds products
+    run in DECIMAL(38,0) / HUGEINT (value-cents x epoch-micros passes
+    BIGINT immediately); NULLIF guards the
+    zero-duration degenerate group identically on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # session tz is pinned UTC (session.py); EXACT integer
+        # microseconds (unix_micros / epoch_us) — second-granularity
+        # epochs round fractional seconds differently across engines
+        F.expr("cast(unix_micros(cast(ts as timestamp)) as bigint)").alias(
+            "sec"
+        ),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    iv = e.select(
+        "event_type",
+        "cents",
+        (F.lead("sec").over(w) - F.col("sec")).cast("bigint").alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur").cast("bigint").alias("total_dur_us"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur")).alias(
+                "wsum"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "total_dur_us",
+            F.expr(
+                "CAST(wsum * 1000 div nullif(total_dur_us, 0) AS BIGINT)"
+            ).alias("twap_milli_cents"),
+        )
+    )
+
+
+register(
+    "time_weighted_average",
+    time_weighted_average,
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    iv AS (SELECT event_type, cents,
+                  CAST(LEAD(sec) OVER (PARTITION BY user_id
+                                       ORDER BY sec, event_id) - sec
+                       AS BIGINT) AS dur
+           FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+           CAST(SUM(CAST(cents AS HUGEINT) * dur) * 1000
+                // NULLIF(CAST(SUM(dur) AS HUGEINT), 0) AS BIGINT)
+             AS twap_milli_cents
+    FROM iv WHERE dur IS NOT NULL
+    GROUP BY event_type
     """,
 )

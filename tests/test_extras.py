@@ -2291,3 +2291,92 @@ def test_rrf_matches_rank_replay(spark, sf_dir):
             expect.add((lang, fr, d, r1[d], r2[d], sc))
     got = {tuple(r) for r in reciprocal_rank_fusion(spark, sf_dir).collect()}
     assert got == expect and len(got) >= _RRF_TOP
+
+
+# batch 10: mann_kendall_trend + time_weighted_average
+
+
+def test_mann_kendall_matches_pair_replay(spark, sf_dir):
+    """Python pair replay of S over the monthly series, the
+    tie-corrected 18*Var closed form, and the direction census."""
+    from collections import Counter, defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        mann_kendall_trend,
+    )
+
+    monthly = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        x = r.o_orderdate.year * 12 + r.o_orderdate.month
+        monthly[x] += int(math.floor(r.o_totalprice * 100 + 0.5))
+    ys = [monthly[x] for x in sorted(monthly)]
+    n = len(ys)
+    s_stat = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(ys)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    rows = mann_kendall_trend(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    direction = (
+        "increasing" if s_stat > 0 else "decreasing" if s_stat < 0 else "none"
+    )
+    assert (r.n_months, r.s_stat, r.var18, r.direction) == (
+        n,
+        s_stat,
+        var18,
+        direction,
+    )
+    assert r.var18 >= 0
+
+
+def test_twap_matches_locf_replay(spark, sf_dir):
+    """Python LOCF replay: per-user event sequence ordered by
+    (micros, event_id), interval = gap to the next event, grouped by
+    the opening event's type; exact micro-duration weighting."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        time_weighted_average,
+    )
+
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .collect()
+    ):
+        us = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        per_user[r.user_id].append(
+            (us, r.event_id, r.event_type, int(math.floor(r.value * 100 + 0.5)))
+        )
+    agg = defaultdict(lambda: [0, 0, 0])  # n, dur, wsum
+    for rows in per_user.values():
+        rows.sort()
+        for (us, _, et, cents), (us2, _, _, _) in zip(rows, rows[1:]):
+            a = agg[et]
+            a[0] += 1
+            a[1] += us2 - us
+            a[2] += cents * (us2 - us)
+    expect = {
+        et: (n, dur, wsum * 1000 // dur)
+        for et, (n, dur, wsum) in agg.items()
+        if dur
+    }
+    got = {
+        r.event_type: (r.n_intervals, r.total_dur_us, r.twap_milli_cents)
+        for r in time_weighted_average(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
