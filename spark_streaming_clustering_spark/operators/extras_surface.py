@@ -69,7 +69,11 @@ rank-aggregation class, all windows partitioned by lang); a tenth
 batch adds the Mann-Kendall trend test (exact S + tie-corrected
 18*Var on the month-bounded relation — the significance complement
 of theil_sen_trend) and the LOCF time-weighted average (TWAP over
-exact microsecond intervals, LEAD partitioned by user).
+exact microsecond intervals, LEAD partitioned by user); an eleventh
+batch adds the p5/p95 winsorized + trimmed robust means (ceil-rank
+cuts on the dollar-bounded cell relation) and the Wald-Wolfowitz
+runs test of the daily revenue series (exact integer R and moment
+pair, lower-median signing).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -5285,5 +5289,274 @@ register(
              AS twap_milli_cents
     FROM iv WHERE dur IS NOT NULL
     GROUP BY event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# winsorized_robust_mean — p5/p95 winsorized + trimmed means of order
+# prices over the dollar-bounded cell relation
+# --------------------------------------------------------------------------
+
+_WINS_LO = 5  # lower winsorization percentile
+_WINS_HI = 95  # upper winsorization percentile
+
+
+def winsorized_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of order prices at p{lo}/p{hi} —
+    the robust-location class for outlier-resistant data cleaning
+    (``percentile_q`` reads quantiles; winsorizing CLAMPS the tails
+    into them, trimming DROPS them — the two standard robust-mean
+    constructions, Tukey, public): cut values are the smallest dollar
+    cells whose cumulative count reaches ceil(n*p/100) = (n*p + 99) div 100
+    (exact rank semantics under trunc division, no interpolation); means in integer micros of cents.
+
+    Shape: one orders scan reduced map-side to the DOLLAR-bounded cell
+    relation (the ``equi_depth_histogram`` rule); the cumulative
+    window, both threshold selections, and the clamp-and-sum all run
+    on that bounded relation; the two cut values broadcast back as a
+    1-row relation.  Value x count products run in
+    DECIMAL(38,0) / HUGEINT; NULLIF guards the all-trimmed degenerate
+    case identically on both engines.
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                " div 100) * 100"
+            ).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "v",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    cuts = t.groupBy("n").agg(
+        F.min(
+            F.when(
+                F.expr(f"cum >= (n * {_WINS_LO} + 99) div 100"), F.col("v")
+            )
+        )
+        .cast("bigint")
+        .alias("lo_v"),
+        F.min(
+            F.when(
+                F.expr(f"cum >= (n * {_WINS_HI} + 99) div 100"), F.col("v")
+            )
+        )
+        .cast("bigint")
+        .alias("hi_v"),
+    )
+    j = cells.join(F.broadcast(cuts))
+    clamped = F.expr(
+        "CAST(CASE WHEN v < lo_v THEN lo_v"
+        " WHEN v > hi_v THEN hi_v ELSE v END AS DECIMAL(38,0)) * c"
+    )
+    inside = F.expr("v >= lo_v AND v <= hi_v")
+    return j.groupBy("n", "lo_v", "hi_v").agg(
+        F.expr(
+            "CAST(SUM(CAST(v AS DECIMAL(38,0)) * c) * 1000000"
+            " div nullif(SUM(c), 0) AS BIGINT)"
+        ).alias("raw_mean_micro"),
+        F.sum(clamped)
+        .cast("decimal(38,0)")
+        .alias("_wsum"),
+        F.sum(F.when(inside, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(
+            F.when(inside, F.col("v").cast("decimal(38,0)") * F.col("c"))
+        ).alias("_tsum"),
+    ).select(
+        "n",
+        "lo_v",
+        "hi_v",
+        "raw_mean_micro",
+        F.expr("CAST(_wsum * 1000000 div n AS BIGINT)").alias(
+            "winsorized_mean_micro"
+        ),
+        "n_kept",
+        F.expr(
+            "CAST(_tsum * 1000000 div nullif(n_kept, 0) AS BIGINT)"
+        ).alias("trimmed_mean_micro"),
+    )
+
+
+winsorized_robust_mean.__doc__ = winsorized_robust_mean.__doc__.format(
+    lo=_WINS_LO, hi=_WINS_HI
+)
+
+register(
+    "winsorized_robust_mean",
+    winsorized_robust_mean,
+    f"""
+    WITH cells AS (
+      SELECT (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100) * 100
+               AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    t AS (SELECT v, c,
+                 CAST(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER () AS BIGINT) AS n
+          FROM cells),
+    cuts AS (SELECT n,
+                    CAST(MIN(CASE WHEN cum >= (n * {_WINS_LO} + 99) // 100
+                                  THEN v END) AS BIGINT) AS lo_v,
+                    CAST(MIN(CASE WHEN cum >= (n * {_WINS_HI} + 99) // 100
+                                  THEN v END) AS BIGINT) AS hi_v
+             FROM t GROUP BY n)
+    SELECT cuts.n, cuts.lo_v, cuts.hi_v,
+           CAST(SUM(CAST(v AS HUGEINT) * c) * 1000000
+                // NULLIF(SUM(c), 0) AS BIGINT) AS raw_mean_micro,
+           CAST(SUM(CAST(CASE WHEN v < lo_v THEN lo_v
+                              WHEN v > hi_v THEN hi_v
+                              ELSE v END AS HUGEINT) * c) * 1000000
+                // cuts.n AS BIGINT) AS winsorized_mean_micro,
+           CAST(SUM(CASE WHEN v >= lo_v AND v <= hi_v THEN c ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN v >= lo_v AND v <= hi_v
+                         THEN CAST(v AS HUGEINT) * c END) * 1000000
+                // NULLIF(SUM(CASE WHEN v >= lo_v AND v <= hi_v
+                                   THEN c ELSE 0 END), 0) AS BIGINT)
+             AS trimmed_mean_micro
+    FROM cells CROSS JOIN cuts
+    GROUP BY cuts.n, cuts.lo_v, cuts.hi_v
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# runs_test_randomness — Wald-Wolfowitz runs test of the daily revenue
+# series against its median (exact integer statistics)
+# --------------------------------------------------------------------------
+
+
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily events-revenue series —
+    the randomness-diagnostic class (``acf_autocorrelation`` measures
+    linear serial correlation; the runs test detects ANY
+    above/below-median clustering, distribution-free; Wald &
+    Wolfowitz 1940, public): days at the series' lower median are
+    dropped (standard practice), the rest sign as above/below, R =
+    1 + number of sign CHANGES along the day order, and the exact
+    moments ride along as integers/micros — E[R] = 1 + 2*n1*n2/n in
+    micros and Var[R]'s exact numerator/denominator pair
+    (2*n1*n2*(2*n1*n2 - n), n^2*(n-1)) so no float or sqrt enters.
+
+    Shape: one events scan to the metadata-sized day relation; the
+    median is a rank selection over that relation (lower median, the
+    ``theil_sen_trend`` rule); signs, LAG, and the final single-row
+    aggregate all stay on the day relation.  Products run in
+    DECIMAL(38,0) / HUGEINT; NULLIF guards the constant series.
+    """
+    day = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w_all = Window.partitionBy()
+    ranked = day.select(
+        "d",
+        "y",
+        F.row_number().over(Window.orderBy("y", "d")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    med = ranked.filter(F.expr("rn = (n_days + 1) div 2")).select(
+        F.col("y").alias("med")
+    )
+    s = (
+        day.join(F.broadcast(med))
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "d", (F.col("y") > F.col("med")).cast("int").alias("sgn")
+        )
+    )
+    w_ord = Window.orderBy("d")
+    runs = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w_ord).isNull()
+            | (F.lag("sgn").over(w_ord) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum("sgn").cast("bigint").alias("n_above"),
+        F.sum(F.lit(1) - F.col("sgn")).cast("bigint").alias("n_below"),
+    )
+    return agg.select(
+        "n_runs",
+        "n_above",
+        "n_below",
+        F.expr(
+            "CAST(1000000 + 2 * CAST(n_above AS DECIMAL(38,0)) * n_below"
+            " * 1000000 div nullif(n_above + n_below, 0) AS BIGINT)"
+        ).alias("exp_runs_micro"),
+        F.expr(
+            "CAST(2 * CAST(n_above AS DECIMAL(38,0)) * n_below"
+            " * (2 * CAST(n_above AS DECIMAL(38,0)) * n_below"
+            " - n_above - n_below) * 1000000"
+            " div nullif(CAST(n_above + n_below AS DECIMAL(38,0))"
+            " * (n_above + n_below) * (n_above + n_below - 1), 0)"
+            " AS BIGINT)"
+        ).alias("var_runs_micro"),
+    )
+
+
+register(
+    "runs_test_randomness",
+    runs_test_randomness,
+    """
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1),
+    ranked AS (SELECT d, y,
+                      ROW_NUMBER() OVER (ORDER BY y, d) AS rn,
+                      COUNT(*) OVER () AS n_days
+               FROM day),
+    med AS (SELECT y AS med FROM ranked WHERE rn = (n_days + 1) // 2),
+    s AS (SELECT d, CASE WHEN y > (SELECT med FROM med) THEN 1 ELSE 0 END
+                      AS sgn
+          FROM day WHERE y <> (SELECT med FROM med)),
+    runs AS (SELECT sgn,
+                    CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+                              OR LAG(sgn) OVER (ORDER BY d) <> sgn
+                         THEN 1 ELSE 0 END AS new_run
+             FROM s),
+    agg AS (SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+                   CAST(SUM(sgn) AS BIGINT) AS n_above,
+                   CAST(SUM(1 - sgn) AS BIGINT) AS n_below
+            FROM runs)
+    SELECT n_runs, n_above, n_below,
+           CAST(1000000 + 2 * CAST(n_above AS HUGEINT) * n_below * 1000000
+                // NULLIF(n_above + n_below, 0) AS BIGINT)
+             AS exp_runs_micro,
+           CAST(2 * CAST(n_above AS HUGEINT) * n_below
+                * (2 * CAST(n_above AS HUGEINT) * n_below
+                   - n_above - n_below) * 1000000
+                // NULLIF(CAST(n_above + n_below AS HUGEINT)
+                          * (n_above + n_below) * (n_above + n_below - 1), 0)
+                AS BIGINT) AS var_runs_micro
+    FROM agg
     """,
 )

@@ -2380,3 +2380,103 @@ def test_twap_matches_locf_replay(spark, sf_dir):
         for r in time_weighted_average(spark, sf_dir).collect()
     }
     assert got == expect and len(got) >= 1
+
+
+# batch 11: winsorized_robust_mean + runs_test_randomness
+
+
+def test_winsorized_mean_matches_sorted_replay(spark, sf_dir):
+    """Python replay on the dollar-quantized multiset: ceil-rank cut
+    values, clamp-sum and trim-sum with exact integer division; also
+    the robustness orderings (trimmed/winsorized between min and max,
+    n_kept <= n)."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _WINS_HI,
+        _WINS_LO,
+        winsorized_robust_mean,
+    )
+
+    cnt = Counter()
+    for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect():
+        cnt[(int(math.floor(r.o_totalprice * 100 + 0.5)) // 100) * 100] += 1
+    n = sum(cnt.values())
+    k_lo = (n * _WINS_LO + 99) // 100
+    k_hi = (n * _WINS_HI + 99) // 100
+    cum = 0
+    lo_v = hi_v = None
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if lo_v is None and cum >= k_lo:
+            lo_v = v
+        if hi_v is None and cum >= k_hi:
+            hi_v = v
+    raw = sum(v * c for v, c in cnt.items()) * 1_000_000 // n
+    wsum = sum(min(max(v, lo_v), hi_v) * c for v, c in cnt.items())
+    kept = [(v, c) for v, c in cnt.items() if lo_v <= v <= hi_v]
+    n_kept = sum(c for _, c in kept)
+    tsum = sum(v * c for v, c in kept)
+    rows = winsorized_robust_mean(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r.n,
+        r.lo_v,
+        r.hi_v,
+        r.raw_mean_micro,
+        r.winsorized_mean_micro,
+        r.n_kept,
+        r.trimmed_mean_micro,
+    ) == (
+        n,
+        lo_v,
+        hi_v,
+        raw,
+        wsum * 1_000_000 // n,
+        n_kept,
+        tsum * 1_000_000 // n_kept,
+    )
+    assert lo_v <= hi_v and n_kept <= n
+
+
+def test_runs_test_matches_series_replay(spark, sf_dir):
+    """Python replay: lower median of the daily series, drop at-median
+    days, count sign runs along the day order, and the exact
+    E[R]/Var[R] integer-micro moments."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        runs_test_randomness,
+    )
+
+    daily = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select("ts", "value").collect():
+        daily[r.ts.date()] += int(math.floor(r.value * 100 + 0.5))
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    med = sorted(ys)[(len(ys) + 1) // 2 - 1]
+    signs = [1 if y > med else 0 for y in ys if y != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    n_runs = sum(
+        1
+        for i, s in enumerate(signs)
+        if i == 0 or signs[i - 1] != s
+    )
+    n = n1 + n2
+    exp_micro = 1_000_000 + 2 * n1 * n2 * 1_000_000 // n
+    var_micro = (
+        2 * n1 * n2 * (2 * n1 * n2 - n) * 1_000_000 // (n * n * (n - 1))
+    )
+    rows = runs_test_randomness(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_runs, r.n_above, r.n_below, r.exp_runs_micro, r.var_runs_micro) == (
+        n_runs,
+        n1,
+        n2,
+        exp_micro,
+        var_micro,
+    )
+    assert 1 <= r.n_runs <= n
