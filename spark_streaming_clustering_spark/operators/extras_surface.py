@@ -73,7 +73,11 @@ exact microsecond intervals, LEAD partitioned by user); an eleventh
 batch adds the p5/p95 winsorized + trimmed robust means (ceil-rank
 cuts on the dollar-bounded cell relation) and the Wald-Wolfowitz
 runs test of the daily revenue series (exact integer R and moment
-pair, lower-median signing).
+pair, lower-median signing); a twelfth batch adds the Lincoln-
+Petersen / Chapman capture-recapture population estimate (two
+deterministic parity occasions, no joins) and one-way ANOVA across
+event types (exact cents^2 sums-of-squares decomposition, F ratio
+in micros).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -5557,6 +5561,185 @@ register(
                 // NULLIF(CAST(n_above + n_below AS HUGEINT)
                           * (n_above + n_below) * (n_above + n_below - 1), 0)
                 AS BIGINT) AS var_runs_micro
+    FROM agg
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# capture_recapture_estimate — Lincoln-Petersen / Chapman population
+# estimate of the user base from two deterministic sampling occasions
+# --------------------------------------------------------------------------
+
+
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the TOTAL user population from
+    two sampling occasions — the population-estimation class (Lincoln
+    1930 / Petersen 1896; Chapman 1951 bias-corrected form — all
+    public; ``kmv_distinct_sketch`` estimates a SEEN distinct count,
+    capture-recapture estimates the UNSEEN total): occasion 1 = users
+    active on EVEN epoch-days, occasion 2 = ODD epoch-days (a
+    deterministic interleaved design, robust to any fixture date
+    range); with n1, n2 the occasion user counts and m the recaptured
+    overlap, Lincoln-Petersen = n1*n2 div m and Chapman =
+    (n1+1)*(n2+1) div (m+1) - 1 (defined even at m = 0).  The true
+    distinct count rides along so the artifact shows its own error.
+
+    Shape: one events scan reduced map-side to the DISTINCT
+    (user, occasion-parity) relation; everything after is one grouped
+    aggregate of per-user parity flags — no joins at all; products
+    n1*n2 run in DECIMAL(38,0) / HUGEINT (user counts can be
+    billions); NULLIF guards the zero-recapture LP division.
+    """
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "pmod(datediff(cast(ts as date), date'1970-01-01'), 2)"
+            ).alias("occ"),
+        )
+        .distinct()
+    )
+    per_user = u.groupBy("user_id").agg(
+        F.max(F.when(F.col("occ") == 0, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(F.col("occ") == 1, 1).otherwise(0)).alias("in2"),
+    )
+    agg = per_user.agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.sum("in2").cast("bigint").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("true_distinct"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        F.expr(
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * n2 div nullif(m, 0)"
+            " AS BIGINT)"
+        ).alias("lincoln_petersen"),
+        F.expr(
+            "CAST((CAST(n1 AS DECIMAL(38,0)) + 1) * (n2 + 1)"
+            " div (m + 1) - 1 AS BIGINT)"
+        ).alias("chapman"),
+        "true_distinct",
+    )
+
+
+register(
+    "capture_recapture_estimate",
+    capture_recapture_estimate,
+    """
+    WITH u AS (SELECT DISTINCT user_id,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) % 2 AS BIGINT) AS occ
+               FROM events),
+    per_user AS (SELECT user_id,
+                        MAX(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS in1,
+                        MAX(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS in2
+                 FROM u GROUP BY 1),
+    agg AS (SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+                   CAST(SUM(in2) AS BIGINT) AS n2,
+                   CAST(SUM(in1 * in2) AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS true_distinct
+            FROM per_user)
+    SELECT n1, n2, m,
+           CAST(CAST(n1 AS HUGEINT) * n2 // NULLIF(m, 0) AS BIGINT)
+             AS lincoln_petersen,
+           CAST((CAST(n1 AS HUGEINT) + 1) * (n2 + 1) // (m + 1) - 1
+                AS BIGINT) AS chapman,
+           true_distinct
+    FROM agg
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# anova_oneway — one-way ANOVA across event types in integer micros
+# (exact grouped sums; per-term truncating micro division)
+# --------------------------------------------------------------------------
+
+
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event VALUE (cents) across the k event types —
+    the k-group mean-comparison class (``welch_ttest_q`` compares TWO
+    groups; Fisher's F compares all k at once, public): from exact
+    integer group sums S_g, counts n_g, the grand pair (T, N) and the
+    raw sum of squares Q = sum(cents^2),
+    ss_between = sum_g(S_g^2 div n_g) - T^2 div N and
+    ss_within = Q - sum_g(S_g^2 div n_g), in raw cents^2 — each term
+    one truncating integer division, identical on both engines — plus
+    f_micro = (ssb div (k-1)) * 1e6 div (ssw div (N-k)), the F ratio
+    alone carrying the micro scale (a micro-scaled SS would overflow
+    BIGINT at ~1e13 cents^2 already; raw cents^2 is ANSI-loud past
+    ~9e18).
+
+    Shape: ONE grouped aggregate (map-side partials) to the k-row
+    relation, then a single-row reduce — no window, no join except
+    the final 1-row broadcast; cents^2 sums and S_g^2 products run in
+    DECIMAL(38,0) / HUGEINT (cents^2 ~ 1e10 per row leaves BIGINT at
+    ~1e9 rows); NULLIF guards k = 1 and the zero-variance degenerate.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("decimal(38,0)").alias("s_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "q_g"
+        ),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("t"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.expr("s_g * s_g div n_g")
+        ).alias("sum_sg2"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        F.expr("CAST(sum_sg2 - t * t div n AS BIGINT)").alias(
+            "ss_between_cents2"
+        ),
+        F.expr("CAST(q - sum_sg2 AS BIGINT)").alias("ss_within_cents2"),
+        F.expr(
+            "CAST(CAST((sum_sg2 - t * t div n) div nullif(k - 1, 0)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div nullif(CAST((q - sum_sg2) div nullif(n - k, 0)"
+            " AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("f_micro"),
+    )
+
+
+register(
+    "anova_oneway",
+    anova_oneway,
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(cents) AS HUGEINT) AS s_g,
+                 SUM(CAST(cents AS HUGEINT) * cents) AS q_g
+          FROM e GROUP BY 1),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   SUM(s_g) AS t, SUM(q_g) AS q,
+                   SUM(s_g * s_g // n_g) AS sum_sg2
+            FROM g)
+    SELECT k, n,
+           CAST(sum_sg2 - t * t // n AS BIGINT) AS ss_between_cents2,
+           CAST(q - sum_sg2 AS BIGINT) AS ss_within_cents2,
+           CAST(((sum_sg2 - t * t // n) // NULLIF(k - 1, 0))
+                * 1000000 // NULLIF((q - sum_sg2)
+                                    // NULLIF(n - k, 0), 0) AS BIGINT)
+             AS f_micro
     FROM agg
     """,
 )

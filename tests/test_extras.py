@@ -2480,3 +2480,79 @@ def test_runs_test_matches_series_replay(spark, sf_dir):
         var_micro,
     )
     assert 1 <= r.n_runs <= n
+
+
+# batch 12: capture_recapture_estimate + anova_oneway
+
+
+def test_capture_recapture_matches_set_replay(spark, sf_dir):
+    """Python set replay of the two parity occasions, both estimators,
+    and the sanity ordering m <= min(n1, n2) <= true_distinct."""
+    import datetime
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        capture_recapture_estimate,
+    )
+
+    epoch = datetime.date(1970, 1, 1)
+    occ1, occ2, allu = set(), set(), set()
+    for r in load_table(spark, sf_dir, "events").select("user_id", "ts").collect():
+        allu.add(r.user_id)
+        if (r.ts.date() - epoch).days % 2 == 0:
+            occ1.add(r.user_id)
+        else:
+            occ2.add(r.user_id)
+    n1, n2, m = len(occ1), len(occ2), len(occ1 & occ2)
+    rows = capture_recapture_estimate(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    lp = n1 * n2 // m if m else None
+    chap = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    assert (r.n1, r.n2, r.m, r.lincoln_petersen, r.chapman, r.true_distinct) == (
+        n1,
+        n2,
+        m,
+        lp,
+        chap,
+        len(allu),
+    )
+    assert m <= min(n1, n2) <= len(allu)
+
+
+def test_anova_matches_group_replay(spark, sf_dir):
+    """Python replay of the exact grouped sums-of-squares decomposition
+    (per-term truncating division) and the F ratio; also the ANOVA
+    identity ssb + ssw <= Q - T^2//N + k (within per-term truncation
+    slack) and non-negativity."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        anova_oneway,
+    )
+
+    groups = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        groups[r.event_type].append(int(math.floor(r.value * 100 + 0.5)))
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    t = sum(sum(v) for v in groups.values())
+    q = sum(c * c for v in groups.values() for c in v)
+    sum_sg2 = sum(sum(v) * sum(v) // len(v) for v in groups.values())
+    ssb = sum_sg2 - t * t // n
+    ssw = q - sum_sg2
+    f_micro = (ssb // (k - 1)) * 1_000_000 // (ssw // (n - k))
+    rows = anova_oneway(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.k, r.n, r.ss_between_cents2, r.ss_within_cents2, r.f_micro) == (
+        k,
+        n,
+        ssb,
+        ssw,
+        f_micro,
+    )
+    assert r.ss_between_cents2 >= 0 and r.ss_within_cents2 >= 0
