@@ -91,6 +91,21 @@ PROBE = {
     "bitemporal_pit_query": "orders",
     "kmv_distinct_sketch": "events",
     "benford_digit_audit": "orders",
+    # r10 batches 6-12 (probed from birth)
+    "temporal_join_sql2011": "orders",
+    "kmv_set_ops": "events",
+    "mann_whitney_u": "events",
+    "chi_square_independence": "events",
+    "gini_concentration": "orders",
+    "acf_autocorrelation": "events",
+    "assoc_rules_lift": "lineitem",
+    "reciprocal_rank_fusion": "documents",
+    "mann_kendall_trend": "orders",
+    "time_weighted_average": "events",
+    "winsorized_robust_mean": "orders",
+    "runs_test_randomness": "events",
+    "capture_recapture_estimate": "events",
+    "anova_oneway": "events",
 }
 
 

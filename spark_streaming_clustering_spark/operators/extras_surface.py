@@ -3314,6 +3314,78 @@ def _zms_oracle() -> str:
 register("zone_map_skip_stats", zone_map_skip_stats, _zms_oracle())
 
 
+# Shared bounded statistics relations (the _vopt_pref rule: a relation
+# consumed >2x across a key's own plan — or by sibling keys — must
+# session-cache so the fact table is scanned ONCE).  Three more shared
+# relations (9th-11th): the monthly order-revenue series (theil_sen +
+# mann_kendall: 5 static consumers), the daily events-revenue series
+# (acf + runs test: 4), and the order x brand basket presence
+# (assoc_rules: 4).  All cleared in test_plan_drift's
+# _clear_shared_caches.
+_STATS_REL_CACHE: dict = {}
+
+
+def clear_stats_rel_caches() -> None:
+    """Unpersist and drop the shared month/day/basket relations."""
+    for df in _STATS_REL_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _STATS_REL_CACHE.clear()
+
+
+def _cached_rel(spark: SparkSession, sf_dir: str, name: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _STATS_REL_CACHE.get(key)
+    if cached is None:
+        cached = build().persist()
+        _STATS_REL_CACHE[key] = cached
+    return cached
+
+
+def _month_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x, y): month index -> order revenue cents, persisted once."""
+    return _cached_rel(
+        spark,
+        sf_dir,
+        "month_rev",
+        lambda: (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
+                .cast("bigint")
+                .alias("x"),
+                F.expr(
+                    "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                ).alias("cents"),
+            )
+            .groupBy("x")
+            .agg(F.sum("cents").cast("bigint").alias("y"))
+        ),
+    )
+
+
+def _day_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, y): date -> events value cents sum, persisted once."""
+    return _cached_rel(
+        spark,
+        sf_dir,
+        "day_rev",
+        lambda: (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("d"))
+            .agg(
+                F.sum(
+                    F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+                )
+                .cast("bigint")
+                .alias("y")
+            )
+        ),
+    )
+
+
 def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of MONTHLY order revenue: the median of
     all pairwise slopes (y_j - y_i) / (x_j - x_i) over month indexes —
@@ -3335,19 +3407,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (monthly revenue cents x 1e6 leaves BIGINT at planetary scale).
     Output is one row: months, pairs, median slope, sign census.
     """
-    m = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
-            .cast("bigint")
-            .alias("x"),
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
-                "cents"
-            ),
-        )
-        .groupBy("x")
-        .agg(F.sum("cents").cast("bigint").alias("y"))
-    )
+    m = _month_rev(spark, sf_dir)
     b = m.select(F.col("x").alias("bx"), F.col("y").alias("by"))
     pairs = m.join(F.broadcast(b), F.col("bx") < F.col("x")).select(
         "x",
@@ -4785,15 +4845,7 @@ def acf_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final micro ratios cast down; NULLIF guards the
     constant-series denominator identically on both engines.
     """
-    day = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("d"))
-        .agg(
-            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
-            .cast("bigint")
-            .alias("y")
-        )
-    )
+    day = _day_rev(spark, sf_dir)
     w_all = Window.partitionBy()
     w_ord = Window.orderBy("d")
     leads = F.array(
@@ -4911,13 +4963,22 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cnt_ab * n ~ N^2) run in DECIMAL(38,0) / HUGEINT; both rule
     directions emit from one unordered pair count.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pres = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
-    )
+    def _build_pres() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(
+                F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
+            )
+            .distinct()
+        )
+
+    # 4 static consumers (pair self-join x2, marginals, basket total):
+    # session-cache so lineitem is scanned ONCE, not four times
+    pres = _cached_rel(spark, sf_dir, "ar_pres", _build_pres)
     n_b = pres.agg(
         F.countDistinct("ok").cast("decimal(38,0)").alias("n_baskets")
     )
@@ -5123,19 +5184,7 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     product is counts-of-months-cubed, BIGINT-safe to ~1e6 months
     (~80k years of data) and ANSI-loud past it.
     """
-    m = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.expr("year(o_orderdate) * 12 + month(o_orderdate)")
-            .cast("bigint")
-            .alias("x"),
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
-                "cents"
-            ),
-        )
-        .groupBy("x")
-        .agg(F.sum("cents").cast("bigint").alias("y"))
-    )
+    m = _month_rev(spark, sf_dir)
     b = m.select(F.col("x").alias("bx"), F.col("y").alias("by"))
     s = (
         m.join(F.broadcast(b), F.col("bx") < F.col("x"))
@@ -5464,15 +5513,7 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate all stay on the day relation.  Products run in
     DECIMAL(38,0) / HUGEINT; NULLIF guards the constant series.
     """
-    day = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("d"))
-        .agg(
-            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
-            .cast("bigint")
-            .alias("y")
-        )
-    )
+    day = _day_rev(spark, sf_dir)
     w_all = Window.partitionBy()
     ranked = day.select(
         "d",

@@ -54,6 +54,7 @@ def _clear_shared_caches() -> None:
         clear_kmv_cache,
         clear_merkle_cache,
         clear_ppj_cache,
+        clear_stats_rel_caches,
         clear_vopt_cache,
     )
 
@@ -64,6 +65,7 @@ def _clear_shared_caches() -> None:
     clear_merkle_cache()
     clear_iso_cache()
     clear_kmv_cache()
+    clear_stats_rel_caches()
     for df in pipeline_surface._QSTATS_CACHE.values():
         try:
             df.unpersist()
