@@ -302,7 +302,9 @@ def _slim_wall(v: float):
     full 3-decimal precision lives in the self-artifact).  Integral
     values render as ints ('12' not '12.0') — two chars per key of
     budget at the worst case the guard test pins."""
-    f = float(f"{v:.2g}")
+    f = round(float(f"{v:.2g}"), 2)  # cap at centiseconds: a 0.092
+    # wall would render 5 chars ("0.092"); the cap bounds EVERY
+    # sub-10s wall at 4 chars so the worst-case line width is closed
     return int(f) if f == int(f) else f
 
 
@@ -571,7 +573,8 @@ def main() -> None:
     slim = {
         **record,
         "queries": {k: _slim_wall(v) for k, v in times.items()},
-        "self_artifact": self_name,
+        # self-artifact name is deterministic (BENCH_SELF_r{base+1});
+        # not repeated here — every stdout char is tail-window budget
     }
     del slim["gstream_ms_per_batch_budget"]
     print(json.dumps(slim, separators=(",", ":")))

@@ -106,9 +106,15 @@ def test_stdout_summary_line_fits_tail_capture():
     exceeded 10 s; one over 100 s would be a perf red flag caught by
     its own row)."""
     m = _bench_module()
-    times = {k: m._slim_wall(99.99) for k in m.HEADLINE}
-    times["gstream_epoch_20x100"] = m._slim_wall(99.99)
-    times["gstream_estep_distributed"] = m._slim_wall(99.99)
+    # TRUE worst case per key: the widest value _slim_wall can emit is
+    # 4 chars ("0.99" — the centisecond cap closes the 5-char "0.092"
+    # case; values >= 10 collapse to <=3-char ints), so model EVERY
+    # wall at that width rather than the old 99.99 -> "100" model,
+    # which UNDERestimated typical sub-second walls by a char each.
+    times = {k: m._slim_wall(0.99) for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = m._slim_wall(0.99)
+    times["gstream_estep_distributed"] = m._slim_wall(0.99)
+    assert all(len(json.dumps(v)) <= 4 for v in times.values())
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -118,7 +124,6 @@ def test_stdout_summary_line_fits_tail_capture():
             "sf": 0.1,
             "gstream_ms_per_batch": 9999.9,
             "estep_points_per_sec": 99999999,
-            "self_artifact": "BENCH_SELF_r99.json",
         },
         separators=(",", ":"),
     )
@@ -126,11 +131,19 @@ def test_stdout_summary_line_fits_tail_capture():
 
 
 def test_slim_wall_two_significant_digits():
+    """2 significant digits CAPPED at centiseconds: sub-0.1 walls would
+    otherwise render 5+ chars ("0.025") and break the worst-case width
+    bound the tail-line guard models."""
     m = _bench_module()
     assert m._slim_wall(61.437) == 61.0
     assert m._slim_wall(1.278) == 1.3
-    assert m._slim_wall(0.0254) == 0.025
+    assert m._slim_wall(0.0254) == 0.03
+    assert m._slim_wall(0.926) == 0.93
     assert m._slim_wall(99.99) == 100.0
+    assert all(
+        len(json.dumps(m._slim_wall(v))) <= 4
+        for v in (0.0049, 0.092, 0.926, 1.278, 9.99)
+    )
 
 
 def test_trimmed_tier_guards_burst_dominated_medians(tmp_path, monkeypatch):
