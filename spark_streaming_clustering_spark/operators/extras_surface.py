@@ -77,7 +77,15 @@ pair, lower-median signing); a twelfth batch adds the Lincoln-
 Petersen / Chapman capture-recapture population estimate (two
 deterministic parity occasions, no joins) and one-way ANOVA across
 event types (exact cents^2 sums-of-squares decomposition, F ratio
-in micros).
+in micros); a thirteenth batch lands the three classes the r10
+close-out named for r11 — SQL:2011 temporal AGGREGATION (the
+constancy-interval timeline of open-order count/cents via the
+delta sweep), the PSI scorecard-drift audit between two order
+vintages (Laplace-smoothed bins, the corpus_drift_kl 4-dp float
+discipline), and the deterministic mergeable Misra-Gries
+heavy-hitter summary (canonical per-bucket decrement, merge,
+re-decrement — the whole construction exact-oracle-checked with
+its error bound as part of the output contract).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -5782,5 +5790,342 @@ register(
                                     // NULLIF(n - k, 0), 0) AS BIGINT)
              AS f_micro
     FROM agg
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# temporal_agg_sql2011 — time-varying aggregate over an interval
+# relation (SQL:2011 temporal aggregation via the delta sweep)
+# --------------------------------------------------------------------------
+
+_TA_OPEN_DAYS = 30  # an order is "open" [orderdate, orderdate + 30d)
+
+
+def temporal_agg_sql2011(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 temporal AGGREGATION: the time-varying COUNT and cents
+    SUM of OPEN orders per priority — emit one row per constancy
+    interval [valid_from, valid_to) during which the aggregate value
+    does not change (the standard temporal-aggregation output form;
+    Snodgrass, public).  An order is open [orderdate,
+    orderdate + {open}d); `temporal_join_sql2011` joins two interval
+    relations, `concurrent_intervals` reads ONE peak — this is the
+    full timeline of an arbitrary measure.
+
+    Shape: the classic +-delta sweep — every order emits (+1, +cents)
+    at its start day and (-1, -cents) at its end day (map-side), the
+    deltas reduce to the (priority x distinct-day) relation (bounded
+    by 5 x the CALENDAR at any input size), and ONE cumulative window
+    PARTITIONED BY priority produces the step function; valid_to =
+    LEAD(day), with the final all-closed zero row dropped.  Cents
+    sums run in BIGINT (ANSI-loud past ~9e16 open cents per
+    priority).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("od"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    deltas = o.select(
+        "prio",
+        F.col("od").alias("d"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("cents").alias("dc"),
+    ).unionByName(
+        o.select(
+            "prio",
+            F.date_add("od", _TA_OPEN_DAYS).alias("d"),
+            F.lit(-1).cast("bigint").alias("dn"),
+            (-F.col("cents")).alias("dc"),
+        )
+    )
+    g = deltas.groupBy("prio", "d").agg(
+        F.sum("dn").cast("bigint").alias("dn"),
+        F.sum("dc").cast("bigint").alias("dc"),
+    )
+    w = Window.partitionBy("prio").orderBy("d")
+    t = g.select(
+        "prio",
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w).alias("valid_to"),
+        F.sum("dn").over(
+            Window.partitionBy("prio")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("n_active"),
+        F.sum("dc").over(
+            Window.partitionBy("prio")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("cents_active"),
+    )
+    return t.filter(F.col("valid_to").isNotNull())
+
+
+temporal_agg_sql2011.__doc__ = temporal_agg_sql2011.__doc__.format(
+    open=_TA_OPEN_DAYS
+)
+
+register(
+    "temporal_agg_sql2011",
+    temporal_agg_sql2011,
+    f"""
+    WITH o AS (SELECT o_orderpriority AS prio,
+                      CAST(o_orderdate AS DATE) AS od,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS cents
+               FROM orders),
+    deltas AS (SELECT prio, od AS d, CAST(1 AS BIGINT) AS dn, cents AS dc
+               FROM o
+               UNION ALL
+               SELECT prio, od + {_TA_OPEN_DAYS}, CAST(-1 AS BIGINT),
+                      -cents
+               FROM o),
+    g AS (SELECT prio, d, CAST(SUM(dn) AS BIGINT) AS dn,
+                 CAST(SUM(dc) AS BIGINT) AS dc
+          FROM deltas GROUP BY 1, 2)
+    SELECT prio, valid_from, valid_to, n_active, cents_active
+    FROM (SELECT prio, d AS valid_from,
+                 LEAD(d) OVER (PARTITION BY prio ORDER BY d) AS valid_to,
+                 CAST(SUM(dn) OVER (PARTITION BY prio ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n_active,
+                 CAST(SUM(dc) OVER (PARTITION BY prio ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cents_active
+          FROM g)
+    WHERE valid_to IS NOT NULL
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# psi_drift_vintages — Population Stability Index between two order
+# vintages over fixed dollar bins (the scorecard-monitoring drift audit)
+# --------------------------------------------------------------------------
+
+_PSI_BIN_DOLLARS = 20_000  # fixed-width dollar bins
+_PSI_SPLIT_YEAR = 1995  # base vintage < split, new vintage >= split
+
+
+def psi_drift_vintages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution
+    between two date vintages (orderdate year < {split} = base, >=
+    {split} = new) over fixed {bin}-dollar bins — the scorecard/model
+    drift audit (industry-standard metric, public; ``corpus_drift_kl``
+    watches token distributions — PSI is the BINNED-numeric form
+    risk pipelines quote, with its 0.1/0.25 action thresholds):
+    per bin, term = (p - q) * ln(p / q) with Laplace +1 smoothing on
+    both counts (no empty-bin infinity, deterministic), rounded at
+    4 dp exactly like the KL precedent; the PSI is the term sum
+    (pinned in pytest).
+
+    Shape: one orders scan, map-side binning, ONE grouped census to
+    the dollar-range-bounded bin relation; totals are windows over
+    that relation; the only floats are ln() of count ratios rounded
+    at 4 dp on BOTH engines (the ``corpus_drift_kl`` discipline —
+    every other column integer).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            f"cast(floor(o_totalprice) as bigint) div {_PSI_BIN_DOLLARS}"
+        ).alias("bin"),
+        (F.year("o_orderdate") < _PSI_SPLIT_YEAR).alias("is_base"),
+    )
+    cells = o.groupBy("bin").agg(
+        (F.count_if("is_base") + 1).cast("bigint").alias("n_base"),
+        (F.count_if(~F.col("is_base")) + 1).cast("bigint").alias("n_new"),
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "bin",
+        "n_base",
+        "n_new",
+        F.sum("n_base").over(w_all).alias("sb"),
+        F.sum("n_new").over(w_all).alias("sn"),
+    )
+    p = F.col("n_base").cast("double") / F.col("sb").cast("double")
+    q = F.col("n_new").cast("double") / F.col("sn").cast("double")
+    return t.select(
+        "bin",
+        "n_base",
+        "n_new",
+        (F.round((p - q) * F.log(p / q), 4) + F.lit(0.0)).alias(
+            "psi_term_4dp"
+        ),
+    )
+
+
+psi_drift_vintages.__doc__ = psi_drift_vintages.__doc__.format(
+    split=_PSI_SPLIT_YEAR, bin=_PSI_BIN_DOLLARS
+)
+
+register(
+    "psi_drift_vintages",
+    psi_drift_vintages,
+    f"""
+    WITH o AS (SELECT CAST(floor(o_totalprice) AS BIGINT)
+                        // {_PSI_BIN_DOLLARS} AS bin,
+                      year(o_orderdate) < {_PSI_SPLIT_YEAR} AS is_base
+               FROM orders),
+    cells AS (SELECT bin,
+                     CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) + 1
+                          AS BIGINT) AS n_base,
+                     CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) + 1
+                          AS BIGINT) AS n_new
+              FROM o GROUP BY 1),
+    t AS (SELECT bin, n_base, n_new,
+                 SUM(n_base) OVER () AS sb, SUM(n_new) OVER () AS sn
+          FROM cells)
+    SELECT bin, n_base, n_new,
+           round((CAST(n_base AS DOUBLE) / sb - CAST(n_new AS DOUBLE) / sn)
+                 * ln((CAST(n_base AS DOUBLE) / sb)
+                      / (CAST(n_new AS DOUBLE) / sn)), 4) + 0.0
+             AS psi_term_4dp
+    FROM t
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# misra_gries_topk — deterministic mergeable Misra-Gries heavy-hitter
+# summary (canonical offline form, merged across hash buckets)
+# --------------------------------------------------------------------------
+
+_MG_K = 8  # counters per summary
+_MG_BUCKETS = 16  # deterministic partial-summary buckets
+
+
+def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter summary of event users — the
+    deterministic frequent-items class (Misra & Gries 1982; the MERGE
+    is Agarwal et al. "Mergeable Summaries" PODS'12, public;
+    ``approx_top_k_q`` is the engine-native opaque sketch — this one's
+    whole construction is exact-oracle-checkable): each of {b}
+    deterministic hash buckets (user_id % {b} — a stand-in for
+    per-partition summaries) builds the CANONICAL offline MG({k})
+    summary of its counts (top {k} by (cnt, user) with every weight
+    decremented by the (k+1)-th largest count — the order-free fixed
+    point every stream order converges to); the bucket summaries then
+    MERGE: weights sum per user, and the merged multiset is
+    re-decremented by ITS (k+1)-th largest.  err_bound = the sum of
+    all decrements applied along the way; the MG guarantee
+    est <= true <= est + err_bound is part of the OUTPUT contract
+    (true counts ride along) and is pinned in pytest together with
+    the heavy-hitter completeness property.
+
+    Shape: one grouped count (map-side partials), rank windows
+    PARTITIONED BY bucket over the per-bucket count relations, then a
+    {b}x{k}-row merge — after the first aggregate nothing data-sized
+    moves; in a deployment the bucket summaries are what executors
+    ship to the coordinator (the ``hll_union_rollup`` shape, but with
+    a fully checkable artifact).
+    """
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("bkt", F.expr(f"u % {_MG_BUCKETS}").cast("bigint"))
+    )
+    wb = Window.partitionBy("bkt").orderBy(
+        F.col("c").desc(), F.col("u").asc()
+    )
+    ranked = cnt.select("bkt", "u", "c", F.row_number().over(wb).alias("rn"))
+    thr = (
+        ranked.filter(F.col("rn") == _MG_K + 1)
+        .select("bkt", F.col("c").alias("t"))
+    )
+    summ = (
+        ranked.filter(F.col("rn") <= _MG_K)
+        .join(F.broadcast(thr), "bkt", "left")
+        .select(
+            "u",
+            F.greatest(
+                F.col("c") - F.coalesce(F.col("t"), F.lit(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    merged = summ.groupBy("u").agg(F.sum("w").cast("bigint").alias("w"))
+    wm = Window.orderBy(F.col("w").desc(), F.col("u").asc())
+    mranked = merged.select("u", "w", F.row_number().over(wm).alias("rn"))
+    gthr = mranked.filter(F.col("rn") == _MG_K + 1).select(
+        F.col("w").alias("gt")
+    )
+    bucket_decr = thr.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("bd")
+    )
+    final = (
+        mranked.filter(F.col("rn") <= _MG_K)
+        .join(F.broadcast(gthr), how="left")
+        .join(F.broadcast(bucket_decr))
+        .select(
+            "u",
+            F.greatest(
+                F.col("w") - F.coalesce(F.col("gt"), F.lit(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("est_weight"),
+            (
+                F.col("bd") + F.coalesce(F.col("gt"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("err_bound"),
+        )
+        .filter(F.col("est_weight") > 0)
+    )
+    return final.join(cnt.select("u", "c"), "u").select(
+        F.col("u").alias("user_id"),
+        "est_weight",
+        F.col("c").alias("true_count"),
+        "err_bound",
+    )
+
+
+misra_gries_topk.__doc__ = misra_gries_topk.__doc__.format(
+    k=_MG_K, b=_MG_BUCKETS
+)
+
+register(
+    "misra_gries_topk",
+    misra_gries_topk,
+    f"""
+    WITH cnt AS (SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS c,
+                        CAST(user_id % {_MG_BUCKETS} AS BIGINT) AS bkt
+                 FROM events GROUP BY 1),
+    ranked AS (SELECT bkt, u, c,
+                      ROW_NUMBER() OVER (PARTITION BY bkt
+                                         ORDER BY c DESC, u ASC) AS rn
+               FROM cnt),
+    thr AS (SELECT bkt, c AS t FROM ranked WHERE rn = {_MG_K} + 1),
+    summ AS (SELECT r.u,
+                    CAST(greatest(r.c - coalesce(thr.t, 0), 0) AS BIGINT)
+                      AS w
+             FROM ranked r LEFT JOIN thr ON thr.bkt = r.bkt
+             WHERE r.rn <= {_MG_K}),
+    merged AS (SELECT u, CAST(SUM(w) AS BIGINT) AS w FROM summ
+               WHERE w > 0 GROUP BY 1),
+    mranked AS (SELECT u, w,
+                       ROW_NUMBER() OVER (ORDER BY w DESC, u ASC) AS rn
+                FROM merged),
+    gthr AS (SELECT w AS gt FROM mranked WHERE rn = {_MG_K} + 1),
+    bd AS (SELECT CAST(coalesce(SUM(t), 0) AS BIGINT) AS bd FROM thr)
+    SELECT m.u AS user_id,
+           CAST(greatest(m.w - coalesce((SELECT gt FROM gthr), 0), 0)
+                AS BIGINT) AS est_weight,
+           c.c AS true_count,
+           CAST((SELECT bd FROM bd) + coalesce((SELECT gt FROM gthr), 0)
+                AS BIGINT) AS err_bound
+    FROM mranked m JOIN cnt c ON c.u = m.u
+    WHERE m.rn <= {_MG_K}
+      AND greatest(m.w - coalesce((SELECT gt FROM gthr), 0), 0) > 0
     """,
 )

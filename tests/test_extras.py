@@ -2556,3 +2556,146 @@ def test_anova_matches_group_replay(spark, sf_dir):
         f_micro,
     )
     assert r.ss_between_cents2 >= 0 and r.ss_within_cents2 >= 0
+
+
+# batch 13: temporal_agg_sql2011 + psi_drift_vintages + misra_gries_topk
+
+
+def test_temporal_agg_matches_sweep_replay(spark, sf_dir):
+    """Python delta-sweep replay per priority; also the SQL:2011
+    output invariants: intervals are disjoint, cover [first, last)
+    per priority, and the dropped final row is the all-closed zero."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _TA_OPEN_DAYS,
+        temporal_agg_sql2011,
+    )
+
+    import datetime
+
+    deltas = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        od = r.o_orderdate.date()
+        cents = int(math.floor(r.o_totalprice * 100 + 0.5))
+        d = deltas[r.o_orderpriority]
+        d[od][0] += 1
+        d[od][1] += cents
+        end = od + datetime.timedelta(days=_TA_OPEN_DAYS)
+        d[end][0] -= 1
+        d[end][1] -= cents
+    expect = set()
+    for prio, dd in deltas.items():
+        days = sorted(dd)
+        cn = cc = 0
+        for i, day in enumerate(days):
+            cn += dd[day][0]
+            cc += dd[day][1]
+            if i + 1 < len(days):
+                expect.add((prio, day, days[i + 1], cn, cc))
+            else:
+                assert cn == 0 and cc == 0  # final all-closed row
+    got = {tuple(r) for r in temporal_agg_sql2011(spark, sf_dir).collect()}
+    assert got == expect and len(got) >= 5
+    by_prio = defaultdict(list)
+    for prio, vf, vt, _, _ in got:
+        by_prio[prio].append((vf, vt))
+    for ivls in by_prio.values():
+        ivls.sort()
+        for (f1, t1), (f2, _) in zip(ivls, ivls[1:]):
+            assert t1 == f2 and f1 < t1  # disjoint, contiguous
+
+
+def test_psi_matches_binned_replay(spark, sf_dir):
+    """Python replay of the smoothed binned PSI terms (4 dp, within a
+    half-ulp of the rounding grid) and the sign structure: a term is
+    ~0 iff the shares match, positive otherwise (PSI terms are always
+    >= 0 up to rounding)."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _PSI_BIN_DOLLARS,
+        _PSI_SPLIT_YEAR,
+        psi_drift_vintages,
+    )
+
+    base, new = Counter(), Counter()
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        b = int(math.floor(r.o_totalprice)) // _PSI_BIN_DOLLARS
+        (base if r.o_orderdate.year < _PSI_SPLIT_YEAR else new)[b] += 1
+    bins = sorted(set(base) | set(new))
+    nb = {b: base[b] + 1 for b in bins}
+    nn = {b: new[b] + 1 for b in bins}
+    sb, sn = sum(nb.values()), sum(nn.values())
+    expect = {}
+    for b in bins:
+        p, q = nb[b] / sb, nn[b] / sn
+        expect[b] = (nb[b], nn[b], (p - q) * math.log(p / q))
+    got = {
+        r.bin: (r.n_base, r.n_new, r.psi_term_4dp)
+        for r in psi_drift_vintages(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect) and len(got) >= 2
+    for b, (eb, en, term) in expect.items():
+        gb, gn, gt = got[b]
+        assert (gb, gn) == (eb, en)
+        assert abs(gt - term) <= 5.1e-5  # the 4-dp rounding grid
+        assert gt >= -5.1e-5  # PSI terms are non-negative
+    psi = sum(v[2] for v in got.values())
+    assert psi >= 0
+
+
+def test_misra_gries_matches_canonical_replay(spark, sf_dir):
+    """Python replay of the whole canonical construction (per-bucket
+    decrement, merge, re-decrement) plus the MG guarantees: est <=
+    true <= est + err_bound for every emitted row, and every user
+    whose true count exceeds err_bound is present."""
+    from collections import Counter
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _MG_BUCKETS,
+        _MG_K,
+        misra_gries_topk,
+    )
+
+    cnt = Counter()
+    for r in load_table(spark, sf_dir, "events").select("user_id").collect():
+        cnt[r.user_id] += 1
+    summ = Counter()
+    bd = 0
+    for bkt in range(_MG_BUCKETS):
+        items = sorted(
+            ((u, c) for u, c in cnt.items() if u % _MG_BUCKETS == bkt),
+            key=lambda t: (-t[1], t[0]),
+        )
+        t = items[_MG_K][1] if len(items) > _MG_K else 0
+        bd += t
+        for u, c in items[:_MG_K]:
+            if c - t > 0:
+                summ[u] += c - t
+    mitems = sorted(summ.items(), key=lambda t: (-t[1], t[0]))
+    gt = mitems[_MG_K][1] if len(mitems) > _MG_K else 0
+    expect = {
+        u: (w - gt, cnt[u], bd + gt)
+        for u, w in mitems[:_MG_K]
+        if w - gt > 0
+    }
+    got = {
+        r.user_id: (r.est_weight, r.true_count, r.err_bound)
+        for r in misra_gries_topk(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
+    for u, (est, true, err) in got.items():
+        assert est <= true <= est + err
+    err_bound = next(iter(got.values()))[2]
+    for u, c in cnt.items():
+        if c > err_bound:
+            assert u in got, (u, c, err_bound)
