@@ -106,6 +106,9 @@ PROBE = {
     "runs_test_randomness": "events",
     "capture_recapture_estimate": "events",
     "anova_oneway": "events",
+    "temporal_agg_sql2011": "orders",
+    "psi_drift_vintages": "orders",
+    "misra_gries_topk": "events",
 }
 
 
