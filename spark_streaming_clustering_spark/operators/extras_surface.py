@@ -6027,11 +6027,19 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship to the coordinator (the ``hll_union_rollup`` shape, but with
     a fully checkable artifact).
     """
-    cnt = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.col("user_id").alias("u"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .withColumn("bkt", F.expr(f"u % {_MG_BUCKETS}").cast("bigint"))
+    # 6 static consumers (rank chain, threshold chain, true-count join
+    # back): session-cache so events is scanned ONCE (12th shared
+    # relation, the _vopt_pref rule)
+    cnt = _cached_rel(
+        spark,
+        sf_dir,
+        "mg_cnt",
+        lambda: (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.col("user_id").alias("u"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .withColumn("bkt", F.expr(f"u % {_MG_BUCKETS}").cast("bigint"))
+        ),
     )
     wb = Window.partitionBy("bkt").orderBy(
         F.col("c").desc(), F.col("u").asc()
