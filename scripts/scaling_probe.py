@@ -109,6 +109,8 @@ PROBE = {
     "temporal_agg_sql2011": "orders",
     "psi_drift_vintages": "orders",
     "misra_gries_topk": "events",
+    "interval_coalesce_pack": "orders",
+    "ewma_control_chart": "events",
 }
 
 

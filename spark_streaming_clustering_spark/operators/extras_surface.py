@@ -85,7 +85,12 @@ vintages (Laplace-smoothed bins, the corpus_drift_kl 4-dp float
 discipline), and the deterministic mergeable Misra-Gries
 heavy-hitter summary (canonical per-bucket decrement, merge,
 re-decrement — the whole construction exact-oracle-checked with
-its error bound as part of the output contract).
+its error bound as part of the output contract); a fourteenth batch
+adds SQL:2011 interval COALESCING / PACK (islands-and-gaps merge of
+overlapping-or-adjacent periods into maximal intervals, windows
+partitioned by customer) and the EWMA control chart (recursive
+exact-rational smoothing with the variance-ramp recursion and
+SQUARED 3-sigma limits — no sqrt or float anywhere).
 
 Registered from the module imported LAST so these keys sort after every
 pre-existing never-driver-verified key — each driver window drains
@@ -6137,3 +6142,208 @@ register(
       AND greatest(m.w - coalesce((SELECT gt FROM gthr), 0), 0) > 0
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# interval_coalesce_pack — SQL:2011 PACK / interval coalescing (merge
+# overlapping or adjacent same-key periods into maximal intervals)
+# --------------------------------------------------------------------------
+
+
+def interval_coalesce_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 interval COALESCING (the PACK operator): merge each
+    customer's overlapping-or-adjacent order-open periods
+    ([orderdate, orderdate + {open}d), half-open) into MAXIMAL
+    disjoint intervals — the normalization primitive under every
+    temporal operator (Snodgrass; PACK/NORMALIZE in the SQL:2011
+    literature, public; `temporal_join_sql2011` joins periods,
+    `temporal_agg_sql2011` aggregates them, `interval_union_measure`
+    reads one NUMBER — PACK emits the merged intervals themselves).
+
+    The islands-and-gaps form: per customer, order periods by start;
+    a period OPENS a new island iff its start exceeds the running max
+    of all prior ends (strict >, so start == prev_end coalesces —
+    half-open adjacency); island id = running sum of open flags;
+    one group-by emits [min start, max end) with the merged count.
+
+    Shape: one orders scan; BOTH windows (prior-end running max,
+    island-id running sum) are PARTITIONED BY custkey — no global
+    order anywhere; the group-by is map-side-combinable on
+    (custkey, island).  Integer dates end to end; the merged
+    intervals are pinned disjoint, non-adjacent, and cover-equal to
+    the input union in pytest.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), _TA_OPEN_DAYS).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = o.select(
+        "custkey",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit("0001-01-01").cast("date")),
+            1,
+        )
+        .otherwise(0)
+        .alias("opens"),
+    )
+    w_isl = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "custkey",
+        "s",
+        "e",
+        F.sum("opens").over(w_isl).cast("bigint").alias("island"),
+    )
+    return islands.groupBy("custkey", "island").agg(
+        F.min("s").alias("valid_from"),
+        F.max("e").alias("valid_to"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+    )
+
+
+interval_coalesce_pack.__doc__ = interval_coalesce_pack.__doc__.format(
+    open=_TA_OPEN_DAYS
+)
+
+register(
+    "interval_coalesce_pack",
+    interval_coalesce_pack,
+    f"""
+    WITH o AS (SELECT o_custkey AS custkey,
+                      CAST(o_orderdate AS DATE) AS s,
+                      CAST(o_orderdate AS DATE) + {_TA_OPEN_DAYS} AS e
+               FROM orders),
+    flagged AS (SELECT custkey, s, e,
+                       CASE WHEN s > coalesce(MAX(e) OVER (
+                                PARTITION BY custkey ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                              DATE '0001-01-01')
+                            THEN 1 ELSE 0 END AS opens
+                FROM o),
+    islands AS (SELECT custkey, s, e,
+                       CAST(SUM(opens) OVER (PARTITION BY custkey
+                              ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                         AS island
+                FROM flagged)
+    SELECT custkey, island, MIN(s) AS valid_from, MAX(e) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# ewma_control_chart — recursive EWMA with exact-rational SQUARED
+# control limits (no sqrt, no float)
+# --------------------------------------------------------------------------
+
+_EWMA_LNUM, _EWMA_LDEN = 1, 4  # lambda = 1/4
+_EWMA_L2 = 9  # L^2 for the classic 3-sigma limit
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart of the daily events-revenue series — the
+    process-monitoring class (Roberts 1959, public; ``cusum_changepoint``
+    locates ONE shift, the EWMA chart flags every excursion as it
+    happens): z_t = (lambda*y_t + (1-lambda)*z_(t-1)) with
+    lambda = {ln}/{ld} as an exact rational in micro-cents via WITH
+    RECURSIVE (the ``holt_linear_smoothing`` solved-oracle-problem
+    precedent — per-step state cannot be a window), seeded z_0 = mu;
+    the variance RAMP f_t = 1 - (1-lambda)^(2t) follows the same
+    recursion (f_t = (7 + 9*f_(t-1)) div 16 in micros for
+    lambda = 1/4).  The out-of-control test
+    |z - mu| > L*sigma*sqrt(lambda/(2-lambda)*f_t) is applied
+    SQUARED — (z-mu)^2 * (2-lambda)*{ld} > L^2 * sigma^2 * lambda *
+    {ld} * f — so no sqrt or float enters; mu (micro-cents) and the
+    population sigma^2 (WHOLE cents^2 — micro-cents^2 would put the
+    squared deviation at ~1e27, far past BIGINT, the anova lesson)
+    come from one exact integer aggregate over the day relation, and
+    the squared comparison runs in DECIMAL(38,0)/HUGEINT.
+
+    Shape: the day relation is metadata-sized (shared `_day_rev`
+    cache — ONE events scan); the recursion is the honest sequential
+    tail, depth-#days over that relation; DECIMAL(38,0)/HUGEINT for
+    the squared products (micro-cents^2).
+    """
+    day = _day_rev(spark, sf_dir)
+    day.createOrReplaceTempView("ewma_day")
+    return spark.sql(_ewma_sql("ewma_day", spark_side=True))
+
+
+def _ewma_sql(table: str, spark_side: bool) -> str:
+    idiv = "div" if spark_side else "//"
+    big = "DECIMAL(38,0)" if spark_side else "HUGEINT"
+    ln, ld = _EWMA_LNUM, _EWMA_LDEN
+    # (1-lambda)^2 = 9/16 for lambda=1/4: f_t = (7 + 9 f_{t-1}) / 16
+    f_num = (ld - ln) * (ld - ln)
+    f_den = ld * ld
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rk, d, y
+      FROM {table}
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(y AS {"DECIMAL(38,0)" if spark_side else "HUGEINT"})
+                 * y) AS syy
+      FROM d
+    ),
+    m AS (
+      SELECT n, (sy * 1000000) {idiv} n AS mu_micro,
+             (syy {idiv} n) - ((sy {idiv} n) * (sy {idiv} n)) AS var_c2
+      FROM stats
+    ),
+    h(rk, z_micro, f_micro) AS (
+      SELECT CAST(0 AS BIGINT), (SELECT mu_micro FROM m),
+             CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT d.rk,
+             (d.y * 1000000 * {ln} + ({ld - ln}) * h.z_micro) {idiv} {ld},
+             ({f_den - f_num} * 1000000 + {f_num} * h.f_micro)
+               {idiv} {f_den}
+      FROM d JOIN h ON d.rk = h.rk + 1
+    )
+    SELECT d.d AS day, d.y AS y_cents,
+           CAST(h.z_micro AS BIGINT) AS z_micro,
+           CAST(h.f_micro AS BIGINT) AS ramp_micro,
+           CAST(
+             CASE WHEN CAST(h.z_micro - m.mu_micro AS
+                            {big}) * (h.z_micro - m.mu_micro)
+                       * ({ld * 2 - ln})
+                       > CAST({_EWMA_L2} AS {big})
+                         * m.var_c2 * {ln} * h.f_micro * 1000000
+                  THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM h JOIN d ON d.rk = h.rk
+    CROSS JOIN m
+    """
+
+
+ewma_control_chart.__doc__ = ewma_control_chart.__doc__.format(
+    ln=_EWMA_LNUM, ld=_EWMA_LDEN
+)
+
+
+def _ewma_oracle() -> str:
+    day = """(SELECT CAST(ts AS DATE) AS d,
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1)"""
+    return _ewma_sql(day, spark_side=False)
+
+
+register("ewma_control_chart", ewma_control_chart, _ewma_oracle())

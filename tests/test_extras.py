@@ -2699,3 +2699,98 @@ def test_misra_gries_matches_canonical_replay(spark, sf_dir):
     for u, c in cnt.items():
         if c > err_bound:
             assert u in got, (u, c, err_bound)
+
+
+# batch 14: interval_coalesce_pack + ewma_control_chart
+
+
+def test_pack_matches_merge_replay(spark, sf_dir):
+    """Python merge replay of the PACK semantics (overlap OR half-open
+    adjacency coalesces) including island numbering; plus the output
+    invariants: per customer the packed intervals are disjoint AND
+    non-adjacent, and their total measure equals the replay's."""
+    import datetime
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _TA_OPEN_DAYS,
+        interval_coalesce_pack,
+    )
+
+    periods = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        s = r.o_orderdate.date()
+        periods[r.o_custkey].append(
+            (s, s + datetime.timedelta(days=_TA_OPEN_DAYS))
+        )
+    expect = set()
+    for ck, ps in periods.items():
+        ps.sort()
+        island = 0
+        cur_s = cur_e = None
+        n = 0
+        for s, e in ps:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    expect.add((ck, island, cur_s, cur_e, n))
+                island += 1
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        expect.add((ck, island, cur_s, cur_e, n))
+    got = {tuple(r) for r in interval_coalesce_pack(spark, sf_dir).collect()}
+    assert got == expect and len(got) >= 1
+    by_cust = defaultdict(list)
+    for ck, _, vf, vt, _ in got:
+        by_cust[ck].append((vf, vt))
+    for ivls in by_cust.values():
+        ivls.sort()
+        for (f1, t1), (f2, _) in zip(ivls, ivls[1:]):
+            assert f2 > t1  # disjoint AND non-adjacent
+
+
+def test_ewma_matches_state_replay(spark, sf_dir):
+    """Python state-machine replay of the whole chart: mu, cents^2
+    variance, the z and ramp recursions with truncating division, and
+    the squared out-of-control comparison — bit-exact per day."""
+    from collections import defaultdict
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _EWMA_L2,
+        _EWMA_LDEN,
+        _EWMA_LNUM,
+        ewma_control_chart,
+    )
+
+    daily = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select("ts", "value").collect():
+        daily[r.ts.date()] += int(math.floor(r.value * 100 + 0.5))
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    n, sy = len(ys), sum(ys)
+    syy = sum(y * y for y in ys)
+    mu = sy * 1_000_000 // n
+    var_c2 = syy // n - (sy // n) ** 2
+    ln, ld = _EWMA_LNUM, _EWMA_LDEN
+    f_num, f_den = (ld - ln) ** 2, ld * ld
+    z, f = mu, 0
+    expect = {}
+    for d, y in zip(days, ys):
+        z = (y * 1_000_000 * ln + (ld - ln) * z) // ld
+        f = ((f_den - f_num) * 1_000_000 + f_num * f) // f_den
+        oob = int(
+            (z - mu) * (z - mu) * (ld * 2 - ln)
+            > _EWMA_L2 * var_c2 * ln * f * 1_000_000
+        )
+        expect[d] = (y, z, f, oob)
+    got = {
+        r.day: (r.y_cents, r.z_micro, r.ramp_micro, r.out_of_control)
+        for r in ewma_control_chart(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) == n
+    assert all(0 <= v[2] <= 1_000_000 for v in got.values())
