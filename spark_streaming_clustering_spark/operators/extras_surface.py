@@ -3329,11 +3329,12 @@ register("zone_map_skip_stats", zone_map_skip_stats, _zms_oracle())
 
 # Shared bounded statistics relations (the _vopt_pref rule: a relation
 # consumed >2x across a key's own plan — or by sibling keys — must
-# session-cache so the fact table is scanned ONCE).  Three more shared
-# relations (9th-11th): the monthly order-revenue series (theil_sen +
-# mann_kendall: 5 static consumers), the daily events-revenue series
-# (acf + runs test: 4), and the order x brand basket presence
-# (assoc_rules: 4).  All cleared in test_plan_drift's
+# session-cache so the fact table is scanned ONCE).  Four shared
+# relations live here (9th-12th): the monthly order-revenue series
+# (theil_sen + mann_kendall: 5 static consumers), the daily
+# events-revenue series (acf + runs test + ewma: 5), the order x
+# brand basket presence (assoc_rules: 4), and the per-user event
+# count relation (misra_gries: 6).  All cleared in test_plan_drift's
 # _clear_shared_caches.
 _STATS_REL_CACHE: dict = {}
 
