@@ -4158,7 +4158,7 @@ def temporal_join_sql2011(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer date sequence (dates pre-collapsed so zero-length
     intervals cannot exist), open episodes clipped at {horizon}.  The
     calendar derives from nation: four {year} quarters per nation,
-    rate_micro = ((nationkey*7 + quarter*13) %% 50) * 1000 — explode of
+    rate_micro = ((nationkey*7 + quarter*13) % 50) * 1000 — explode of
     a 4-struct literal array, NO join builds it.  Overlap predicate:
     a.valid_from < b.valid_to AND b.valid_from < a.valid_to; output
     carries greatest/least intersection bounds and the day measure.
@@ -4197,6 +4197,11 @@ def temporal_join_sql2011(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(c), F.col("custkey") == c.c_custkey).select(
         "custkey", "nationkey", "valid_from", "valid_to", "spend_cents"
     )
+    # ADVICE r10: an open episode starting ON/AFTER the horizon clips to a
+    # reversed interval (valid_to < valid_from); drop those before the
+    # temporal join so no negative-overlap row can ever be emitted, whatever
+    # _TJ_PROMO_YEAR / _TJ_HORIZON are set to.
+    episodes = episodes.filter(F.col("valid_from") < F.col("valid_to"))
     y = _TJ_PROMO_YEAR
     quarters = F.array(
         *[
@@ -4296,6 +4301,7 @@ def _tj_oracle() -> str:
            e.spend_cents, cal.rate_micro
     FROM episodes e JOIN cal
       ON e.nationkey = cal.nationkey
+     AND e.valid_from < e.valid_to  -- drop horizon-reversed open episodes
      AND e.valid_from < cal.p_to AND cal.p_from < e.valid_to
     """
 
@@ -4657,7 +4663,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi-square statistic (sum pinned against a Python replay; whether
     the synthetic fixture IS independent is the artifact's finding).
 
-    Day-of-week is days-since-epoch %% 7 (0 = Thursday) — a pure
+    Day-of-week is days-since-epoch % 7 (0 = Thursday) — a pure
     integer derivation with NO engine weekday function, so both
     engines agree by construction.  Shape: one grouped count (map-side
     partials) to the <= #types x 7 cell relation; row/column totals
@@ -6020,8 +6026,10 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decremented by the (k+1)-th largest count — the order-free fixed
     point every stream order converges to); the bucket summaries then
     MERGE: weights sum per user, and the merged multiset is
-    re-decremented by ITS (k+1)-th largest.  err_bound = the sum of
-    all decrements applied along the way; the MG guarantee
+    re-decremented by ITS (k+1)-th largest.  err_bound is the TIGHT
+    per-row mergeable-summaries bound t_bucket(u) + gt — each user
+    lives in exactly one bucket, so only its own bucket's threshold
+    plus the merge threshold can have decremented it; the MG guarantee
     est <= true <= est + err_bound is part of the OUTPUT contract
     (true counts ride along) and is pinned in pytest together with
     the heavy-hitter completeness property.
@@ -6074,13 +6082,15 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     gthr = mranked.filter(F.col("rn") == _MG_K + 1).select(
         F.col("w").alias("gt")
     )
-    bucket_decr = thr.agg(
-        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("bd")
-    )
+    # ADVICE r10: each user lives in exactly ONE bucket (u % b), so the
+    # tight mergeable-summaries bound is t_bucket(u) + gt per row — not the
+    # sum of every bucket's threshold.  Join the user's own bucket threshold
+    # back (broadcast, <= b rows) instead of the summed bucket_decr.
     final = (
         mranked.filter(F.col("rn") <= _MG_K)
         .join(F.broadcast(gthr), how="left")
-        .join(F.broadcast(bucket_decr))
+        .withColumn("bkt", F.expr(f"u % {_MG_BUCKETS}").cast("bigint"))
+        .join(F.broadcast(thr), "bkt", "left")
         .select(
             "u",
             F.greatest(
@@ -6089,7 +6099,8 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("est_weight"),
             (
-                F.col("bd") + F.coalesce(F.col("gt"), F.lit(0))
+                F.coalesce(F.col("t"), F.lit(0))
+                + F.coalesce(F.col("gt"), F.lit(0))
             )
             .cast("bigint")
             .alias("err_bound"),
@@ -6130,15 +6141,15 @@ register(
     mranked AS (SELECT u, w,
                        ROW_NUMBER() OVER (ORDER BY w DESC, u ASC) AS rn
                 FROM merged),
-    gthr AS (SELECT w AS gt FROM mranked WHERE rn = {_MG_K} + 1),
-    bd AS (SELECT CAST(coalesce(SUM(t), 0) AS BIGINT) AS bd FROM thr)
+    gthr AS (SELECT w AS gt FROM mranked WHERE rn = {_MG_K} + 1)
     SELECT m.u AS user_id,
            CAST(greatest(m.w - coalesce((SELECT gt FROM gthr), 0), 0)
                 AS BIGINT) AS est_weight,
            c.c AS true_count,
-           CAST((SELECT bd FROM bd) + coalesce((SELECT gt FROM gthr), 0)
+           CAST(coalesce(thr.t, 0) + coalesce((SELECT gt FROM gthr), 0)
                 AS BIGINT) AS err_bound
     FROM mranked m JOIN cnt c ON c.u = m.u
+    LEFT JOIN thr ON thr.bkt = CAST(m.u % {_MG_BUCKETS} AS BIGINT)
     WHERE m.rn <= {_MG_K}
       AND greatest(m.w - coalesce((SELECT gt FROM gthr), 0), 0) > 0
     """,

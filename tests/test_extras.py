@@ -2670,21 +2670,21 @@ def test_misra_gries_matches_canonical_replay(spark, sf_dir):
     for r in load_table(spark, sf_dir, "events").select("user_id").collect():
         cnt[r.user_id] += 1
     summ = Counter()
-    bd = 0
+    tbkt = {}  # per-bucket (k+1)-th threshold — the TIGHT bound component
     for bkt in range(_MG_BUCKETS):
         items = sorted(
             ((u, c) for u, c in cnt.items() if u % _MG_BUCKETS == bkt),
             key=lambda t: (-t[1], t[0]),
         )
         t = items[_MG_K][1] if len(items) > _MG_K else 0
-        bd += t
+        tbkt[bkt] = t
         for u, c in items[:_MG_K]:
             if c - t > 0:
                 summ[u] += c - t
     mitems = sorted(summ.items(), key=lambda t: (-t[1], t[0]))
     gt = mitems[_MG_K][1] if len(mitems) > _MG_K else 0
     expect = {
-        u: (w - gt, cnt[u], bd + gt)
+        u: (w - gt, cnt[u], tbkt[u % _MG_BUCKETS] + gt)
         for u, w in mitems[:_MG_K]
         if w - gt > 0
     }
@@ -2695,10 +2695,12 @@ def test_misra_gries_matches_canonical_replay(spark, sf_dir):
     assert got == expect and len(got) >= 1
     for u, (est, true, err) in got.items():
         assert est <= true <= est + err
-    err_bound = next(iter(got.values()))[2]
+    # completeness under the TIGHT per-user bound: any user whose true
+    # count exceeds t_bucket(u) + gt cannot have been decremented to zero
     for u, c in cnt.items():
-        if c > err_bound:
-            assert u in got, (u, c, err_bound)
+        bound = tbkt[u % _MG_BUCKETS] + gt
+        if c > bound:
+            assert u in got, (u, c, bound)
 
 
 # batch 14: interval_coalesce_pack + ewma_control_chart
