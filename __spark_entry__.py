@@ -40,10 +40,14 @@ from spark_streaming_clustering_spark.operators.flagship import flagship_revenue
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _driver_green_keys() -> set[str]:
-    """Keys already fully green in any committed driver CORRECTNESS file."""
-    green: set[str] = set()
+def _driver_green_rounds() -> dict[str, int]:
+    """Per key, the LATEST round number with a fully-green driver row."""
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -57,15 +61,23 @@ def _driver_green_keys() -> set[str]:
             if rec.get("rows_match") and (
                 rec.get("hash_match") or key not in ORACLES
             ):
-                green.add(key)
+                green[key] = max(green.get(key, 0), rnd)
     return green
 
 
 def _ordered_keys() -> list[str]:
-    green = _driver_green_keys()
+    green = _driver_green_rounds()
     pending_oracle = [k for k in QUERIES if k not in green and k in ORACLES]
     pending_rows = [k for k in QUERIES if k not in green and k not in ORACLES]
-    done = [k for k in QUERIES if k in green]
+    # Already-green keys: STALEST first (earliest last-green round), so a
+    # fully-green registry rotates the 50-slot driver window onto the keys
+    # longest without re-verification (VERDICT r10 item 6) instead of
+    # handing newer keys third confirmations.  Ties keep registry order.
+    reg_pos = {k: i for i, k in enumerate(QUERIES)}
+    done = sorted(
+        (k for k in QUERIES if k in green),
+        key=lambda k: (green[k], reg_pos[k]),
+    )
     return pending_oracle + pending_rows + done
 
 
