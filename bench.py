@@ -126,6 +126,9 @@ HEADLINE = [
     # largest-remainder apportionment
     "cusum_changepoint",
     "largest_remainder_alloc",
+    # round-11: k-core peeling on the skew-derived rich-club graph
+    # (8 checkpointed rounds over a calendar-bounded edge relation)
+    "graph_kcore_richclub",
 ]
 
 
@@ -465,6 +468,9 @@ def main() -> None:
         # (plan-build-bound, data-independent); the 2.5-5.5 s spread is
         # intrinsic, so a 3-sample best is never representative
         "v_optimal_histogram",
+        # r11: 8 driver-paced checkpointed peel rounds (the gstream_epoch
+        # precedent — driver-paced loops are the most steal-sensitive rows)
+        "graph_kcore_richclub",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in

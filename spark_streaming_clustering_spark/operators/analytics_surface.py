@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, register_plan_proxy
 
 # ==========================================================================
 # sessionize_events
@@ -1544,3 +1544,226 @@ def _sssp_oracle() -> str:
 
 
 register("sssp_bellman_ford", sssp_bellman_ford, _sssp_oracle())
+
+
+# ==========================================================================
+# graph_kcore_richclub (round 11) — k-core decomposition on a SKEW-derived
+# co-occurrence graph (the r10 probe showed the uniform-degree fixture
+# graphs peel to everything-or-nothing; this derivation has real hubs)
+# ==========================================================================
+
+_KCORE_C = 10  # rich-club cap: top-C customers per order week form a clique
+_KCORE_COWEEKS = 2  # edge requires co-occurrence in >= this many weeks
+_KCORE_K = 4  # core threshold (degree >= K within the surviving set)
+# Unrolled peel depth. The peel fixpoint is data-dependent; measured
+# cascade depth on the committed fixtures is <= 4 at every sf (sf0.001: 4,
+# sf0.01: 2, sf0.1: 2 — r11 feasibility probe), so 8 rounds is a 2x
+# margin.  tests/test_analytics_props.py pins via a full Python peel
+# replay that the TRUE fixpoint is reached within _KCORE_ROUNDS // 2 at
+# each fixture; applying extra rounds past fixpoint is the identity, so
+# Spark (8 checkpointed rounds) and the oracle (8 unrolled CTE levels)
+# compute the same set.
+_KCORE_ROUNDS = 8
+_WEEK_US = 604_800_000_000  # one week in microseconds (integer div key)
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded rich-club pair graph, SYMMETRIC view.
+
+    Derivation (all integer arithmetic, engine-identical): per order
+    week (unix_micros div week, the house integer-division idiom) rank
+    customers ACTIVE that week by GLOBAL order count (ties: custkey) —
+    the top-{C} form a clique; a pair keeps its edge only if it
+    co-occurs in >= {T} weeks.  Heavy customers win the weekly cut
+    repeatedly, so they accumulate degree (hubs); one-off customers
+    surface in one clique at most and stay peripheral — exactly the
+    skew the r10 probe said k-core needs to be non-degenerate.
+
+    Scale shape: ONE fact scan -> S(ck, week) count; the global order
+    count is a second aggregate OVER THAT bounded relation (not the
+    fact); the rank window shuffles S(week) over <= active-customers
+    rows; the pair self-join runs per week on <= C rows (<= C(C-1)/2
+    pairs/week) so edges are calendar-bounded (#weeks x 45), NOT
+    data-bounded — at 100 TB the graph grows with the time span only.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            f"unix_micros(cast(o_orderdate as timestamp)) div {_WEEK_US}"
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    cw = o.groupBy("ck", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_w")
+    )
+    nord = cw.groupBy("ck").agg(
+        F.sum("n_w").cast("bigint").alias("n_orders")
+    )
+    rn_w = Window.partitionBy("w").orderBy(
+        F.col("n_orders").desc(), F.col("ck").asc()
+    )
+    top = (
+        cw.join(nord, "ck")
+        .select("w", "ck", F.row_number().over(rn_w).alias("rn"))
+        .filter(F.col("rn") <= _KCORE_C)
+        .select("w", "ck")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.ck") < F.col("b.ck")),
+        )
+        .groupBy(F.col("a.ck").alias("u"), F.col("b.ck").alias("v"))
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .filter(F.col("nw") >= _KCORE_COWEEKS)
+        .select("u", "v")
+    )
+    return pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _kcore_peel_round(sym: DataFrame, surv: DataFrame) -> DataFrame:
+    """One peel application: survivors = nodes whose degree WITHIN the
+    current survivor set is >= K (two semi-joins + one count — the
+    shape each of the unrolled rounds actually pays)."""
+    return (
+        sym.join(surv.select(F.col("node").alias("u")), "u")
+        .join(surv.select(F.col("node").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .filter(F.col("d") >= _KCORE_K)
+        .select(F.col("u").alias("node"))
+    )
+
+
+def graph_kcore_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (Seidman 1983; distributed peeling per
+    Montresor et al. "Distributed k-core decomposition", PODC'11 —
+    public literature) of the rich-club co-order-week graph: repeatedly
+    remove nodes with degree < K until fixpoint; emit the surviving
+    core with each member's full-graph and within-core degree plus its
+    order count — the cohesive-subgroup primitive (who is in the
+    stable heavy-customer club, not just who has high degree: a hub
+    whose neighbors all peel peels too).
+
+    Non-degeneracy (the r10 k-core probe's bar): on the committed
+    fixtures the core is strictly between empty and everything at
+    every sf (sf0.001: 71/138 nodes, sf0.01: 227/286, sf0.1: 211/241)
+    with real multi-round cascades — pinned by the Python peel replay
+    in tests/test_analytics_props.py.
+
+    Execution: the edge relation is calendar-bounded (see
+    ``_kcore_edges``), localCheckpointed so the derivation runs ONCE;
+    then {R} fixed peel rounds (measured fixpoint depth <= 4 on every
+    fixture, 2x margin; extra rounds are the identity), each
+    checkpointed to truncate lineage — the ``dedup_connected_components``
+    recipe.  The oracle unrolls the same {R} rounds as chained CTEs.
+    No driver-side graph state; every per-round join is on a
+    value-bounded relation AQE broadcasts.
+    """
+    sym = _kcore_edges(spark, sf_dir).localCheckpoint(eager=True)
+    surv = sym.select(F.col("u").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        surv = _kcore_peel_round(sym, surv).localCheckpoint(eager=True)
+    deg_full = sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_full")
+    )
+    deg_core = (
+        sym.join(surv.select(F.col("node").alias("u")), "u")
+        .join(surv.select(F.col("node").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_core"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    nord = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return (
+        deg_core.join(deg_full, "u")
+        .join(nord, "u")
+        .select(
+            F.col("u").alias("custkey"),
+            "n_orders",
+            "deg_full",
+            "deg_core",
+        )
+    )
+
+
+graph_kcore_richclub.__doc__ = graph_kcore_richclub.__doc__.format(
+    R=_KCORE_ROUNDS
+)
+
+
+def graph_kcore_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan: the executed operator localCheckpoints
+    (its returned plan truncates to an RDD scan, invisible to the
+    drift gate — the ``dedup_cc_iteration_plan`` precedent), so this
+    proxy rebuilds edge derivation + ONE peel round lazily for
+    PLANS.json / test_plan_drift to fingerprint."""
+    sym = _kcore_edges(spark, sf_dir)
+    surv = sym.select(F.col("u").alias("node")).distinct()
+    return _kcore_peel_round(sym, surv)
+
+
+def _kcore_oracle() -> str:
+    levels = []
+    prev = "s0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: each level references the previous
+        # one TWICE, so DuckDB's default CTE inlining would re-evaluate the
+        # whole chain per reference — 2^R copies of the derivation (timed
+        # out at sf0.01).  Materializing makes each level evaluate once,
+        # mirroring the Spark side's per-round localCheckpoint.
+        levels.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT e.u AS node FROM sym e
+      JOIN {prev} pu ON e.u = pu.node
+      JOIN {prev} pv ON e.v = pv.node
+      GROUP BY e.u HAVING COUNT(*) >= {_KCORE_K})"""
+        )
+        prev = f"s{i}"
+    levels_sql = ",\n    ".join(levels)
+    return f"""
+    WITH cw AS (
+      SELECT o_custkey AS ck,
+             epoch_us(o_orderdate) // {_WEEK_US} AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM orders GROUP BY 1, 2),
+    nord AS (SELECT ck, CAST(SUM(n_w) AS BIGINT) AS n_orders
+             FROM cw GROUP BY 1),
+    top AS (
+      SELECT w, ck FROM (
+        SELECT cw.w, cw.ck,
+               ROW_NUMBER() OVER (PARTITION BY cw.w
+                                  ORDER BY n.n_orders DESC, cw.ck ASC) AS rn
+        FROM cw JOIN nord n ON n.ck = cw.ck)
+      WHERE rn <= {_KCORE_C}),
+    pairs AS (
+      SELECT a.ck AS u, b.ck AS v
+      FROM top a JOIN top b ON a.w = b.w AND a.ck < b.ck
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_COWEEKS}),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+    {levels_sql},
+    deg_full AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg_full
+                 FROM sym GROUP BY 1),
+    deg_core AS (
+      SELECT e.u, CAST(COUNT(*) AS BIGINT) AS deg_core FROM sym e
+      JOIN {prev} pu ON e.u = pu.node
+      JOIN {prev} pv ON e.v = pv.node
+      GROUP BY e.u)
+    SELECT c.u AS custkey, n.n_orders, f.deg_full, c.deg_core
+    FROM deg_core c
+    JOIN deg_full f ON f.u = c.u
+    JOIN nord n ON n.ck = c.u
+    """
+
+
+register("graph_kcore_richclub", graph_kcore_richclub, _kcore_oracle())
+register_plan_proxy("graph_kcore_richclub", graph_kcore_iteration_plan)

@@ -107,3 +107,90 @@ def test_bigrams_bounded_by_tokens(spark, sf_dir):
     rows = sorted(ngram_counts(spark, sf_dir).collect(), key=lambda r: r.rank)
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(a.cnt >= b.cnt for a, b in zip(rows, rows[1:]))
+
+
+def _kcore_python_replay(sf_path: str):
+    """Pure-Python replay of the ENTIRE graph_kcore_richclub
+    construction (derivation + peel to TRUE fixpoint) from the raw
+    parquet — no SQL shared with either engine."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        _KCORE_C,
+        _KCORE_COWEEKS,
+        _KCORE_K,
+        _WEEK_US,
+    )
+
+    rows = duckdb.execute(
+        "SELECT o_custkey, epoch_us(o_orderdate) FROM "
+        f"read_parquet('{sf_path}/orders.parquet')"
+    ).fetchall()
+    nord = Counter(ck for ck, _ in rows)
+    weeks = defaultdict(set)
+    for ck, us in rows:
+        weeks[us // _WEEK_US].add(ck)
+    co = Counter()
+    for members in weeks.values():
+        top = sorted(members, key=lambda c: (-nord[c], c))[:_KCORE_C]
+        for i, u in enumerate(top):
+            for v in top[i + 1 :]:
+                co[(u, v) if u < v else (v, u)] += 1
+    adj = defaultdict(set)
+    for (u, v), n in co.items():
+        if n >= _KCORE_COWEEKS:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        drop = {
+            u for u in alive if sum(1 for v in adj[u] if v in alive) < _KCORE_K
+        }
+        if not drop:
+            break
+        alive -= drop
+        rounds += 1
+    expect = {
+        u: (nord[u], len(adj[u]), sum(1 for v in adj[u] if v in alive))
+        for u in alive
+    }
+    return expect, len(adj), rounds
+
+
+def test_kcore_matches_python_peel_replay(spark, sf_dir):
+    """Full replay pin: the Spark output (core members, order counts,
+    full/core degrees) equals a pure-Python derivation + peel run to
+    TRUE fixpoint — proving the fixed unroll reached the fixpoint."""
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        graph_kcore_richclub,
+    )
+
+    expect, _n_nodes, _rounds = _kcore_python_replay(sf_dir)
+    got = {
+        r.custkey: (r.n_orders, r.deg_full, r.deg_core)
+        for r in graph_kcore_richclub(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
+    for _ck, (_n, deg_full, deg_core) in got.items():
+        assert deg_core >= 4  # every member meets K within the core
+        assert deg_full >= deg_core
+
+
+def test_kcore_nondegenerate_and_unroll_covers_fixpoint():
+    """The r10 probe's bar, pinned at EVERY committed fixture scale:
+    the core is strictly between empty and everything (a degenerate
+    fixture would make the key meaningless), and the TRUE peel
+    fixpoint depth stays within HALF the unrolled round budget (the
+    2x margin both engines rely on — rounds past fixpoint are the
+    identity, so equality holds iff the unroll covers the fixpoint)."""
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        _KCORE_ROUNDS,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        expect, n_nodes, rounds = _kcore_python_replay(f"/root/testdata/{sf}")
+        assert 0 < len(expect) < n_nodes, (sf, len(expect), n_nodes)
+        assert rounds <= _KCORE_ROUNDS // 2, (sf, rounds)
