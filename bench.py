@@ -127,8 +127,10 @@ HEADLINE = [
     "cusum_changepoint",
     "largest_remainder_alloc",
     # round-11: k-core peeling on the skew-derived rich-club graph
-    # (8 checkpointed rounds over a calendar-bounded edge relation)
+    # (8 checkpointed rounds over a calendar-bounded edge relation);
+    # bitemporal AS-OF temporal join (1 scan + 2 broadcasts)
     "graph_kcore_richclub",
+    "bitemporal_temporal_join",
 ]
 
 

@@ -3737,38 +3737,12 @@ _BT_AMND = 11  # orderkeys % 11 == 0: retroactive AMENDMENT at +20 days
 _BT_INF = "9999-12-31"
 
 
-def bitemporal_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitemporal POINT-IN-TIME query: reconstruct the orders price
-    table AS OF system time {t0} (what the database had recorded by
-    then) x valid time {v0} (what was true in the world then) — the
-    two-axis temporal class (``scd2_dimension`` tracks ONE axis;
-    ``join_asof`` is event-time lookup; nothing previously separated
-    'when we learned it' from 'when it was true' — the Snodgrass /
-    SQL:2011 bitemporal model, public).
-
-    The version relation derives deterministically from orders: every
-    order's original price is recorded at its orderdate with valid
-    [orderdate, inf); orders with key % {corr} == 0 get a CORRECTION
-    (+100 cents, same validity — the recorded fact was wrong) at
-    system time +10 days, closing the original's system interval;
-    orders with key % {amnd} == 0 get a retroactive AMENDMENT at
-    system +20 days that SPLITS validity — old price until valid
-    +30 days, +200 cents after — so a system-time reader after the
-    amendment sees two valid-time rows where before it saw one.  The
-    PIT filter (sys_from <= T0 < sys_to AND valid_from <= V0 <
-    valid_to) therefore yields AT MOST ONE row per order — uniqueness
-    pinned in pytest against a Python bitemporal replay.
-
-    Scale shape: the version relation EXPLODES from ONE scan (an array
-    of up to four version structs per order, NULL branches filtered —
-    the ``concurrent_intervals`` delta-explode idiom; the plan shows
-    exactly one parquet scan, vs four for the naive 4-way union of
-    filtered branches); both interval predicates are then row-level
-    filters (at a real deployment's scale they prune via
-    partition/zone stats on sys_from — see ``zone_map_skip_stats``);
-    no shuffle at all until the driver collects.  All arithmetic is
-    integer days and cents.
-    """
+def _bt_version_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded bitemporal version relation (orderkey, custkey,
+    version, price_cents, valid_from, valid_to, sys_from, sys_to) —
+    ONE orders scan via the 4-struct delta-explode; shared by
+    ``bitemporal_pit_query`` (point read) and
+    ``bitemporal_temporal_join`` (interval join)."""
     o = load_table(spark, sf_dir, "orders")
     od = F.to_date("o_orderdate")
     cents = F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
@@ -3833,12 +3807,48 @@ def bitemporal_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    return o.select(
+        key.alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.explode(F.filter(versions, lambda x: x.isNotNull())).alias("v"),
+    ).select("orderkey", "custkey", "v.*")
+
+
+def bitemporal_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal POINT-IN-TIME query: reconstruct the orders price
+    table AS OF system time {t0} (what the database had recorded by
+    then) x valid time {v0} (what was true in the world then) — the
+    two-axis temporal class (``scd2_dimension`` tracks ONE axis;
+    ``join_asof`` is event-time lookup; nothing previously separated
+    'when we learned it' from 'when it was true' — the Snodgrass /
+    SQL:2011 bitemporal model, public).
+
+    The version relation derives deterministically from orders: every
+    order's original price is recorded at its orderdate with valid
+    [orderdate, inf); orders with key % {corr} == 0 get a CORRECTION
+    (+100 cents, same validity — the recorded fact was wrong) at
+    system time +10 days, closing the original's system interval;
+    orders with key % {amnd} == 0 get a retroactive AMENDMENT at
+    system +20 days that SPLITS validity — old price until valid
+    +30 days, +200 cents after — so a system-time reader after the
+    amendment sees two valid-time rows where before it saw one.  The
+    PIT filter (sys_from <= T0 < sys_to AND valid_from <= V0 <
+    valid_to) therefore yields AT MOST ONE row per order — uniqueness
+    pinned in pytest against a Python bitemporal replay.
+
+    Scale shape: the version relation EXPLODES from ONE scan (an array
+    of up to four version structs per order, NULL branches filtered —
+    the ``concurrent_intervals`` delta-explode idiom; the plan shows
+    exactly one parquet scan, vs four for the naive 4-way union of
+    filtered branches); both interval predicates are then row-level
+    filters (at a real deployment's scale they prune via
+    partition/zone stats on sys_from — see ``zone_map_skip_stats``);
+    no shuffle at all until the driver collects.  All arithmetic is
+    integer days and cents.
+    """
     t0 = F.lit(_BT_SYS_T0).cast("date")
     vv = F.lit(_BT_VALID_V0).cast("date")
-    ex = o.select(
-        key.alias("orderkey"),
-        F.explode(F.filter(versions, lambda x: x.isNotNull())).alias("v"),
-    ).select("orderkey", "v.*")
+    ex = _bt_version_relation(spark, sf_dir)
     return ex.filter(
         (F.col("sys_from") <= t0)
         & (t0 < F.col("sys_to"))
@@ -4147,6 +4157,44 @@ def _tj_rate_micro_expr(nk: str, q: str) -> str:
     return f"(({nk} * 7 + {q} * 13) % 50) * 1000"
 
 
+def _tj_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation promo calendar ({year}'s four quarters, deterministic
+    integer rate) — #nations x 4 rows at ANY scale, broadcast side of
+    every temporal join; shared by ``temporal_join_sql2011`` and
+    ``bitemporal_temporal_join``."""
+    y = _TJ_PROMO_YEAR
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("bigint").alias("quarter"),
+                F.lit(f"{y}-{3 * q - 2:02d}-01").cast("date").alias("p_from"),
+                F.lit(
+                    f"{y + 1}-01-01" if q == 4 else f"{y}-{3 * q + 1:02d}-01"
+                )
+                .cast("date")
+                .alias("p_to"),
+            )
+            for q in range(1, 5)
+        ]
+    )
+    return (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("nationkey"),
+            F.explode(quarters).alias("p"),
+        )
+        .select(
+            "nationkey",
+            "p.quarter",
+            "p.p_from",
+            "p.p_to",
+            F.expr(_tj_rate_micro_expr("nationkey", "quarter"))
+            .cast("bigint")
+            .alias("rate_micro"),
+        )
+    )
+
+
 def temporal_join_sql2011(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL:2011 valid-time temporal INNER JOIN (Snodgrass; the standard's
     period OVERLAPS semantics): customer spending EPISODES joined to a
@@ -4205,37 +4253,7 @@ def temporal_join_sql2011(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporal join so no negative-overlap row can ever be emitted, whatever
     # _TJ_PROMO_YEAR / _TJ_HORIZON are set to.
     episodes = episodes.filter(F.col("valid_from") < F.col("valid_to"))
-    y = _TJ_PROMO_YEAR
-    quarters = F.array(
-        *[
-            F.struct(
-                F.lit(q).cast("bigint").alias("quarter"),
-                F.lit(f"{y}-{3 * q - 2:02d}-01").cast("date").alias("p_from"),
-                F.lit(
-                    f"{y + 1}-01-01" if q == 4 else f"{y}-{3 * q + 1:02d}-01"
-                )
-                .cast("date")
-                .alias("p_to"),
-            )
-            for q in range(1, 5)
-        ]
-    )
-    cal = (
-        load_table(spark, sf_dir, "nation")
-        .select(
-            F.col("n_nationkey").cast("bigint").alias("nationkey"),
-            F.explode(quarters).alias("p"),
-        )
-        .select(
-            "nationkey",
-            "p.quarter",
-            "p.p_from",
-            "p.p_to",
-            F.expr(_tj_rate_micro_expr("nationkey", "quarter"))
-            .cast("bigint")
-            .alias("rate_micro"),
-        )
-    )
+    cal = _tj_calendar(spark, sf_dir)
     j = episodes.join(
         F.broadcast(cal),
         on=[
@@ -4310,6 +4328,146 @@ def _tj_oracle() -> str:
 
 
 register("temporal_join_sql2011", temporal_join_sql2011, _tj_oracle())
+
+
+def bitemporal_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 bitemporal TEMPORAL JOIN (VERDICT r10 item 5): the
+    promo-overlap join computed AS OF a PAST SYSTEM TIME — join each
+    order's valid-time price SEGMENTATION as the database knew it at
+    system time {t0} to the per-nation promo calendar wherever the
+    periods overlap, emitting the intersection interval and the price
+    BELIEVED at {t0}.
+
+    The distinct contract neither parent expresses:
+    ``bitemporal_pit_query`` reads ONE (system, valid) point — no
+    join, no intervals out; ``temporal_join_sql2011`` joins
+    CURRENT-knowledge intervals — no system axis.  Here the system
+    filter changes the JOINED ROWS: an amendment recorded by {t0}
+    splits an order into TWO price segments whose [od, od+30) /
+    [od+30, inf) bounds intersect different promo quarters at
+    different prices; a correction recorded AFTER {t0} leaves the
+    join reporting the original (later-falsified) price — the
+    retroactive-audit read ("what promo exposure did we believe
+    then"), non-vacuity pinned in pytest.
+
+    Scale shape: version relation = ONE orders scan (the shared
+    4-struct delta-explode, ``_bt_version_relation``); the system-axis
+    predicate is a row-level filter at the scan; nationkey arrives via
+    the broadcast customer dim; the temporal join itself is a
+    BROADCAST HASH join equi-keyed on nationkey with the overlap
+    residual against the #nations x 4 calendar — no shuffle at any
+    scale.  All arithmetic integer days / cents / micros.
+    """
+    t0 = F.lit(_BT_SYS_T0).cast("date")
+    ver = _bt_version_relation(spark, sf_dir).filter(
+        (F.col("sys_from") <= t0) & (t0 < F.col("sys_to"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    ver = ver.join(F.broadcast(c), ver.custkey == c.c_custkey).select(
+        "orderkey",
+        "nationkey",
+        "version",
+        "price_cents",
+        "valid_from",
+        "valid_to",
+    )
+    cal = _tj_calendar(spark, sf_dir)
+    j = ver.join(
+        F.broadcast(cal),
+        on=[
+            ver.nationkey == cal.nationkey,
+            ver.valid_from < cal.p_to,
+            cal.p_from < ver.valid_to,
+        ],
+    )
+    return j.select(
+        "orderkey",
+        ver.nationkey.alias("nationkey"),
+        "quarter",
+        "version",
+        F.greatest(ver.valid_from, cal.p_from).alias("ivl_from"),
+        F.least(ver.valid_to, cal.p_to).alias("ivl_to"),
+        F.datediff(
+            F.least(ver.valid_to, cal.p_to),
+            F.greatest(ver.valid_from, cal.p_from),
+        )
+        .cast("bigint")
+        .alias("overlap_days"),
+        "price_cents",
+        "rate_micro",
+    )
+
+
+bitemporal_temporal_join.__doc__ = bitemporal_temporal_join.__doc__.format(
+    t0=_BT_SYS_T0
+)
+
+
+def _btj_oracle() -> str:
+    y = _TJ_PROMO_YEAR
+    inf = f"CAST('{_BT_INF}' AS DATE)"
+    t0 = f"CAST('{_BT_SYS_T0}' AS DATE)"
+    qrows = ", ".join(
+        f"({q}, DATE '{y}-{3 * q - 2:02d}-01', "
+        f"DATE '{(y + 1 if q == 4 else y)}-"
+        f"{(1 if q == 4 else 3 * q + 1):02d}-01')"
+        for q in range(1, 5)
+    )
+    return f"""
+    WITH base AS (SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+                         CAST(o_orderdate AS DATE) AS od,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                         o_orderkey % {_BT_CORR} = 0 AS is_corr,
+                         o_orderkey % {_BT_AMND} = 0 AS is_amnd
+                  FROM orders),
+    versions AS (
+      SELECT orderkey, custkey, 'original' AS version, c AS price_cents,
+             od AS valid_from, {inf} AS valid_to, od AS sys_from,
+             CASE WHEN is_corr THEN od + 10
+                  WHEN is_amnd THEN od + 20 ELSE {inf} END AS sys_to
+      FROM base
+      UNION ALL
+      SELECT orderkey, custkey, 'corrected', c + 100, od, {inf}, od + 10,
+             CASE WHEN is_amnd THEN od + 20 ELSE {inf} END
+      FROM base WHERE is_corr
+      UNION ALL
+      SELECT orderkey, custkey, 'amended_pre',
+             c + CASE WHEN is_corr THEN 100 ELSE 0 END,
+             od, od + 30, od + 20, {inf}
+      FROM base WHERE is_amnd
+      UNION ALL
+      SELECT orderkey, custkey, 'amended_post',
+             c + CASE WHEN is_corr THEN 100 ELSE 0 END + 200,
+             od + 30, {inf}, od + 20, {inf}
+      FROM base WHERE is_amnd),
+    pit AS (
+      SELECT v.orderkey, CAST(cu.c_nationkey AS BIGINT) AS nationkey,
+             v.version, v.price_cents, v.valid_from, v.valid_to
+      FROM versions v JOIN customer cu ON v.custkey = cu.c_custkey
+      WHERE v.sys_from <= {t0} AND {t0} < v.sys_to),
+    cal AS (
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+             CAST(q.quarter AS BIGINT) AS quarter, q.p_from, q.p_to,
+             CAST({_tj_rate_micro_expr("CAST(n.n_nationkey AS BIGINT)",
+                                       "q.quarter")} AS BIGINT) AS rate_micro
+      FROM nation n
+      CROSS JOIN (VALUES {qrows}) AS q(quarter, p_from, p_to))
+    SELECT p.orderkey, p.nationkey, cal.quarter, p.version,
+           greatest(p.valid_from, cal.p_from) AS ivl_from,
+           least(p.valid_to, cal.p_to) AS ivl_to,
+           CAST(date_diff('day', greatest(p.valid_from, cal.p_from),
+                          least(p.valid_to, cal.p_to)) AS BIGINT)
+             AS overlap_days,
+           p.price_cents, cal.rate_micro
+    FROM pit p JOIN cal
+      ON p.nationkey = cal.nationkey
+     AND p.valid_from < cal.p_to AND cal.p_from < p.valid_to
+    """
+
+
+register("bitemporal_temporal_join", bitemporal_temporal_join, _btj_oracle())
 
 
 # --------------------------------------------------------------------------

@@ -2833,3 +2833,153 @@ def test_ewma_matches_state_replay(spark, sf_dir):
     }
     assert got == expect and len(got) == n
     assert all(0 <= v[2] <= 1_000_000 for v in got.values())
+
+
+def _btj_python_replay(orders_rows, customers, sys_at):
+    """Pure-Python bitemporal temporal-join replay: version sets,
+    system-axis filter at ``sys_at`` (None = latest knowledge), then
+    the overlap join against the promo calendar.  Returns the exact
+    output tuple set."""
+    from datetime import date, timedelta
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _BT_AMND,
+        _BT_CORR,
+        _TJ_PROMO_YEAR,
+    )
+
+    inf = date(9999, 12, 31)
+    y = _TJ_PROMO_YEAR
+    cal = {}
+    for nk in set(customers.values()):
+        for q in range(1, 5):
+            p_from = date(y, 3 * q - 2, 1)
+            p_to = date(y + 1, 1, 1) if q == 4 else date(y, 3 * q + 1, 1)
+            cal.setdefault(nk, []).append(
+                (q, p_from, p_to, ((nk * 7 + q * 13) % 50) * 1000)
+            )
+    out = set()
+    for k, od, price in orders_rows:
+        c = price
+        is_corr = k % _BT_CORR == 0
+        is_amnd = k % _BT_AMND == 0
+        corr = 100 if is_corr else 0
+        vers = [
+            (
+                "original", c, od, inf, od,
+                od + timedelta(days=10)
+                if is_corr
+                else (od + timedelta(days=20) if is_amnd else inf),
+            )
+        ]
+        if is_corr:
+            vers.append(
+                ("corrected", c + 100, od, inf, od + timedelta(days=10),
+                 od + timedelta(days=20) if is_amnd else inf)
+            )
+        if is_amnd:
+            vers.append(
+                ("amended_pre", c + corr, od, od + timedelta(days=30),
+                 od + timedelta(days=20), inf)
+            )
+            vers.append(
+                ("amended_post", c + corr + 200, od + timedelta(days=30),
+                 inf, od + timedelta(days=20), inf)
+            )
+        nk = customers[k]
+        for name, p, vf, vt, sf, st in vers:
+            if sys_at is not None and not (sf <= sys_at < st):
+                continue
+            if sys_at is None and st != inf:
+                continue  # latest knowledge = open system interval
+            for q, pf, pt, rate in cal[nk]:
+                if vf < pt and pf < vt:
+                    iv_f, iv_t = max(vf, pf), min(vt, pt)
+                    out.add(
+                        (k, nk, q, name, iv_f, iv_t, (iv_t - iv_f).days,
+                         p, rate)
+                    )
+    return out
+
+
+def _btj_fixture_rows(sf_path: str):
+    import duckdb
+
+    orders = [
+        (k, od, c)
+        for k, od, c in duckdb.execute(
+            "SELECT o_orderkey, CAST(o_orderdate AS DATE), "
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) FROM "
+            f"read_parquet('{sf_path}/orders.parquet')"
+        ).fetchall()
+    ]
+    cust_nation = dict(
+        duckdb.execute(
+            "SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM "
+            f"read_parquet('{sf_path}/customer.parquet')"
+        ).fetchall()
+    )
+    # map orderkey -> nationkey via custkey
+    ck = dict(
+        duckdb.execute(
+            "SELECT o_orderkey, o_custkey FROM "
+            f"read_parquet('{sf_path}/orders.parquet')"
+        ).fetchall()
+    )
+    customers = {k: cust_nation[ck[k]] for k, _, _ in orders}
+    return orders, customers
+
+
+def test_bitemporal_temporal_join_matches_replay(spark, sf_dir):
+    """Exact replay pin plus the amendment-split tooth: some order
+    contributes BOTH amended_pre and amended_post joined rows at
+    different prices (the interval×interval result bitemporal_pit's
+    point read cannot emit)."""
+    from datetime import date
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _BT_SYS_T0,
+        bitemporal_temporal_join,
+    )
+
+    orders, customers = _btj_fixture_rows(sf_dir)
+    expect = _btj_python_replay(
+        orders, customers, date.fromisoformat(_BT_SYS_T0)
+    )
+    got = {
+        (r.orderkey, r.nationkey, r.quarter, r.version, r.ivl_from,
+         r.ivl_to, r.overlap_days, r.price_cents, r.rate_micro)
+        for r in bitemporal_temporal_join(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) >= 1
+    by_key = {}
+    for row in got:
+        by_key.setdefault(row[0], set()).add((row[3], row[7]))
+    splits = [
+        k for k, vs in by_key.items()
+        if {v for v, _ in vs} >= {"amended_pre", "amended_post"}
+        and len({p for _, p in vs}) >= 2
+    ]
+    assert splits, "no amendment split reached the join — tooth (a) vacuous"
+    assert all(r[6] >= 1 for r in got)  # no reversed/empty intersections
+
+
+def test_bitemporal_temporal_join_system_axis_is_load_bearing():
+    """Non-vacuity tooth (b), at the driver's oracle scale: the AS-OF
+    join differs from the CURRENT-knowledge join (late-December
+    amendments recorded after T0 exist in the fixture), so the system
+    filter does real work rather than being a pass-through."""
+    from datetime import date
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        _BT_SYS_T0,
+    )
+
+    orders, customers = _btj_fixture_rows("/root/testdata/sf0.01")
+    asof = _btj_python_replay(
+        orders, customers, date.fromisoformat(_BT_SYS_T0)
+    )
+    latest = _btj_python_replay(orders, customers, None)
+    assert asof != latest
+    only_latest = {r for r in latest if r not in asof}
+    assert any(r[3] in ("amended_pre", "amended_post") for r in only_latest)
