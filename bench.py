@@ -131,6 +131,9 @@ HEADLINE = [
     # bitemporal AS-OF temporal join (1 scan + 2 broadcasts)
     "graph_kcore_richclub",
     "bitemporal_temporal_join",
+    # round-11: synchronous LPA community detection (8 checkpointed
+    # rounds on the planted-partition graph)
+    "graph_label_propagation",
 ]
 
 
@@ -473,6 +476,7 @@ def main() -> None:
         # r11: 8 driver-paced checkpointed peel rounds (the gstream_epoch
         # precedent — driver-paced loops are the most steal-sensitive rows)
         "graph_kcore_richclub",
+        "graph_label_propagation",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in
