@@ -304,6 +304,36 @@ def _robust_center(samples: list[float], floor: float | None) -> tuple[float, st
     return med, "median5"
 
 
+# Worst-case per-key stdout budget: len('"<name>":0.99,') = name + 8.
+# The driver's stdout-tail window is ~2000 chars (r7's overflow lost
+# that round's driver artifact); the constant fields cost ~160, so cap
+# the per-key portion well under the window.
+_STDOUT_QUERIES_BUDGET = 1600
+
+
+def _capped_stdout_queries(times: dict) -> dict:
+    """Slim per-key walls for the stdout tail line, CAPPED so the line
+    can never outgrow the driver's capture window as the headline set
+    grows (74 keys x ~26 chars worst-case passed 1900 at r11).  When
+    over budget, keys are dropped in HEADLINE order — the OLDEST,
+    deepest-history keys first: their walls are witnessed by ten rounds
+    of committed artifacts and by THIS round's self-artifact (which
+    always carries the full map + raw samples and is what
+    _round_records and auditors prefer); the newest keys keep their
+    driver-witnessed stdout slot."""
+    out = {k: _slim_wall(v) for k, v in times.items()}
+    order = [k for k in times]  # HEADLINE order: oldest batches first
+    i = 0
+    while (
+        len(json.dumps(out, separators=(",", ":")))
+        > _STDOUT_QUERIES_BUDGET
+        and i < len(order)
+    ):
+        del out[order[i]]
+        i += 1
+    return out
+
+
 def _slim_wall(v: float):
     """2-significant-digit wall for the stdout tail line (VERDICT r9
     item 6: 1806/1900 chars at 67 keys — the slim line is the budget;
@@ -590,7 +620,7 @@ def main() -> None:
     # item 6: centisecond rendering left 94 chars of slack at 67 keys).
     slim = {
         **record,
-        "queries": {k: _slim_wall(v) for k, v in times.items()},
+        "queries": _capped_stdout_queries(times),
         # self-artifact name is deterministic (BENCH_SELF_r{base+1});
         # not repeated here — every stdout char is tail-window budget
     }

@@ -109,18 +109,21 @@ def test_stdout_summary_line_fits_tail_capture():
     # TRUE worst case per key: the widest value _slim_wall can emit is
     # 4 chars ("0.99" — the centisecond cap closes the 5-char "0.092"
     # case; values >= 10 collapse to <=3-char ints), so model EVERY
-    # wall at that width rather than the old 99.99 -> "100" model,
-    # which UNDERestimated typical sub-second walls by a char each.
-    times = {k: m._slim_wall(0.99) for k in m.HEADLINE}
-    times["gstream_epoch_20x100"] = m._slim_wall(0.99)
-    times["gstream_estep_distributed"] = m._slim_wall(0.99)
-    assert all(len(json.dumps(v)) <= 4 for v in times.values())
+    # wall at that width.  At r11 the headline reached 74 keys and the
+    # uncapped worst case passed 1900 — the stdout copy now runs through
+    # _capped_stdout_queries, which drops OLDEST-history keys first
+    # until the map fits (the full map always lives in BENCH_SELF).
+    times = {k: 0.99 for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = 0.99
+    times["gstream_estep_distributed"] = 0.99
+    capped = m._capped_stdout_queries(times)
+    assert all(len(json.dumps(v)) <= 4 for v in capped.values())
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": 999999.999,
             "unit": "sec",
-            "queries": times,
+            "queries": capped,
             "sf": 0.1,
             "gstream_ms_per_batch": 9999.9,
             "estep_points_per_sec": 99999999,
@@ -128,6 +131,14 @@ def test_stdout_summary_line_fits_tail_capture():
         separators=(",", ":"),
     )
     assert len(line) < 1900, len(line)
+    # the NEWEST keys keep their stdout slot; only oldest-history keys
+    # may be dropped, and the two gstream extras always survive
+    tail_keys = list(m.HEADLINE)[-5:]
+    assert all(k in capped for k in tail_keys)
+    assert "gstream_epoch_20x100" in capped
+    assert "gstream_estep_distributed" in capped
+    dropped = [k for k in times if k not in capped]
+    assert dropped == list(m.HEADLINE)[: len(dropped)]
 
 
 def test_slim_wall_two_significant_digits():
