@@ -111,6 +111,10 @@ PROBE = {
     "misra_gries_topk": "events",
     "interval_coalesce_pack": "orders",
     "ewma_control_chart": "events",
+    # r11 new keys (probed from birth)
+    "graph_kcore_richclub": "orders",
+    "bitemporal_temporal_join": "orders",
+    "graph_label_propagation": "orders",
 }
 
 
