@@ -132,8 +132,10 @@ HEADLINE = [
     "graph_kcore_richclub",
     "bitemporal_temporal_join",
     # round-11: synchronous LPA community detection (8 checkpointed
-    # rounds on the planted-partition graph)
+    # rounds on the planted-partition graph); maximal-retention dedup
+    # keep-set (8 Luby rounds on the simhash-hamming pair graph)
     "graph_label_propagation",
+    "dedup_mis_max_retention",
 ]
 
 
@@ -507,6 +509,7 @@ def main() -> None:
         # precedent — driver-paced loops are the most steal-sensitive rows)
         "graph_kcore_richclub",
         "graph_label_propagation",
+        "dedup_mis_max_retention",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in

@@ -115,6 +115,7 @@ PROBE = {
     "graph_kcore_richclub": "orders",
     "bitemporal_temporal_join": "orders",
     "graph_label_propagation": "orders",
+    "dedup_mis_max_retention": "documents",
 }
 
 

@@ -33,8 +33,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from ._idioms import _hash28
 from ._simhash import dedup_simhash, simhash_oracle as _simhash_oracle
-from .registry import register
+from .registry import register, register_plan_proxy
 
 # ==========================================================================
 # PII redaction
@@ -431,6 +432,180 @@ def _simham_oracle() -> str:
 
 
 register("dedup_simhash_hamming", dedup_simhash_hamming, _simham_oracle())
+
+
+# ==========================================================================
+# dedup_mis_max_retention (round 11) — maximal-retention dedup keep-set
+# via deterministic Luby maximal independent set on the near-dup graph
+# ==========================================================================
+
+# Unrolled Luby rounds.  Measured fixpoint (live set empty) on the
+# committed fixtures: 3 rounds at sf0.001/sf0.01, 4 at sf0.1 — 8 is a
+# 2x margin, and rounds past an empty live set are the identity (every
+# join against the empty live relation is empty).  The replay pin in
+# tests/test_quality.py fails if any fixture stops finishing within
+# _MIS_ROUNDS - 2.
+_MIS_ROUNDS = 8
+
+
+def _mis_chosen(sym: DataFrame, live: DataFrame) -> DataFrame:
+    """Luby selection step: the live nodes whose (hash, id) priority is
+    a LOCAL MINIMUM among live neighbors — one join + one anti-join
+    (the shape each unrolled round pays)."""
+    lu = live.select(F.col("node").alias("u"), F.col("h").alias("hu"))
+    lv = live.select(F.col("node").alias("v"), F.col("h").alias("hv"))
+    blocked = (
+        sym.join(lu, "u")
+        .join(lv, "v")
+        .filter(
+            (F.col("hv") < F.col("hu"))
+            | ((F.col("hv") == F.col("hu")) & (F.col("v") < F.col("u")))
+        )
+        .select(F.col("u").alias("node"))
+    )
+    return live.join(blocked, "node", "left_anti")
+
+
+def dedup_mis_max_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL-RETENTION dedup keep-set: a maximal independent set of
+    the SimHash-Hamming near-dup pair graph via DETERMINISTIC Luby
+    peeling (Luby 1986 / the deterministic hash-priority variant used
+    in distributed MIS practice — public): each round, every live doc
+    whose md5-prefix priority is a local minimum among live neighbors
+    joins the keep-set and evicts its neighbors; repeat until no doc
+    is live.
+
+    The contract ``dedup_keep_best`` (one survivor per connected
+    component) cannot express: near-dup relations CHAIN (A~B, B~C,
+    NOT A~C), and a component-based keeper drops every non-canonical
+    member even when it duplicates nothing kept.  The MIS keep-set
+    retains a maximal set of PAIRWISE-distinct docs — measured on the
+    fixtures: 141 kept vs 15 components at sf0.001, 128 vs 27 at
+    sf0.01, 1264 vs 107 at sf0.1 (9x the retention with the same
+    no-two-near-dups-kept guarantee; independence + maximality both
+    replay-pinned).
+
+    Execution: the pair graph is the existing banded-capped
+    ``dedup_simhash_hamming`` relation (bounded buckets, never
+    all-pairs), localCheckpointed once; {R} fixed Luby rounds
+    (measured fixpoint <= 4 everywhere, 2x margin; rounds past an
+    empty live set are the identity), each round one broadcast-sized
+    join + two anti-joins on the value-bounded live relation, chosen
+    and live checkpointed per round (the ``graph_kcore_richclub``
+    lineage recipe).  Oracle: {R} MATERIALIZED CTE levels with
+    NOT-EXISTS blockers.  Priorities are the house 28-bit md5 prefix
+    of the doc id — identical integers on both engines.
+    """
+    pairs = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    sym = sym.localCheckpoint(eager=True)
+    live = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", _hash28(F.col("node").cast("string")).alias("h"))
+    ).localCheckpoint(eager=True)
+    kept = []
+    for _ in range(_MIS_ROUNDS):
+        chosen = _mis_chosen(sym, live).localCheckpoint(eager=True)
+        kept.append(chosen)
+        evicted = (
+            sym.join(chosen.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        live = (
+            live.join(chosen, "node", "left_anti")
+            .join(evicted, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    mis = kept[0]
+    for c in kept[1:]:
+        mis = mis.unionAll(c)
+    deg = sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg_full")
+    )
+    return mis.join(deg, mis.node == deg.u).select(
+        F.col("node").alias("doc_id"),
+        F.col("h").alias("priority"),
+        "deg_full",
+    )
+
+
+dedup_mis_max_retention.__doc__ = dedup_mis_max_retention.__doc__.format(
+    R=_MIS_ROUNDS
+)
+
+
+def dedup_mis_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan: pair graph + ONE Luby selection round (the
+    executed operator localCheckpoints — the
+    ``graph_kcore_iteration_plan`` precedent)."""
+    pairs = dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    live = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", _hash28(F.col("node").cast("string")).alias("h"))
+    )
+    return _mis_chosen(sym, live)
+
+
+def _mis_oracle() -> str:
+    levels = []
+    prev = "live0"
+    chosen_names = []
+    for i in range(1, _MIS_ROUNDS + 1):
+        levels.append(
+            f"""chosen{i} AS MATERIALIZED (
+      SELECT l.node, l.h FROM {prev} l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sym e JOIN {prev} p ON p.node = e.v
+        WHERE e.u = l.node
+          AND (p.h < l.h OR (p.h = l.h AND p.node < l.node)))),
+    live{i} AS MATERIALIZED (
+      SELECT l.node, l.h FROM {prev} l
+      WHERE NOT EXISTS (SELECT 1 FROM chosen{i} c WHERE c.node = l.node)
+        AND NOT EXISTS (
+          SELECT 1 FROM sym e JOIN chosen{i} c ON c.node = e.v
+          WHERE e.u = l.node))"""
+        )
+        chosen_names.append(f"chosen{i}")
+        prev = f"live{i}"
+    levels_sql = ",\n    ".join(levels)
+    mis_union = "\n      UNION ALL ".join(
+        f"SELECT node, h FROM {c}" for c in chosen_names
+    )
+    return f"""
+    WITH pairs0 AS ({_simham_oracle()}),
+    sym AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs0
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs0),
+    live0 AS MATERIALIZED (
+      SELECT node,
+             CAST(('0x' || substr(md5(CAST(node AS STRING)), 1, 7))
+                  AS BIGINT) AS h
+      FROM (SELECT DISTINCT u AS node FROM sym) t),
+    {levels_sql},
+    mis AS ({mis_union}),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg_full
+            FROM sym GROUP BY 1)
+    SELECT m.node AS doc_id, m.h AS priority, d.deg_full
+    FROM mis m JOIN deg d ON d.u = m.node
+    """
+
+
+register(
+    "dedup_mis_max_retention", dedup_mis_max_retention, _mis_oracle()
+)
+register_plan_proxy("dedup_mis_max_retention", dedup_mis_iteration_plan)
 
 
 # ==========================================================================
