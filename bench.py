@@ -136,6 +136,9 @@ HEADLINE = [
     # keep-set (8 Luby rounds on the simhash-hamming pair graph)
     "graph_label_propagation",
     "dedup_mis_max_retention",
+    # round-11: full coreness via h-index iteration (20 checkpointed
+    # rounds on the rich-club graph)
+    "graph_coreness_decomposition",
 ]
 
 
@@ -510,6 +513,7 @@ def main() -> None:
         "graph_kcore_richclub",
         "graph_label_propagation",
         "dedup_mis_max_retention",
+        "graph_coreness_decomposition",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in

@@ -116,6 +116,7 @@ PROBE = {
     "bitemporal_temporal_join": "orders",
     "graph_label_propagation": "orders",
     "dedup_mis_max_retention": "documents",
+    "graph_coreness_decomposition": "orders",
 }
 
 

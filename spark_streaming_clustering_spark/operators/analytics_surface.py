@@ -1710,6 +1710,31 @@ def graph_kcore_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kcore_peel_round(sym, surv)
 
 
+def _kcore_graph_ctes() -> str:
+    """The rich-club graph derivation as CTE text (cw/nord/top/pairs/
+    sym) — shared by the k-core and coreness-decomposition oracles."""
+    return f"""cw AS (
+      SELECT o_custkey AS ck,
+             epoch_us(o_orderdate) // {_WEEK_US} AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM orders GROUP BY 1, 2),
+    nord AS (SELECT ck, CAST(SUM(n_w) AS BIGINT) AS n_orders
+             FROM cw GROUP BY 1),
+    top AS (
+      SELECT w, ck FROM (
+        SELECT cw.w, cw.ck,
+               ROW_NUMBER() OVER (PARTITION BY cw.w
+                                  ORDER BY n.n_orders DESC, cw.ck ASC) AS rn
+        FROM cw JOIN nord n ON n.ck = cw.ck)
+      WHERE rn <= {_KCORE_C}),
+    pairs AS (
+      SELECT a.ck AS u, b.ck AS v
+      FROM top a JOIN top b ON a.w = b.w AND a.ck < b.ck
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_COWEEKS}),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)"""
+
+
 def _kcore_oracle() -> str:
     levels = []
     prev = "s0"
@@ -1729,26 +1754,7 @@ def _kcore_oracle() -> str:
         prev = f"s{i}"
     levels_sql = ",\n    ".join(levels)
     return f"""
-    WITH cw AS (
-      SELECT o_custkey AS ck,
-             epoch_us(o_orderdate) // {_WEEK_US} AS w,
-             CAST(COUNT(*) AS BIGINT) AS n_w
-      FROM orders GROUP BY 1, 2),
-    nord AS (SELECT ck, CAST(SUM(n_w) AS BIGINT) AS n_orders
-             FROM cw GROUP BY 1),
-    top AS (
-      SELECT w, ck FROM (
-        SELECT cw.w, cw.ck,
-               ROW_NUMBER() OVER (PARTITION BY cw.w
-                                  ORDER BY n.n_orders DESC, cw.ck ASC) AS rn
-        FROM cw JOIN nord n ON n.ck = cw.ck)
-      WHERE rn <= {_KCORE_C}),
-    pairs AS (
-      SELECT a.ck AS u, b.ck AS v
-      FROM top a JOIN top b ON a.w = b.w AND a.ck < b.ck
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_COWEEKS}),
-    sym AS MATERIALIZED (
-      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    WITH {_kcore_graph_ctes()},
     s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
     {levels_sql},
     deg_full AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg_full
@@ -2007,3 +2013,139 @@ register(
     "graph_label_propagation", graph_label_propagation, _lpa_oracle()
 )
 register_plan_proxy("graph_label_propagation", graph_lpa_iteration_plan)
+
+
+# ==========================================================================
+# graph_coreness_decomposition (round 11) — FULL core number per node via
+# h-index iteration (the core-periphery profile, not single-K membership)
+# ==========================================================================
+
+# Unrolled h-index rounds.  Lü et al. (Nature Communications 2016, "The
+# H-index of a network node and its relation to degree and coreness" —
+# public) prove the iteration c_0 = degree, c_{t+1}(u) = H-index of
+# {c_t(v) : v ~ u} converges to the CORENESS of every node.  Measured
+# fixpoint depth on the committed fixtures: 7 / 12 / 14 rounds at
+# sf0.001/0.01/0.1 — 20 is the margin, and rounds past the fixpoint are
+# the identity.  The replay pin (tests/test_analytics_props.py)
+# verifies against an INDEPENDENT exact-peeling implementation and
+# fails if the true h-iteration fixpoint exceeds _CORE_ROUNDS - 4.
+_CORE_ROUNDS = 20
+
+
+def _coreness_round(sym: DataFrame, c: DataFrame) -> DataFrame:
+    """One h-index update: for each node, rank neighbor values
+    descending and take max r with value_r >= r — one join + one rank
+    window + one grouped max (the per-round shape)."""
+    rk = Window.partitionBy("u").orderBy(
+        F.col("cv").desc(), F.col("v").asc()
+    )
+    return (
+        sym.join(
+            c.select(F.col("node").alias("v"), F.col("c").alias("cv")), "v"
+        )
+        .select("u", "v", "cv", F.row_number().over(rk).alias("r"))
+        .groupBy("u")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cv") >= F.col("r"), F.col("r"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+        .select(F.col("u").alias("node"), "c")
+    )
+
+
+def graph_coreness_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL k-core DECOMPOSITION — the core NUMBER of every node of the
+    rich-club graph (Seidman coreness; computed by the Lü et al. 2016
+    h-index iteration, which provably converges to coreness from
+    c_0 = degree) — the core-periphery PROFILE the single-K
+    ``graph_kcore_richclub`` cannot express: every node is labeled
+    with the deepest core it survives to (fixture profiles span
+    coreness 1..4 / 1..14 / 1..22 at sf0.001/0.01/0.1), so one result
+    answers every K at once and ranks members by structural depth.
+
+    Correctness cross-pin: the pytest replay computes coreness with an
+    INDEPENDENT exact peeling algorithm (bucket peel, no h-index) and
+    requires equality — two different published algorithms agreeing on
+    both engines' outputs.
+
+    Execution: the shared ``_kcore_edges`` relation (calendar-bounded)
+    localCheckpointed once; {R} fixed h-index rounds (measured
+    fixpoint <= 14 at every fixture; extra rounds are the identity),
+    each one broadcast-sized join + rank window + grouped max on the
+    value-bounded relation, checkpointed per round.  Oracle: {R}
+    MATERIALIZED CTE levels of the same update.  All integers.
+    """
+    sym = _kcore_edges(spark, sf_dir).localCheckpoint(eager=True)
+    c = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    for _ in range(_CORE_ROUNDS):
+        c = _coreness_round(sym, c).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return c.join(deg, "node").select(
+        F.col("node").alias("custkey"),
+        "degree",
+        F.col("c").alias("coreness"),
+    )
+
+
+graph_coreness_decomposition.__doc__ = (
+    graph_coreness_decomposition.__doc__.format(R=_CORE_ROUNDS)
+)
+
+
+def graph_coreness_iteration_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audit-only lazy plan: edge derivation + ONE h-index round (the
+    executed operator localCheckpoints — the kcore/LPA precedent)."""
+    sym = _kcore_edges(spark, sf_dir)
+    c = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return _coreness_round(sym, c)
+
+
+def _coreness_oracle() -> str:
+    levels = []
+    prev = "c0"
+    for i in range(1, _CORE_ROUNDS + 1):
+        levels.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT u AS node,
+             CAST(coalesce(MAX(CASE WHEN cv >= r THEN r END), 0)
+                  AS BIGINT) AS c
+      FROM (
+        SELECT e.u, p.c AS cv,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                                  ORDER BY p.c DESC, p.node ASC) AS r
+        FROM sym e JOIN {prev} p ON p.node = e.v) t
+      GROUP BY u)"""
+        )
+        prev = f"c{i}"
+    levels_sql = ",\n    ".join(levels)
+    return f"""
+    WITH {_kcore_graph_ctes()},
+    c0 AS MATERIALIZED (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym GROUP BY 1),
+    {levels_sql}
+    SELECT f.node AS custkey, d.c AS degree, f.c AS coreness
+    FROM {prev} f JOIN c0 d ON d.node = f.node
+    """
+
+
+register(
+    "graph_coreness_decomposition",
+    graph_coreness_decomposition,
+    _coreness_oracle(),
+)
+register_plan_proxy(
+    "graph_coreness_decomposition", graph_coreness_iteration_plan
+)

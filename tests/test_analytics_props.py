@@ -315,3 +315,121 @@ def test_lpa_finds_structure_finer_than_connectivity():
             sf,
             fixpoint,
         )
+
+
+def _coreness_exact_peel(sf_path: str):
+    """INDEPENDENT exact coreness via bucket peeling (no h-index):
+    repeatedly remove minimum-degree nodes, recording the max degree
+    threshold seen when each node dies — the textbook Batagelj-Zaveršnik
+    shape.  Returns (coreness, degree, n_nodes)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        _KCORE_C,
+        _KCORE_COWEEKS,
+        _WEEK_US,
+    )
+
+    rows = duckdb.execute(
+        "SELECT o_custkey, epoch_us(o_orderdate) FROM "
+        f"read_parquet('{sf_path}/orders.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    nord = Counter(ck for ck, _ in rows)
+    weeks = defaultdict(set)
+    for ck, us in rows:
+        weeks[us // _WEEK_US].add(ck)
+    co = Counter()
+    for members in weeks.values():
+        top = sorted(members, key=lambda c: (-nord[c], c))[:_KCORE_C]
+        for i, u in enumerate(top):
+            for v in top[i + 1 :]:
+                co[(u, v) if u < v else (v, u)] += 1
+    adj = defaultdict(set)
+    for (u, v), n in co.items():
+        if n >= _KCORE_COWEEKS:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {u: len(adj[u]) for u in adj}
+    live_deg = dict(deg)
+    alive = set(adj)
+    core = {}
+    k = 0
+    while alive:
+        k = max(k, min(live_deg[u] for u in alive))
+        stack = [u for u in alive if live_deg[u] <= k]
+        while stack:
+            u = stack.pop()
+            if u not in alive:
+                continue
+            core[u] = k
+            alive.discard(u)
+            for v in adj[u]:
+                if v in alive:
+                    live_deg[v] -= 1
+                    if live_deg[v] <= k:
+                        stack.append(v)
+    return core, deg, adj
+
+
+def test_coreness_matches_independent_exact_peel(spark, sf_dir):
+    """Cross-algorithm pin: the h-index-iteration output equals an
+    INDEPENDENT exact bucket-peeling coreness (two different published
+    algorithms must agree), plus the structural invariants
+    coreness <= degree and consistency with the landed K-core key
+    (coreness >= K exactly for its members)."""
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        _KCORE_K,
+        graph_coreness_decomposition,
+        graph_kcore_richclub,
+    )
+
+    core, deg, _adj = _coreness_exact_peel(sf_dir)
+    got = {
+        r.custkey: (r.degree, r.coreness)
+        for r in graph_coreness_decomposition(spark, sf_dir).collect()
+    }
+    assert got == {u: (deg[u], core[u]) for u in core} and len(got) >= 1
+    for _u, (d, c) in got.items():
+        assert 1 <= c <= d
+    kcore_members = {
+        r.custkey for r in graph_kcore_richclub(spark, sf_dir).collect()
+    }
+    assert kcore_members == {u for u, c in core.items() if c >= _KCORE_K}
+
+
+def test_coreness_hindex_converges_within_unroll():
+    """At every committed fixture scale: the h-index iteration reaches
+    its TRUE fixpoint within _CORE_ROUNDS - 4 (the engines' fixed
+    unrolls rely on the margin), the fixpoint equals exact peeling,
+    and the profile is non-degenerate (>= 3 distinct coreness
+    values)."""
+    from spark_streaming_clustering_spark.operators.analytics_surface import (
+        _CORE_ROUNDS,
+    )
+
+    def hindex(vals):
+        h = 0
+        for i, v in enumerate(sorted(vals, reverse=True), 1):
+            if v >= i:
+                h = i
+            else:
+                break
+        return h
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        core, deg, adj = _coreness_exact_peel(f"/root/testdata/{sf}")
+        c = dict(deg)
+        rounds = 0
+        while True:
+            new = {u: hindex([c[v] for v in adj[u]]) for u in adj}
+            rounds += 1
+            if new == c:
+                break
+            c = new
+        assert c == core, sf
+        assert rounds <= _CORE_ROUNDS - 4, (sf, rounds)
+        assert len(set(core.values())) >= 3, sf
