@@ -41,8 +41,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _driver_green_rounds() -> dict[str, int]:
-    """Per key, the LATEST round number with a fully-green driver row."""
-    green: dict[str, int] = {}
+    """Per key, the LATEST round number with a fully-green driver row.
+
+    A key counts as green only while its MOST RECENT driver row is green:
+    if a newer round recorded a mismatch/err for the key, the key is
+    demoted back to the pending queue (ADVICE r11 — previously an old
+    green row shadowed a newer red one forever).
+    """
+    latest_green: dict[str, int] = {}
+    latest_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
@@ -56,13 +63,16 @@ def _driver_green_rounds() -> dict[str, int]:
         for key, rec in data.items():
             if not isinstance(rec, dict):
                 continue
+            latest_seen[key] = max(latest_seen.get(key, 0), rnd)
             if rec.get("err") not in (None, "no_oracle"):
                 continue
             if rec.get("rows_match") and (
                 rec.get("hash_match") or key not in ORACLES
             ):
-                green[key] = max(green.get(key, 0), rnd)
-    return green
+                latest_green[key] = max(latest_green.get(key, 0), rnd)
+    return {
+        k: r for k, r in latest_green.items() if r >= latest_seen.get(k, 0)
+    }
 
 
 def _ordered_keys() -> list[str]:

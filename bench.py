@@ -309,6 +309,35 @@ def _robust_center(samples: list[float], floor: float | None) -> tuple[float, st
     return med, "median5"
 
 
+def _cpu_steal_ticks():
+    """Aggregate steal ticks from /proc/stat (field 8 after 'cpu'), or
+    None where unavailable — raw counter; a DELTA across a burst > 0
+    means the hypervisor stole CPU during it."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _load_stamp() -> dict:
+    """Host-load stamp (1-min loadavg + steal ticks) recorded at the
+    start and end of each key's sample burst so a committed artifact is
+    self-adjudicating about host noise (VERDICT r11 item 2: BENCH_r11
+    shipped steal-corrupted walls an isolated probe disproved — the
+    stamp makes that adjudication readable from the artifact alone)."""
+    stamp: dict = {}
+    try:
+        stamp["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    steal = _cpu_steal_ticks()
+    if steal is not None:
+        stamp["steal"] = steal
+    return stamp
+
+
 # Worst-case per-key stdout budget: len('"<name>":0.99,') = name + 8.
 # The driver's stdout-tail window is ~2000 chars (r7's overflow lost
 # that round's driver artifact); the constant fields cost ~160, so cap
@@ -531,6 +560,7 @@ def main() -> None:
     methods: dict[str, dict] = {}
     for key in HEADLINE:
         samples: list[float] = []
+        stamp0 = _load_stamp()
 
         def _sample() -> None:
             t0 = time.monotonic()
@@ -542,27 +572,56 @@ def main() -> None:
                 _sample()
             times[key], how = _robust_center(samples, floors.get(key))
             methods[key] = {"method": how, "samples": samples}
-            continue
-        for _run in range(3):
-            _sample()
-            # Fast-exit needs >= 2 samples: the FIRST run of a key pays
-            # one-time plan compilation/codegen, which for sub-second
-            # queries is up to 3x the steady-state floor while still
-            # under fast_sec (measured: vector_sum_agg 0.96 s cold vs
-            # 0.33 s warm — a single sample reported that as a fake
-            # +317% regression).  The second run is the floor.
-            if _run >= 1 and min(samples) <= fast_sec and key not in force_full:
-                break
-        best = min(samples)
-        prev = prev_times.get(key)
-        if prev is not None and prev > 0 and best > prev * 1.25:
-            while len(samples) < 5:
-                _sample()
-            times[key], how = _robust_center(samples, floors.get(key))
-            methods[key] = {"method": f"escalated-{how}", "samples": samples}
         else:
-            times[key] = best
-            methods[key] = {"method": f"best{len(samples)}", "samples": samples}
+            for _run in range(3):
+                _sample()
+                # Fast-exit needs >= 2 samples: the FIRST run of a key
+                # pays one-time plan compilation/codegen, which for
+                # sub-second queries is up to 3x the steady-state floor
+                # while still under fast_sec (measured: vector_sum_agg
+                # 0.96 s cold vs 0.33 s warm — a single sample reported
+                # that as a fake +317% regression).  The second run is
+                # the floor.
+                if _run >= 1 and min(samples) <= fast_sec and key not in force_full:
+                    break
+            best = min(samples)
+            prev = prev_times.get(key)
+            if prev is not None and prev > 0 and best > prev * 1.25:
+                while len(samples) < 5:
+                    _sample()
+                times[key], how = _robust_center(samples, floors.get(key))
+                methods[key] = {"method": f"escalated-{how}", "samples": samples}
+            else:
+                times[key] = best
+                methods[key] = {"method": f"best{len(samples)}", "samples": samples}
+        methods[key]["load"] = {"start": stamp0, "end": _load_stamp()}
+
+    # End-of-run quiet retry (VERDICT r11 item 2): a key can be
+    # steal-hit for its WHOLE burst — even median-of-5 then ships a
+    # corrupted wall (BENCH_r11's join_size_estimate: every sample
+    # 3.4-20.4 s against a 1.7 s isolated floor).  After the full pass,
+    # any key still >25% over its previous committed wall is re-sampled
+    # once more; the better center wins and BOTH bursts (with their
+    # load stamps) land in the artifact so the mover self-adjudicates.
+    for key in HEADLINE:
+        prev = prev_times.get(key)
+        if prev is None or prev <= 0 or times[key] <= prev * 1.25:
+            continue
+        stamp0 = _load_stamp()
+        retry: list[float] = []
+        for _run in range(5):
+            t0 = time.monotonic()
+            _force(QUERIES[key](spark, SF_DIR))
+            retry.append(round(time.monotonic() - t0, 3))
+        center, how = _robust_center(retry, floors.get(key))
+        methods[key]["retry"] = {
+            "method": how,
+            "samples": retry,
+            "load": {"start": stamp0, "end": _load_stamp()},
+        }
+        if center < times[key]:
+            times[key] = center
+            methods[key]["method"] = f"{methods[key]['method']}+retry-{how}"
 
     # Median-of-3 trials for the baseline-defined latency metric; the
     # raw per-trial mean-ms values ARE the samples, so the derived
@@ -625,13 +684,19 @@ def main() -> None:
     # budget live in the self-artifact; the tail line only needs to
     # stay parseable and small as the headline grows (VERDICT r9
     # item 6: centisecond rendering left 94 chars of slack at 67 keys).
+    capped = _capped_stdout_queries(times)
     slim = {
         **record,
-        "queries": _capped_stdout_queries(times),
+        "queries": capped,
         # self-artifact name is deterministic (BENCH_SELF_r{base+1});
         # not repeated here — every stdout char is tail-window budget
     }
     del slim["gstream_ms_per_batch_budget"]
+    if len(capped) < len(times):
+        # Truncation marker (ADVICE r11): a stdout consumer must be
+        # able to tell a DROPPED key from a key that never ran; the
+        # full map always lives in the self-artifact.
+        slim["q_dropped"] = len(times) - len(capped)
     print(json.dumps(slim, separators=(",", ":")))
     spark.stop()
 

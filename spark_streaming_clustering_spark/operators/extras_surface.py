@@ -1530,6 +1530,31 @@ def _canon_col(col) -> object:
     return F.coalesce(col.cast("string"), F.lit("<NULL>"))
 
 
+# Hashed column set + per-column canonical SQL rendering for
+# ``table_content_checksum``, PINNED here as the single source of truth
+# (ADVICE r11: the delimiter-contract test used to regex-scrape the
+# oracle string, so a harmless SQL reformat broke it).  The oracle's
+# row-canon expression is GENERATED from this dict, and
+# tests/test_extras.py::test_content_checksum_delimiter_contract
+# asserts the key tuple verbatim — adding a column lands there first
+# and must prove its rendering is '|'-free (or adopt length-prefix
+# escaping before joining).
+_CHECKSUM_CANON_SQL = {
+    "o_orderkey": "CAST(o_orderkey AS STRING)",
+    "o_custkey": "CAST(o_custkey AS STRING)",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": (
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"
+    ),
+    "o_orderdate": "CAST(epoch_us(o_orderdate) AS STRING)",
+    "o_orderpriority": "o_orderpriority",
+}
+CHECKSUM_HASHED_COLUMNS = tuple(_CHECKSUM_CANON_SQL)
+_CHECKSUM_ROW_CANON_SQL = " || '|' || ".join(
+    f"coalesce({expr}, '<NULL>')" for expr in _CHECKSUM_CANON_SQL.values()
+)
+
+
 def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent CONTENT checksum of ``orders``, per partition
     (order year) + grand total in one pass — the anti-entropy /
@@ -1620,13 +1645,9 @@ register(
     WITH rows_h AS (
       SELECT CAST(year(o_orderdate) AS STRING) AS pk,
              CAST(('0x' || substr(md5(
-               coalesce(CAST(o_orderkey AS STRING), '<NULL>') || '|' ||
-               coalesce(CAST(o_custkey AS STRING), '<NULL>') || '|' ||
-               coalesce(o_orderstatus, '<NULL>') || '|' ||
-               coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                             AS STRING), '<NULL>') || '|' ||
-               coalesce(CAST(epoch_us(o_orderdate) AS STRING), '<NULL>') || '|' ||
-               coalesce(o_orderpriority, '<NULL>')
+               """
+    + _CHECKSUM_ROW_CANON_SQL
+    + """
              ), 1, 7)) AS BIGINT) AS row_hash
       FROM orders)
     SELECT CASE WHEN GROUPING(pk) = 1 THEN 'ALL'

@@ -354,8 +354,8 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the mechanism a sharded G-Stream model would use if
     the prototype graph ever outgrew the driver (SURVEY.md section 4.2).
     (Spark 4's newer transformWithStateInPandas API is the successor;
-    root-caused in round 4 and re-tested each round since (round 10,
-    2026-08-15: still no ``google`` package): its driver worker imports
+    root-caused in round 4 and re-tested each round since (round 12,
+    2026-08-16: still no ``google`` package): its driver worker imports
     ``google.protobuf`` for the state-server protocol
     (pyspark/sql/streaming/proto/StateMessage_pb2.py) and neither
     protobuf nor grpc is installed in this container, so init fails

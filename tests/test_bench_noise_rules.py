@@ -127,6 +127,9 @@ def test_stdout_summary_line_fits_tail_capture():
             "sf": 0.1,
             "gstream_ms_per_batch": 9999.9,
             "estep_points_per_sec": 99999999,
+            # truncation marker (ADVICE r11) at its widest plausible
+            # value — it is part of the modeled stdout budget
+            "q_dropped": 999,
         },
         separators=(",", ":"),
     )
@@ -212,3 +215,35 @@ def test_committed_bench_files_parse():
     rnd, q = records[-1]
     assert isinstance(q, dict) and len(q) > 10
     assert all(isinstance(v, (int, float)) for v in q.values())
+
+
+def test_load_stamp_shape():
+    """The host-load stamp (VERDICT r11 item 2) must expose loadavg and
+    steal ticks on this Linux container so committed artifacts are
+    self-adjudicating about host noise."""
+    m = _bench_module()
+    s = m._load_stamp()
+    assert "load1" in s and isinstance(s["load1"], float)
+    # /proc/stat steal field exists on Linux; value is a raw counter
+    assert "steal" in s and isinstance(s["steal"], int) and s["steal"] >= 0
+    # deltas across a burst are computable (monotone counter)
+    assert m._cpu_steal_ticks() >= s["steal"]
+
+
+def test_auto_median5_fires_on_r11_steal_movers():
+    """VERDICT r11 item 2 asked to verify the derivation: the seven
+    adjudicated-steal movers from BENCH_r10→r11 (>25% deltas) must
+    enter the auto-median5 set for the r12 run, straight from the
+    committed artifacts on disk."""
+    m = _bench_module()
+    movers = m._auto_median5_keys()
+    for key in (
+        "ann_lsh_bucketed",
+        "join_size_estimate",
+        "bloom_join_prune",
+        "dedup_simhash_hamming",
+        "table_content_checksum",
+        "quality_repetition",
+        "vector_sum_agg",
+    ):
+        assert key in movers, key

@@ -773,23 +773,28 @@ def test_content_checksum_delimiter_contract(spark):
     value actually hashed, at EVERY committed fixture scale, is
     '|'-free — the numeric fields render as decimal digits and cannot
     contain it."""
-    import re
-
     import duckdb
 
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        CHECKSUM_HASHED_COLUMNS,
+        _CHECKSUM_ROW_CANON_SQL,
+    )
     from spark_streaming_clustering_spark.operators.registry import ORACLES
 
-    sql = ORACLES["table_content_checksum"]
-    md5_arg = sql[sql.index("md5(") :]
-    hashed = set(re.findall(r"o_\w+", md5_arg[: md5_arg.index("FROM")]))
-    assert hashed == {
+    # The pinned set is a module constant the oracle SQL is GENERATED
+    # from (ADVICE r11: no more regex-scraping the SQL string — a
+    # reformat of the oracle can no longer break or silently widen
+    # this check).
+    assert CHECKSUM_HASHED_COLUMNS == (
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
         "o_totalprice",
         "o_orderdate",
         "o_orderpriority",
-    }, "hashed column set changed — revisit the unescaped '|' join"
+    ), "hashed column set changed — revisit the unescaped '|' join"
+    # and the committed oracle really embeds the generated canon
+    assert _CHECKSUM_ROW_CANON_SQL in ORACLES["table_content_checksum"]
     con = duckdb.connect()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         n = con.execute(
