@@ -472,6 +472,145 @@ register(
 )
 
 
+_DDWW_T0 = 1_609_459_200  # 2021-01-01 UTC, fixture batch-0 event time
+_DDWW_SPACING_S = 600  # 10 min between batch event times
+_DDWW_DELAY = "2 minutes"  # watermark delay = dedup-state TTL
+
+
+def _ddww_replay_files(spark: SparkSession, sf_dir: str):
+    """4 mtime-pinned parquet micro-batch files of the DDWW fixture:
+    key (user_id % 20, event_type) appears in batch b iff
+    md5-prefix28(K#b) % 4 != 0, every batch-b row at T0 + b*10min."""
+    import glob as _glob
+
+    tmp = scratch_dir("gstream_ddww_")
+    in_dir, ckpt = os.path.join(tmp, "in"), os.path.join(tmp, "ckpt")
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id") % 20).alias("uid_bucket"), "event_type")
+        .distinct()
+    )
+    mtime0 = 1_600_000_000
+    for b in range(4):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("uid_bucket"), F.col("event_type"), F.lit(b)
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        (
+            keys.filter(h % 4 != 0)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(_DDWW_T0 + b * _DDWW_SPACING_S)),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(in_dir)
+        )
+        for p in _glob.glob(os.path.join(in_dir, "*.parquet")):
+            if os.path.getmtime(p) > mtime0 + b:
+                os.utime(p, (mtime0 + b, mtime0 + b))
+    return in_dir, ckpt
+
+
+def _ddww_dedup_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source replay -> watermark -> dropDuplicatesWithinWatermark."""
+    stream = (
+        spark.readStream.schema(
+            "uid_bucket long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    return stream.withWatermark("ts", _DDWW_DELAY).dropDuplicatesWithinWatermark(
+        ["uid_bucket", "event_type"]
+    )
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) — the production shape for infinite streams that
+    ``streaming_dedup``'s global ``dropDuplicates`` cannot express:
+    dedup state is TTL'd at the watermark instead of retained forever,
+    so memory is O(keys active within the delay), not O(all keys ever).
+
+    Replay fixture (derived from ``events``, deterministic): keys are
+    (user_id % 20, event_type); key K appears in micro-batch b iff
+    md5-prefix28(K#b) % 4 != 0; every row of batch b carries event time
+    T0 + b*10min, written as 4 mtime-pinned parquet files so the file
+    source replays them in order (one per trigger).
+
+    Probed eviction semantics (this round, fresh local[32] session):
+    during batch b rows match against PRE-eviction state, then entries
+    with expiry (= emitted row's event time + delay) below the CURRENT
+    batch's watermark wm_b = max_ts(batches < b) - delay are evicted —
+    eviction lags one batch behind the naive model (a 7-min delay probe
+    produced zero re-emissions; the committed 2-min delay re-emits at
+    e+3 with 6-min margins on both sides of every comparison).  Chain
+    rule over 4 batches: a key emitted at its first present batch e1 is
+    blocked at e1+1 and e1+2 and re-emittable at e1+3 — so emissions
+    are exactly {e1} plus {3 if e1 = 0 and present at 3}, which the
+    DuckDB oracle states in closed form.  At 100 TB the plan is
+    unchanged: shuffle on the dedup keys, RocksDB-backed state bounded
+    by the delay window.
+    """
+    in_dir, ckpt = _ddww_replay_files(spark, sf_dir)
+    deduped = _ddww_dedup_stream(spark, in_dir)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_dedup_watermark")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    return spark.table("streaming_dedup_watermark").select(
+        "uid_bucket",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_epoch_s"),
+    )
+
+
+register(
+    "streaming_dedup_watermark",
+    streaming_dedup_watermark,
+    # closed-form chain rule for the probed TTL semantics (see
+    # docstring): emit at the first present batch, and again at batch 3
+    # iff first = 0 and present at 3 (state evicted at end of batch 2)
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT user_id % 20 AS uid_bucket, event_type FROM events),
+    pres AS (
+      SELECT uid_bucket, event_type, b.b,
+             (CAST(('0x' || substr(md5(CAST(uid_bucket AS STRING) || '#' ||
+                    event_type || '#' || CAST(b.b AS STRING)), 1, 7))
+                   AS BIGINT) % 4) <> 0 AS p
+      FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(b)),
+    firsts AS (
+      SELECT uid_bucket, event_type,
+             MIN(b) FILTER (WHERE p) AS first_b,
+             bool_or(p AND b = 3) AS p3
+      FROM pres GROUP BY uid_bucket, event_type)
+    SELECT uid_bucket, event_type,
+           CAST({_DDWW_T0} + first_b * {_DDWW_SPACING_S} AS BIGINT) AS ts_epoch_s
+    FROM firsts WHERE first_b IS NOT NULL
+    UNION ALL
+    SELECT uid_bucket, event_type,
+           CAST({_DDWW_T0} + 3 * {_DDWW_SPACING_S} AS BIGINT) AS ts_epoch_s
+    FROM firsts WHERE first_b = 0 AND p3
+    """,
+)
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: click events joined to the
     purchases the same user makes within the next 4 hours, both sides

@@ -78,3 +78,61 @@ def test_checkpoint_recovery_no_loss_no_dupes(spark, sf_dir):
     # makes effectively impossible with 4 files)
     if ids_run1 != all_ids:
         assert max(seen) > max(bids_run1)
+
+
+def test_ddww_recovery_state_survives_restart(spark, sf_dir):
+    """dropDuplicatesWithinWatermark's dedup state must be restored
+    from the checkpoint on restart: a key emitted before the kill is
+    NOT re-emitted by the resumed run within its TTL window, and the
+    union of both runs equals the chain-rule oracle exactly (VERDICT
+    r11 item 4: recovery-safe pytest for streaming_dedup_watermark)."""
+    from spark_streaming_clustering_spark.operators.streaming_surface import (
+        _ddww_dedup_stream,
+        _ddww_replay_files,
+    )
+    from tests.util_oracle import duck_con
+
+    from spark_streaming_clustering_spark.operators.registry import ORACLES
+
+    in_dir, ckpt = _ddww_replay_files(spark, sf_dir)
+    seen: dict[int, list] = {}
+
+    def sink(df, bid: int) -> None:
+        seen[bid] = [
+            (r.uid_bucket, r.event_type, int(r.ts.timestamp()))
+            for r in df.collect()
+        ]
+
+    def _run():
+        return (
+            _ddww_dedup_stream(spark, in_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = _run()
+    deadline = time.time() + 120
+    while not seen and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    assert seen, "first run committed no batch within 120s"
+    bids_run1 = set(seen)
+
+    q2 = _run()
+    assert q2.awaitTermination(240), "recovery run did not finish"
+    if max(seen) == max(bids_run1):
+        # run 1 got so far the replay was already complete — the kill
+        # missed the window; the exactly-once check below still holds
+        pass
+
+    got = sorted(row for rows in seen.values() for row in rows)
+    want = sorted(
+        (int(u), e, int(t))
+        for u, e, t in duck_con(sf_dir)
+        .execute(ORACLES["streaming_dedup_watermark"])
+        .fetchall()
+    )
+    assert got == want  # nothing lost, nothing double-emitted
