@@ -139,6 +139,11 @@ HEADLINE = [
     # round-11: full coreness via h-index iteration (20 checkpointed
     # rounds on the rich-club graph)
     "graph_coreness_decomposition",
+    # round-12: 6-round checkpointed Bellman-Ford weighted shortest
+    # path on the trade graph (driver-paced loop, see median5);
+    # delta-join view maintenance (2 broadcast joins + bounded merge)
+    "graph_weighted_shortest_path",
+    "join_ivm_delta",
 ]
 
 
@@ -543,6 +548,8 @@ def main() -> None:
         "graph_label_propagation",
         "dedup_mis_max_retention",
         "graph_coreness_decomposition",
+        # r12: 6 driver-paced checkpointed Bellman-Ford rounds
+        "graph_weighted_shortest_path",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in

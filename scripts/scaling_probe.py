@@ -117,6 +117,13 @@ PROBE = {
     "graph_label_propagation": "orders",
     "dedup_mis_max_retention": "documents",
     "graph_coreness_decomposition": "orders",
+    # r12 new keys (probed from birth); streaming_dedup_watermark's
+    # wall is replay-harness-paced (4 micro-batches over a key-sized
+    # fixture), so near-zero elasticity is the expected, honest answer
+    "graph_weighted_shortest_path": "orders",
+    "streaming_dedup_watermark": "events",
+    "streaming_window_append_final": "events",
+    "join_ivm_delta": "orders",
 }
 
 

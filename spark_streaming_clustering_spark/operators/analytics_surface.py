@@ -2171,13 +2171,17 @@ def _wsp_weight(src, dst):
 
 
 def graph_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source-set weighted shortest paths by bounded Bellman-Ford
-    on the customer-supplier trade graph — the DISTANCE contract
-    ``graph_bfs`` (hop counts) cannot express: edges carry integer
-    weights 1..9 (see ``_wsp_weight``) and each of the {R} unrolled
-    rounds relaxes frontier ⋈ edges then re-MINs against the previous
-    state, exactly the recipe of ``graph_bfs`` with (dist + w) in place
-    of (dist + 1).
+    """TRUE single-source-set weighted shortest paths (Bellman-Ford run
+    to its fixpoint) on the customer-supplier trade graph — the
+    contract neither ``graph_bfs`` (hop counts, no weights) nor
+    ``sssp_bellman_ford`` (k-hop-BOUNDED weighted distances on the
+    co-purchase graph, no convergence claim) expresses: here the
+    unroll depth provably COVERS the fixpoint, so the output is the
+    exact weighted distance, independently pinned against Dijkstra.
+    Edges carry integer weights 1..9 (see ``_wsp_weight`` — hash-mixed,
+    unlike sssp's (a+b)%mod which correlates with node ids) and each
+    of the {R} rounds relaxes frontier ⋈ edges then re-MINs against
+    the previous state.
 
     Fixpoint margin (r12 feasibility probe, all three committed
     fixtures): exact driver Dijkstra confirms Bellman-Ford converges in
@@ -2252,7 +2256,7 @@ def graph_wsp_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("node") < _WSP_SEED_MAX) & (F.col("node") % 2 == 0))
         .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
-    relaxed = dist.join(wedges, dist.node == wedges.src).select(
+    relaxed = F.broadcast(dist).join(wedges, dist.node == wedges.src).select(
         F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
     )
     return dist.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))

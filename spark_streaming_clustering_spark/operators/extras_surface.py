@@ -6541,3 +6541,190 @@ def _ewma_oracle() -> str:
 
 
 register("ewma_control_chart", ewma_control_chart, _ewma_oracle())
+
+
+# ==========================================================================
+# join_ivm_delta (round 12)
+# ==========================================================================
+
+_JIVM_O_MOD = 7  # o_orderkey % 7 == 0  -> fact-side delta INSERTs
+_JIVM_C_MOD = 11  # c_custkey % 11 == 0 -> dim-side delta INSERTs
+
+
+def _jivm_cents() -> object:
+    return F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+
+
+def _jivm_base_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the maintained JOIN-AGGREGATE view —
+    per (c_mktsegment, order year) (n, sum_cents) over BASE orders ⋈
+    BASE customers — as parquet (the ``_ivm_base_agg_layout``
+    write-once pattern)."""
+    import os
+
+    from ..sources.tables import derived_layout_path
+
+    out = derived_layout_path(spark, "jivm_base", sf_dir, "orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % _JIVM_O_MOD != 0
+        )
+        c = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % _JIVM_C_MOD != 0
+        )
+        (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select(
+                "c_mktsegment",
+                F.year("o_orderdate").cast("bigint").alias("o_year"),
+                _jivm_cents().alias("cents"),
+            )
+            .groupBy("c_mktsegment", "o_year")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_base"),
+                F.sum("cents").cast("bigint").alias("sum_cents_base"),
+            )
+            .coalesce(1)  # bounded output: #segments x #years rows
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+def join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a persisted JOIN-aggregate from
+    insert deltas on BOTH join sides — the class ``agg_ivm_delta``
+    (single-table aggregate) does not cover.  The stored view is
+    per-(mktsegment, order year) (n, sum_cents) over base orders ⋈
+    base customers; delta batches are fact inserts (o_orderkey %
+    {om} == 0) and dim inserts (c_custkey % {cm} == 0).
+
+    Delta-join decomposition (insert-only):
+    dV = dO ⋈ C_after  UNION ALL  O_base ⋈ dC — the dO⋈dC cross term
+    folds into the first join by running dO against the POST-insert
+    dim.  Cost asymmetry is the real 100 TB contract: the fact-side
+    delta costs |dO| with the dim BROADCAST (never a fact rescan),
+    while a dim-side insert unavoidably pays one base-fact scan with
+    the tiny dC broadcast — the reason production systems either batch
+    dim changes or keep the fact co-partitioned on the join key (see
+    ``join_bucketed``) so the dim delta prunes to matching buckets.
+    Both joins here broadcast the dim side; nothing shuffles the fact.
+
+    Integer cents arithmetic end-to-end; the output carries
+    ``ivm_equals_recompute`` (merged view == from-scratch recompute
+    over the post-insert tables, the agg_ivm_delta checked contract).
+    """
+    stored = spark.read.parquet(_jivm_base_layout(spark, sf_dir))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year"), _jivm_cents().alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    is_do = F.col("o_orderkey") % _JIVM_O_MOD == 0
+    is_dc = F.col("c_custkey") % _JIVM_C_MOD == 0
+    d_o, base_o = o.filter(is_do), o.filter(~is_do)
+    d_c = c.filter(is_dc)
+    # term 1: fact delta against the post-insert dim (broadcast dim)
+    t1 = d_o.join(F.broadcast(c), d_o.o_custkey == c.c_custkey)
+    # term 2: base fact against the dim delta (broadcast tiny delta)
+    t2 = base_o.join(F.broadcast(d_c), base_o.o_custkey == d_c.c_custkey)
+    delta = (
+        t1.select("c_mktsegment", "o_year", "cents")
+        .unionAll(t2.select("c_mktsegment", "o_year", "cents"))
+        .groupBy("c_mktsegment", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.sum("cents").cast("bigint").alias("dsum"),
+        )
+    )
+    merged = stored.join(delta, ["c_mktsegment", "o_year"], "full_outer").select(
+        "c_mktsegment",
+        "o_year",
+        F.coalesce(F.col("n_base"), F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce(F.col("dn"), F.lit(0)).cast("bigint").alias("n_delta"),
+        (F.coalesce(F.col("n_base"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_after"),
+        (
+            F.coalesce(F.col("sum_cents_base"), F.lit(0))
+            + F.coalesce(F.col("dsum"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("sum_cents_after"),
+    )
+    recompute = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rec"),
+            F.sum("cents").cast("bigint").alias("sum_rec"),
+        )
+    )
+    return merged.join(
+        recompute, ["c_mktsegment", "o_year"], "full_outer"
+    ).select(
+        "c_mktsegment",
+        "o_year",
+        "n_base",
+        "n_delta",
+        "n_after",
+        "sum_cents_after",
+        (
+            (F.col("n_after") == F.coalesce(F.col("n_rec"), F.lit(0)))
+            & (F.col("sum_cents_after") == F.coalesce(F.col("sum_rec"), F.lit(0)))
+        ).alias("ivm_equals_recompute"),
+    )
+
+
+join_ivm_delta.__doc__ = join_ivm_delta.__doc__.format(
+    om=_JIVM_O_MOD, cm=_JIVM_C_MOD
+)
+
+register(
+    "join_ivm_delta",
+    join_ivm_delta,
+    f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    c AS (SELECT c_custkey, c_mktsegment FROM customer),
+    base AS (
+      SELECT c_mktsegment, o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_base,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents_base
+      FROM o JOIN c ON o_custkey = c_custkey
+      WHERE o_orderkey % {_JIVM_O_MOD} != 0 AND c_custkey % {_JIVM_C_MOD} != 0
+      GROUP BY 1, 2),
+    delta AS (
+      SELECT c_mktsegment, o_year,
+             CAST(COUNT(*) AS BIGINT) AS dn,
+             CAST(SUM(cents) AS BIGINT) AS dsum
+      FROM o JOIN c ON o_custkey = c_custkey
+      WHERE o_orderkey % {_JIVM_O_MOD} = 0
+         OR (o_orderkey % {_JIVM_O_MOD} != 0 AND c_custkey % {_JIVM_C_MOD} = 0)
+      GROUP BY 1, 2),
+    merged AS (
+      SELECT coalesce(b.c_mktsegment, d.c_mktsegment) AS c_mktsegment,
+             coalesce(b.o_year, d.o_year) AS o_year,
+             CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(d.dn, 0) AS BIGINT) AS n_delta,
+             CAST(coalesce(b.n_base, 0) + coalesce(d.dn, 0) AS BIGINT) AS n_after,
+             CAST(coalesce(b.sum_cents_base, 0) + coalesce(d.dsum, 0)
+                  AS BIGINT) AS sum_cents_after
+      FROM base b FULL OUTER JOIN delta d
+        ON b.c_mktsegment = d.c_mktsegment AND b.o_year = d.o_year),
+    rec AS (
+      SELECT c_mktsegment, o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_rec,
+             CAST(SUM(cents) AS BIGINT) AS sum_rec
+      FROM o JOIN c ON o_custkey = c_custkey
+      GROUP BY 1, 2)
+    SELECT m.c_mktsegment, m.o_year, m.n_base, m.n_delta, m.n_after,
+           m.sum_cents_after,
+           m.n_after = coalesce(r.n_rec, 0)
+             AND m.sum_cents_after = coalesce(r.sum_rec, 0)
+             AS ivm_equals_recompute
+    FROM merged m FULL OUTER JOIN rec r
+      ON m.c_mktsegment = r.c_mktsegment AND m.o_year = r.o_year
+    """,
+)

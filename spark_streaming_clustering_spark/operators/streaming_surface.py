@@ -347,6 +347,80 @@ register(
 )
 
 
+_SWAF_DELAY = "37 minutes"  # off-boundary: wm never lands on an hour edge
+
+
+def streaming_window_append_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode event-time window aggregation: each hourly window is
+    emitted exactly once, when the watermark passes its end — the
+    finalized-results contract ``streaming_window_agg`` (complete mode:
+    whole result re-emitted every batch) and ``streaming_update_mode``
+    (changed rows re-emitted) do not express.  This is the production
+    shape for downstream consumers that must see each window once,
+    immutable (billing, feature stores): sink volume per batch is the
+    CLOSED windows only, and state for an emitted window is dropped —
+    memory is O(open windows), not O(history).
+
+    Determinism (probed this round at sf0.01, exact match): ``ts`` is
+    strictly monotone in ``event_id`` at every committed fixture (0
+    inversions — checked by the r12 probe), so the ntile-by-event_id
+    replay makes no row late and the sums are complete; availableNow's
+    final no-data batch advances the watermark to max_ts - delay and
+    flushes every window with end <= that — the closed-form HAVING in
+    the oracle.  The 37-minute delay is deliberately off the hour grid
+    so the <= boundary can never be exercised (max_ts carries
+    microseconds).  Decimal-exact sums keep the drained result
+    hash-comparable (the streaming_window_agg precedent).
+    """
+    in_dir, ckpt = _replay_event_files(spark, sf_dir, "gstream_winfinal_")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", _SWAF_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_window_append_final")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finished(q)
+    return spark.table("streaming_window_append_final").select(
+        F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
+    )
+
+
+register(
+    "streaming_window_append_final",
+    streaming_window_append_final,
+    # only watermark-FINALIZED windows are ever appended: end <= max_ts
+    # minus the delay (the final no-data batch's watermark)
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+           <= (SELECT MAX(ts) FROM events) - INTERVAL 37 MINUTES
+    """,
+)
+
+
 def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``.
 
