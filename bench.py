@@ -144,6 +144,10 @@ HEADLINE = [
     # delta-join view maintenance (2 broadcast joins + bounded merge)
     "graph_weighted_shortest_path",
     "join_ivm_delta",
+    # round-12: distributed two-axis ranking + exact-integer rho;
+    # single-scan six-measure OHLC hash aggregate
+    "spearman_corr",
+    "ohlc_resample",
 ]
 
 

@@ -124,6 +124,8 @@ PROBE = {
     "streaming_dedup_watermark": "events",
     "streaming_window_append_final": "events",
     "join_ivm_delta": "orders",
+    "spearman_corr": "documents",
+    "ohlc_resample": "events",
 }
 
 

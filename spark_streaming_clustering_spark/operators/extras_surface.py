@@ -6728,3 +6728,103 @@ register(
       ON m.c_mktsegment = r.c_mktsegment AND m.o_year = r.o_year
     """,
 )
+
+
+# ==========================================================================
+# spearman_corr (round 12)
+# ==========================================================================
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a document's character count
+    and its whitespace word count — the RANK-correlation contract the
+    stats family lacks (``stats_agg_q`` has Pearson; ``mann_whitney_u``
+    ranks one variable for a location test; nothing correlates two
+    rankings).  Fixture probe (r12): this pair carries real signal
+    (rho ~ +0.99 at every sf); the orders-side candidates
+    (totalprice vs item count/quantity) all sat within +-0.02 of zero
+    in the synthetic data and were rejected as exhibits.
+
+    Ties resolve deterministically by o_orderkey (documented contract:
+    Spearman over the total order (value, o_orderkey) — both engines
+    rank the exact same permutation, so sum(d^2) is bit-identical and
+    rho = 1 - 6*sum(d^2)/(n(n^2-1)) is exact integer arithmetic in
+    micro-units, computed in DECIMAL(38,0)/HUGEINT: 6e6 * sum(d^2) ~
+    2e6*n^3 passes BIGINT at ~1.7e4 rows).
+
+    Scale shape — NO global single-partition window: rank(v, k) =
+    (#rows with value < v) + row_number within the value's tie group
+    ordered by key.  The counts-below term comes from a cumulative
+    window over the VALUE-GROUPED relation (bounded by the distinct
+    value range, the ``mann_whitney_u`` idiom) broadcast back onto the
+    rows; the tie-group row_number partitions by value — distributed
+    on both axes at any input size.
+    """
+    o = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("o_orderkey"),
+        F.col("n_chars").cast("bigint").alias("x"),
+        (F.size(F.split(F.col("text"), " ", -1))).cast("bigint").alias("y"),
+    )
+
+    def ranked(df, col, out):
+        grouped = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        below = grouped.select(
+            col, F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below")
+        )
+        wt = Window.partitionBy(col).orderBy("o_orderkey")
+        return (
+            df.join(F.broadcast(below), col)
+            .withColumn(out, (F.col("below") + F.row_number().over(wt)).cast("bigint"))
+            .drop("below")
+        )
+
+    r = ranked(ranked(o, "x", "rx"), "y", "ry")
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d2).cast("decimal(38,0)").alias("sum_d2"),
+    )
+    return agg.select(
+        "n",
+        F.col("sum_d2").cast("bigint").alias("sum_d2"),
+        F.expr(
+            "cast(1000000 - (cast(6000000 as decimal(38,0)) * sum_d2)"
+            " div (cast(n as decimal(38,0)) * (cast(n as decimal(38,0))"
+            " * cast(n as decimal(38,0)) - 1)) as bigint)"
+        ).alias("spearman_micro"),
+    )
+
+
+register(
+    "spearman_corr",
+    spearman_corr,
+    """
+    WITH pairs AS (
+      SELECT doc_id AS o_orderkey,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS y
+      FROM documents),
+    bx AS (SELECT x, COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM pairs GROUP BY x),
+    by_ AS (SELECT y, COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM pairs GROUP BY y),
+    r AS (
+      SELECT p.o_orderkey,
+             bx.below + ROW_NUMBER() OVER (PARTITION BY p.x
+               ORDER BY p.o_orderkey) AS rx,
+             by_.below + ROW_NUMBER() OVER (PARTITION BY p.y
+               ORDER BY p.o_orderkey) AS ry
+      FROM pairs p JOIN bx ON p.x = bx.x JOIN by_ ON p.y = by_.y),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM((rx - ry) * (rx - ry)) AS sum_d2 FROM r)
+    SELECT n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CAST(1000000 - (CAST(6000000 AS HUGEINT) * sum_d2)
+                // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+                AS BIGINT) AS spearman_micro
+    FROM s
+    """,
+)

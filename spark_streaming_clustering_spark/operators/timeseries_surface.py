@@ -318,3 +318,61 @@ register(
     FROM p GROUP BY user_id ORDER BY user_id
     """,
 )
+
+
+# ==========================================================================
+# ohlc_resample (round 12)
+# ==========================================================================
+
+
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) OHLC downsampling bars — the financial /
+    telemetry resampling contract the time-series family lacks
+    (``time_weighted_average`` integrates, ``gapfill_series``
+    interpolates, ``holt_linear_smoothing`` smooths; nothing emits
+    open/high/low/close per bucket): open = value at the EARLIEST row
+    of the bucket, close = at the LATEST, high/low = extrema.
+
+    Determinism: "earliest/latest" order by event_id — ``ts`` is
+    strictly monotone in ``event_id`` at every committed fixture
+    (pinned by tests/test_round12.py), so event_id IS the time order
+    with a total tiebreak, and ``min_by``/``max_by`` on a SCALAR key
+    are engine-exact (no struct-ordering divergence to worry about).
+    Values quantize to integer cents before aggregation.
+
+    Scale shape: one scan, one (event_type, hour)-keyed hash aggregate
+    with map-side partials for all six measures — min_by/max_by carry
+    one (key, value) pair per group per partition, same cost class as
+    min/max.  Output is #types x #hours rows, bounded by the calendar.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h_start"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return ev.groupBy("event_type", "h_start").agg(
+        F.min_by("cents", "event_id").cast("bigint").alias("open_c"),
+        F.max("cents").cast("bigint").alias("high_c"),
+        F.min("cents").cast("bigint").alias("low_c"),
+        F.max_by("cents", "event_id").cast("bigint").alias("close_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+register(
+    "ohlc_resample",
+    ohlc_resample,
+    """
+    SELECT event_type, date_trunc('hour', ts) AS h_start,
+           CAST(arg_min(cents, event_id) AS BIGINT) AS open_c,
+           CAST(MAX(cents) AS BIGINT) AS high_c,
+           CAST(MIN(cents) AS BIGINT) AS low_c,
+           CAST(arg_max(cents, event_id) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT event_type, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY 1, 2
+    """,
+)

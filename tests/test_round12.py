@@ -96,3 +96,56 @@ def test_join_ivm_delta_self_consistency(spark, sf_dir):
     assert any(r.n_delta > 0 for r in rows)
     assert all(r.n_after == r.n_base + r.n_delta for r in rows)
     compare(df, duck_con(sf_dir), ORACLES["join_ivm_delta"], "join_ivm_delta")
+
+
+def test_spearman_matches_pandas_replication(spark, sf_dir):
+    """Independent replication: rank both variables with the same
+    deterministic (value, doc_id) tiebreak in pandas and recompute
+    rho exactly; assert bounds and the strong-positive fixture signal
+    (the probe rejected near-zero orders-side pairs as exhibits)."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        spearman_corr,
+    )
+
+    row = spearman_corr(spark, sf_dir).collect()[0]
+    assert -1_000_000 <= row.spearman_micro <= 1_000_000
+    assert row.spearman_micro > 900_000  # n_chars ~ words: real signal
+    con = duck_con(sf_dir)
+    df = con.execute(
+        """SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS x,
+                  CAST(length(text) - length(replace(text,' ','')) + 1
+                       AS BIGINT) AS y FROM documents"""
+    ).fetchdf()
+    df = df.sort_values(["x", "k"]).reset_index(drop=True)
+    df["rx"] = range(1, len(df) + 1)
+    df = df.sort_values(["y", "k"]).reset_index(drop=True)
+    df["ry"] = range(1, len(df) + 1)
+    d2 = int(((df.rx - df.ry) ** 2).sum())
+    n = len(df)
+    assert (row.n, row.sum_d2) == (n, d2)
+    assert row.spearman_micro == 1_000_000 - (6_000_000 * d2) // (n * (n * n - 1))
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    """low <= open/close <= high per bar; bar counts sum to the event
+    total; a spot-checked bucket's open equals the min-event_id value."""
+    from spark_streaming_clustering_spark.operators.timeseries_surface import (
+        ohlc_resample,
+    )
+    from spark_streaming_clustering_spark.sources.tables import load_table
+
+    bars = ohlc_resample(spark, sf_dir).collect()
+    assert bars
+    for b in bars:
+        assert b.low_c <= b.open_c <= b.high_c
+        assert b.low_c <= b.close_c <= b.high_c
+    assert sum(b.n for b in bars) == load_table(spark, sf_dir, "events").count()
+    con = duck_con(sf_dir)
+    b0 = max(bars, key=lambda b: b.n)
+    open_c = con.execute(
+        """SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) FROM events
+           WHERE event_type = ? AND date_trunc('hour', ts) = ?
+           ORDER BY event_id LIMIT 1""",
+        [b0.event_type, b0.h_start],
+    ).fetchone()[0]
+    assert b0.open_c == open_c
