@@ -148,6 +148,10 @@ HEADLINE = [
     # single-scan six-measure OHLC hash aggregate
     "spearman_corr",
     "ohlc_resample",
+    # round-12: greedy submodular selection pair (driver-paced rounds,
+    # see median5)
+    "kcenter_diversity_select",
+    "greedy_set_cover",
 ]
 
 
@@ -554,6 +558,10 @@ def main() -> None:
         "graph_coreness_decomposition",
         # r12: 6 driver-paced checkpointed Bellman-Ford rounds
         "graph_weighted_shortest_path",
+        # r12: 8/6 driver-paced greedy selection rounds (one bounded
+        # collect per round — the most steal-sensitive shape)
+        "kcenter_diversity_select",
+        "greedy_set_cover",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in

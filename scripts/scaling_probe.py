@@ -126,6 +126,8 @@ PROBE = {
     "join_ivm_delta": "orders",
     "spearman_corr": "documents",
     "ohlc_resample": "events",
+    "kcenter_diversity_select": "embeddings",
+    "greedy_set_cover": "documents",
 }
 
 

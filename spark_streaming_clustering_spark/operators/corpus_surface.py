@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from ._idioms import _DK_HASH, _SW, STOPWORDS, _hash28, _tokens
 from ._text import QMICRO_DUCK, QMICRO_SPARK
-from .registry import register
+from .registry import register, register_plan_proxy
 
 # ==========================================================================
 # quality_gopher_rules
@@ -923,3 +923,268 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# ==========================================================================
+# kcenter_diversity_select (round 12)
+# ==========================================================================
+
+_KCEN_K = 8  # centers selected; fixed unroll shared by builder + oracle
+_KCEN_Q = 1000  # element quantizer: q = floor(x * 1000 + 0.5)
+
+_KCEN_D2_SPARK = (
+    "aggregate(zip_with(q, {c}, (a, b) -> (a - b) * (a - b)),"
+    " cast(0 as bigint), (acc, x) -> acc + x)"
+)
+
+
+def _kcen_qvec_expr() -> object:
+    """Engine-identical integer quantization of the float32 embedding:
+    widen to double (exact), scale, floor(x+0.5) — after this EVERY
+    distance is exact bigint arithmetic (the house quantize-before-
+    reduction rule), so no float summation order can diverge."""
+    return F.expr(
+        f"transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {_KCEN_Q} + 0.5) as bigint))"
+    )
+
+
+def kcenter_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal (greedy k-center) over the embedding
+    table — DIVERSITY-driven coreset selection, the submodular
+    data-selection class the sampling family lacks (``sample_*`` draw
+    by hash/weight/stratum; nothing selects points to COVER the
+    embedding space).  Gonzalez's 2-approximation: seed with the
+    lowest vec_id, then {K}-1 times pick the point whose squared L2
+    distance to its NEAREST chosen center is LARGEST (tiebreak lowest
+    vec_id) — the classic curriculum/coreset primitive for training-
+    data diversity.
+
+    Exactness: vector elements quantize to integers (x -> floor(
+    x*{Q}+0.5), exact after the float32->double widening) so every
+    distance is exact BIGINT arithmetic — argmax can never flip on
+    float summation order.  The driver loop collects ONE row per round
+    (the selected center — the bounded-collect class of the kmeans/
+    gstream M-step); the per-point min-distance update is a map-side
+    expression against the new center's 64-int literal, re-min'd and
+    localCheckpointed per round (the WSP/kcore lineage rule).
+
+    Scale: each round is one scan of the checkpointed (vec_id, q,
+    mind) relation + one TakeOrdered(1) — no shuffle beyond the top-1
+    reduce; at 1B vectors each round is one distributed pass, the
+    textbook distributed k-center.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _kcen_qvec_expr().alias("q")
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]  # bounded: 1 row
+    picks = [(1, int(seed.vec_id), 0)]
+
+    def lit_vec(v) -> str:
+        return "array(" + ",".join(f"{int(x)}L" for x in v) + ")"
+
+    state = emb.withColumn(
+        "mind", F.expr(_KCEN_D2_SPARK.format(c=lit_vec(seed.q)))
+    ).localCheckpoint(eager=True)
+    for r in range(2, _KCEN_K + 1):
+        top = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        )  # bounded: 1 row per round
+        picks.append((r, int(top.vec_id), int(top.mind)))
+        state = state.withColumn(
+            "mind",
+            F.least("mind", F.expr(_KCEN_D2_SPARK.format(c=lit_vec(top.q)))),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "sel_round bigint, vec_id bigint, maxmin_d2q bigint"
+    )
+
+
+kcenter_diversity_select.__doc__ = kcenter_diversity_select.__doc__.format(
+    K=_KCEN_K, Q=_KCEN_Q
+)
+
+
+def _kcen_oracle() -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    steps = []
+    prev = "m1"
+    sel = [
+        "SELECT 1 AS sel_round, vec_id, CAST(0 AS BIGINT) AS maxmin_d2q FROM c1"
+    ]
+    for r in range(2, _KCEN_K + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT vec_id, q, mind FROM {prev}
+      ORDER BY mind DESC, vec_id ASC LIMIT 1),
+    m{r} AS MATERIALIZED (
+      SELECT m.vec_id, m.q,
+             LEAST(m.mind, {d2.format(a='m.q', b='p.q')}) AS mind
+      FROM {prev} m, p{r} p)"""
+        )
+        sel.append(
+            f"SELECT {r} AS sel_round, vec_id, CAST(mind AS BIGINT)"
+            f" AS maxmin_d2q FROM p{r}"
+        )
+        prev = f"m{r}"
+    steps_sql = ",\n    ".join(steps)
+    sel_sql = "\n    UNION ALL\n    ".join(sel)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * {_KCEN_Q} + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    c1 AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+    m1 AS MATERIALIZED (
+      SELECT e.vec_id, e.q, {d2.format(a='e.q', b='c.q')} AS mind
+      FROM e, c1 c),
+    {steps_sql}
+    {sel_sql}
+    """
+
+
+register("kcenter_diversity_select", kcenter_diversity_select, _kcen_oracle())
+
+
+# ==========================================================================
+# greedy_set_cover (round 12)
+# ==========================================================================
+
+_GSC_K = 6  # greedy rounds; fixed unroll shared by builder + oracle
+
+
+def _gsc_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-bigram) relation — the coverage universe.
+    Plain whitespace tokens are DEGENERATE on this corpus (31 distinct
+    tokens; one document covers all of them in round 1 — the r12
+    probe's rejected variant); bigrams give a ~920-term universe with
+    strictly positive, strictly decreasing greedy gains through 8
+    rounds at every committed sf."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        " (a, b) -> struct(a AS a, b AS b))"
+    )
+    return (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .filter("p.a <> '' AND p.b <> ''")
+        .select("doc_id", F.concat_ws("_", "p.a", "p.b").alias("tok"))
+        .distinct()
+    )
+
+
+def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection: {K} rounds, each
+    picking the document whose bigram set covers the MOST still-
+    uncovered terms (tiebreak lowest doc_id) — the submodular
+    coverage-driven data-selection class (the ln(n)-approximation
+    greedy of Nemhauser et al.), the vocabulary-coverage counterpart
+    to ``kcenter_diversity_select``'s geometric diversity.  A training
+    pipeline uses exactly this to pick a compact seed corpus that
+    still exercises the vocabulary.
+
+    Execution: the distinct (doc_id, bigram) relation is the state;
+    each round is one (doc_id)-keyed count aggregate + TakeOrdered(1)
+    (the selected doc collects to the driver — 1 bounded row, the
+    k-center precedent), then a broadcast anti-join removes the
+    newly-covered terms and the state localCheckpoints (lineage rule).
+    Gains are exact integers; the oracle unrolls the same {K} rounds
+    with MATERIALIZED remaining-relations and computes the running
+    coverage with a window over the {K}-row pick list.
+    """
+    state = _gsc_doc_bigrams(spark, sf_dir).localCheckpoint(eager=True)
+    picks = []
+    total = 0
+    for r in range(1, _GSC_K + 1):
+        top = (
+            state.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )  # bounded: 1 row per round
+        total += int(top.gain)
+        picks.append((r, int(top.doc_id), int(top.gain), total))
+        ptoks = state.filter(F.col("doc_id") == top.doc_id).select("tok")
+        state = state.join(
+            F.broadcast(ptoks), "tok", "left_anti"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks,
+        "sel_round bigint, doc_id bigint, gain bigint, covered_total bigint",
+    )
+
+
+greedy_set_cover.__doc__ = greedy_set_cover.__doc__.format(K=_GSC_K)
+
+
+def _gsc_oracle() -> str:
+    steps = []
+    sel = []
+    prev = "rem1"
+    for r in range(1, _GSC_K + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS gain FROM {prev}
+      GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1),
+    rem{r + 1} AS MATERIALIZED (
+      SELECT x.doc_id, x.tok FROM {prev} x
+      ANTI JOIN (SELECT d.tok FROM {prev} d JOIN p{r} ON d.doc_id = p{r}.doc_id)
+        c ON x.tok = c.tok)"""
+        )
+        sel.append(f"SELECT {r} AS sel_round, doc_id, gain FROM p{r}")
+        prev = f"rem{r + 1}"
+    steps_sql = ",\n    ".join(steps)
+    sel_sql = "\n      UNION ALL\n      ".join(sel)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    rem1 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, ws[i] || '_' || ws[i+1] AS tok
+      FROM t, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE ws[i] <> '' AND ws[i+1] <> ''),
+    {steps_sql},
+    picks AS (
+      {sel_sql})
+    SELECT CAST(sel_round AS BIGINT) AS sel_round,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(SUM(gain) OVER (ORDER BY sel_round) AS BIGINT) AS covered_total
+    FROM picks
+    """
+
+
+register("greedy_set_cover", greedy_set_cover, _gsc_oracle())
+
+
+def kcenter_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan: quantized scan + one min-distance update +
+    the TakeOrdered(1) round reduce (the executed operator's per-round
+    shape; the driver loop collects, so the full key is not a single
+    lazy plan — k-core/WSP proxy precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _kcen_qvec_expr().alias("q")
+    )
+    zero = "array(" + ",".join(["0L"] * 64) + ")"
+    state = emb.withColumn("mind", F.expr(_KCEN_D2_SPARK.format(c=zero)))
+    return state.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+
+
+def gsc_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan: bigram derivation + one greedy round
+    (gain aggregate + TakeOrdered(1))."""
+    state = _gsc_doc_bigrams(spark, sf_dir)
+    return (
+        state.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("gain"))
+        .orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(1)
+    )
+
+
+register_plan_proxy("kcenter_diversity_select", kcenter_iteration_plan)
+register_plan_proxy("greedy_set_cover", gsc_iteration_plan)

@@ -149,3 +149,73 @@ def test_ohlc_bars_invariants(spark, sf_dir):
         [b0.event_type, b0.h_start],
     ).fetchone()[0]
     assert b0.open_c == open_c
+
+
+def _kcen_python_replay(sf_dir: str):
+    """Independent exact farthest-first traversal on the quantized
+    vectors, straight from parquet (no Spark, no shared code)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+            FROM read_parquet('{sf_dir}/embeddings.parquet')
+            ORDER BY vec_id"""
+    ).fetchall()
+    vecs = {int(v): q for v, q in rows}
+    seed = min(vecs)
+    picks = [(1, seed, 0)]
+    mind = {
+        v: sum((a - b) * (a - b) for a, b in zip(q, vecs[seed]))
+        for v, q in vecs.items()
+    }
+    for r in range(2, 9):
+        top = min(vecs, key=lambda v: (-mind[v], v))
+        picks.append((r, top, mind[top]))
+        for v, q in vecs.items():
+            d = sum((a - b) * (a - b) for a, b in zip(q, vecs[top]))
+            if d < mind[v]:
+                mind[v] = d
+    return picks
+
+
+def test_kcenter_matches_python_replay_and_radius_monotone(spark, sf_dir):
+    """Cross-implementation pin + the k-center invariant: the selection
+    radius (maxmin distance at pick time) is non-increasing after the
+    seed, and all centers are distinct."""
+    from spark_streaming_clustering_spark.operators.corpus_surface import (
+        kcenter_diversity_select,
+    )
+
+    got = [
+        (r.sel_round, r.vec_id, r.maxmin_d2q)
+        for r in kcenter_diversity_select(spark, sf_dir)
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert got == _kcen_python_replay(sf_dir)
+    radii = [d for _r, _v, d in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({v for _r, v, _d in got}) == len(got)
+
+
+def test_greedy_set_cover_invariants(spark, sf_dir):
+    """Submodularity: greedy gains are non-increasing; coverage is the
+    strictly-increasing running sum; picks are distinct docs; every
+    gain is positive (the bigram universe is non-degenerate — the
+    plain-token variant was rejected by the r12 probe: one doc covered
+    the whole 31-token vocabulary)."""
+    from spark_streaming_clustering_spark.operators.corpus_surface import (
+        greedy_set_cover,
+    )
+
+    rows = (
+        greedy_set_cover(spark, sf_dir).orderBy("sel_round").collect()
+    )
+    gains = [r.gain for r in rows]
+    assert all(g > 0 for g in gains)
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    totals = [r.covered_total for r in rows]
+    assert totals == [sum(gains[: i + 1]) for i in range(len(gains))]
+    assert len({r.doc_id for r in rows}) == len(rows)
