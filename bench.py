@@ -152,6 +152,9 @@ HEADLINE = [
     # see median5)
     "kcenter_diversity_select",
     "greedy_set_cover",
+    # round-12: one-pass map-side-combine Gram reduction (constant
+    # shuffle in the row count)
+    "gram_matrix_embeddings",
 ]
 
 

@@ -128,6 +128,7 @@ PROBE = {
     "ohlc_resample": "events",
     "kcenter_diversity_select": "embeddings",
     "greedy_set_cover": "documents",
+    "gram_matrix_embeddings": "embeddings",
 }
 
 

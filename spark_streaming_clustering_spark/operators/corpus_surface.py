@@ -1188,3 +1188,78 @@ def gsc_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_plan_proxy("kcenter_diversity_select", kcenter_iteration_plan)
 register_plan_proxy("greedy_set_cover", gsc_iteration_plan)
+
+
+# ==========================================================================
+# gram_matrix_embeddings (round 12)
+# ==========================================================================
+
+_GRAM_DIM = 64  # embedding dimensionality (all committed fixtures)
+
+
+def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding table (upper
+    triangle, 1-based (i, j) with j >= i) — the covariance/PCA
+    building block the vector family lacks: every batch-level
+    whitening, PCA, or linear-probe fit over a 100 TB embedding store
+    starts with exactly this one-pass reduction.
+
+    Exactness: elements quantize to integers (floor(x*1000 + 0.5)
+    after the exact float32->double widening, the
+    ``kcenter_diversity_select`` rule), so partial Gram blocks are
+    exact int64 and the final per-(i,j) SUM is order-independent —
+    bit-identical to the oracle's pairwise expansion.
+
+    Scale shape: an Arrow-batched ``mapInPandas`` computes each
+    batch's 64x64 block as ONE numpy int64 matmul (Q.T @ Q — BLAS,
+    never a Python loop) and emits the 2080 upper-triangle partials;
+    the only shuffle carries #partitions x 2080 tiny rows into the
+    final (i, j) hash aggregate.  At 1B vectors this is the textbook
+    map-side-combine outer-product reduction: compute scales with
+    rows, the shuffle is CONSTANT in the row count.  Overflow margin:
+    |q| <= ~580, so a partial needs rows x 3.4e5 — int64 holds to
+    ~2.7e13 rows per partition.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    dim = _GRAM_DIM
+
+    def blocks(it):
+        import numpy as np
+
+        ii, jj = np.triu_indices(dim)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000 + 0.5).astype(np.int64)
+            g = q.T @ q
+            yield pd.DataFrame(
+                {"i": ii + 1, "j": jj + 1, "g": g[ii, jj]}
+            ).astype({"i": "int64", "j": "int64", "g": "int64"})
+
+    partials = emb.mapInPandas(blocks, "i long, j long, g long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").cast("bigint").alias("gram_q")
+    )
+
+
+register(
+    "gram_matrix_embeddings",
+    gram_matrix_embeddings,
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    xi AS MATERIALIZED (
+      SELECT vec_id, i, q[i] AS v
+      FROM e, unnest(generate_series(1, {_GRAM_DIM})) AS g(i))
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+           CAST(SUM(a.v * b.v) AS BIGINT) AS gram_q
+    FROM xi a JOIN xi b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+    """,
+)

@@ -219,3 +219,32 @@ def test_greedy_set_cover_invariants(spark, sf_dir):
     totals = [r.covered_total for r in rows]
     assert totals == [sum(gains[: i + 1]) for i in range(len(gains))]
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """Independent replication: full-precision numpy int64 Gram on the
+    quantized vectors equals the distributed result exactly; 2080
+    upper-triangle cells; strictly positive diagonal (no zero
+    vectors in the fixture)."""
+    import numpy as np
+
+    from spark_streaming_clustering_spark.operators.corpus_surface import (
+        gram_matrix_embeddings,
+    )
+
+    got = {
+        (r.i, r.j): r.gram_q
+        for r in gram_matrix_embeddings(spark, sf_dir).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    con = duck_con(sf_dir)
+    x = np.stack(
+        con.execute("SELECT embedding FROM embeddings ORDER BY vec_id")
+        .fetchdf()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    q = np.floor(x * 1000 + 0.5).astype(np.int64)
+    g = q.T @ q
+    for (i, j), v in got.items():
+        assert v == g[i - 1, j - 1], (i, j)
+    assert all(got[(d, d)] > 0 for d in range(1, 65))
