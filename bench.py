@@ -418,6 +418,38 @@ def _previous_bench_times() -> dict:
     return records[-1][1] if records else {}
 
 
+def _quiet_retry_plan(
+    times: dict, prev_times: dict, budget_s: float = 120.0
+) -> tuple[list[str], list[str]]:
+    """Plan the capped end-of-run quiet retry (ADVICE r12): movers
+    (>25% over their previous committed wall) ordered worst-ratio-first,
+    split into (retry, skipped) by a total estimated-retry-time budget
+    of ``budget_s`` seconds at 5 samples per mover.  The worst mover is
+    ALWAYS retried even if its estimate alone exceeds the budget — the
+    cap bounds the tail, it must not silence the headline regression."""
+    movers = sorted(
+        (
+            k
+            for k, t in times.items()
+            if prev_times.get(k) and prev_times[k] > 0
+            and t > prev_times[k] * 1.25
+        ),
+        key=lambda k: times[k] / prev_times[k],
+        reverse=True,
+    )
+    retry: list[str] = []
+    skipped: list[str] = []
+    est = 0.0
+    for k in movers:
+        cost = 5 * times[k]
+        if retry and est + cost > budget_s:
+            skipped.append(k)
+        else:
+            retry.append(k)
+            est += cost
+    return retry, skipped
+
+
 def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 20) -> float:
     """Mean model-update ms per ~100-point micro-batch (BASELINE metric).
 
@@ -625,10 +657,15 @@ def main() -> None:
     # any key still >25% over its previous committed wall is re-sampled
     # once more; the better center wins and BOTH bursts (with their
     # load stamps) land in the artifact so the mover self-adjudicates.
-    for key in HEADLINE:
-        prev = prev_times.get(key)
-        if prev is None or prev <= 0 or times[key] <= prev * 1.25:
-            continue
+    # ADVICE r12: the pass is CAPPED — a genuine broad regression
+    # (many movers) otherwise pays 5 extra full runs per mover, an
+    # unbounded wall-clock tail on driver-paced keys.  Movers are
+    # retried worst-ratio-first within a total retry-time budget; what
+    # is skipped is recorded in the artifact so coverage stays honest.
+    _retry_keys, _retry_skipped = _quiet_retry_plan(
+        {k: times[k] for k in HEADLINE}, prev_times
+    )
+    for key in _retry_keys:
         stamp0 = _load_stamp()
         retry: list[float] = []
         for _run in range(5):
@@ -683,6 +720,12 @@ def main() -> None:
         "gstream_ms_per_batch_budget": 116.0,
         "estep_points_per_sec": int(estep_pps),
     }
+    if _retry_skipped:
+        # Honest-coverage marker (ADVICE r12): movers the capped quiet
+        # retry did NOT re-sample — their times[] walls are the
+        # uncorrected burst centers and must be read alongside load
+        # stamps, not as adjudicated floors.
+        record["retry_skipped"] = _retry_skipped
     # Full record — per-key sampling method + every raw sample — goes to
     # a repo file bench.py owns: the round driver captures only a tail
     # of stdout, and embedding ~55 keys' samples in the printed line

@@ -1232,7 +1232,22 @@ def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             if pdf.empty:
                 continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vecs = pdf["embedding"].to_numpy()
+            # ADVICE r12: fail with a readable message at the first
+            # batch on NULL embeddings or a dim != _GRAM_DIM fixture,
+            # instead of an opaque IndexError deep in the executor.
+            if any(v is None for v in vecs):
+                raise ValueError(
+                    "gram_matrix_embeddings: NULL embedding in batch"
+                )
+            x = np.stack(vecs).astype(np.float64)
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"gram_matrix_embeddings: embedding dim "
+                    f"{x.shape[1] if x.ndim == 2 else x.shape} != "
+                    f"expected {dim} (_GRAM_DIM); update _GRAM_DIM for "
+                    "this fixture"
+                )
             q = np.floor(x * 1000 + 0.5).astype(np.int64)
             g = q.T @ q
             yield pd.DataFrame(

@@ -6783,7 +6783,10 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
     agg = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d2).cast("decimal(38,0)").alias("sum_d2"),
+        # ADVICE r12: accumulate in DECIMAL(38,0) (matching the
+        # oracle's HUGEINT), not BIGINT-then-cast — sum(d2) ~ n^3/3
+        # wraps int64 near n ~ 2M rows if summed as plain BIGINT.
+        F.sum(d2.cast("decimal(38,0)")).alias("sum_d2"),
     )
     return agg.select(
         "n",

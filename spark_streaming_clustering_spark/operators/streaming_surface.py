@@ -428,7 +428,7 @@ def stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the mechanism a sharded G-Stream model would use if
     the prototype graph ever outgrew the driver (SURVEY.md section 4.2).
     (Spark 4's newer transformWithStateInPandas API is the successor;
-    root-caused in round 4 and re-tested each round since (round 12,
+    root-caused in round 4 and re-tested each round since (round 13,
     2026-08-16: still no ``google`` package): its driver worker imports
     ``google.protobuf`` for the state-server protocol
     (pyspark/sql/streaming/proto/StateMessage_pb2.py) and neither
@@ -622,7 +622,12 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     T0 + b*10min, written as 4 mtime-pinned parquet files so the file
     source replays them in order (one per trigger).
 
-    Probed eviction semantics (this round, fresh local[32] session):
+    Probed eviction semantics (PINNED to pyspark 4.1.2, the container
+    version the probe ran on — ADVICE r12: a Spark upgrade or
+    state-store provider change may legitimately shift DDWW's eviction
+    lag and flip this oracle with no code change; the version guard in
+    tests/test_round12.py fails with a re-probe instruction instead of
+    an opaque hash mismatch.  Probe recipe, fresh local[32] session):
     during batch b rows match against PRE-eviction state, then entries
     with expiry (= emitted row's event time + delay) below the CURRENT
     batch's watermark wm_b = max_ts(batches < b) - delay are evicted —

@@ -273,3 +273,29 @@ def test_r11_steal_movers_are_median5_or_converged():
             and abs(last[key] - prev[key]) / prev[key] <= 0.25
         )
         assert robust or converged, (key, method, prev.get(key), last.get(key))
+
+
+def test_quiet_retry_plan_caps_and_orders(tmp_path):
+    """ADVICE r12: the end-of-run quiet retry is budget-capped,
+    worst-ratio-first, always retries the headline mover, and reports
+    the skipped tail instead of silently dropping it."""
+    m = _bench_module()
+    prev = {"a": 1.0, "b": 1.0, "c": 10.0, "d": 1.0, "e": 1.0}
+    times = {"a": 2.0, "b": 1.5, "c": 40.0, "d": 1.1, "e": 0.9}
+    # movers: c (4.0x), a (2.0x), b (1.5x); d (+10%) and e (improved)
+    # are not movers.  Budget 120s: c costs 5*40=200 > 120 but is the
+    # worst mover so it is retried anyway; a and b are then over
+    # budget and skipped, in mover order.
+    retry, skipped = m._quiet_retry_plan(times, prev, budget_s=120.0)
+    assert retry == ["c"]
+    assert skipped == ["a", "b"]
+    # Ample budget: everyone retries, worst-first, nothing skipped.
+    retry, skipped = m._quiet_retry_plan(times, prev, budget_s=1e9)
+    assert retry == ["c", "a", "b"] and skipped == []
+    # No previous record (first round): no movers, no retries.
+    assert m._quiet_retry_plan(times, {}) == ([], [])
+    # Partial budget: c (200) exceeds alone, a (10) fits after? No —
+    # after c, est=200 > any remaining budget, so a and b skip; with
+    # budget 215 a fits (200+10) and b fits (210+7.5=217.5 > 215).
+    retry, skipped = m._quiet_retry_plan(times, prev, budget_s=215.0)
+    assert retry == ["c", "a"] and skipped == ["b"]

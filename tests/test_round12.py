@@ -55,6 +55,26 @@ def test_append_final_emits_each_window_once_and_drops_tail(spark, sf_dir):
     )
 
 
+def test_ddww_oracle_pinned_to_probed_spark_version():
+    """ADVICE r12: the streaming_dedup_watermark oracle encodes an
+    empirically probed, version-specific eviction lag of
+    dropDuplicatesWithinWatermark (blocked at e1+1/e1+2, re-emittable
+    at e1+3) measured on pyspark 4.1.2 with the default HDFS-backed
+    state store.  A Spark upgrade may legitimately shift that timing;
+    this guard turns the resulting opaque oracle mismatch into an
+    explicit re-probe instruction."""
+    import pyspark
+
+    assert pyspark.__version__ == "4.1.2", (
+        f"pyspark {pyspark.__version__} != 4.1.2: the DDWW chain-rule "
+        "oracle (operators/streaming_surface.py, streaming_dedup_"
+        "watermark) pins eviction-lag behavior probed on 4.1.2. "
+        "Re-run the 7-min/2-min delay probes described in its "
+        "docstring, update the oracle if the lag changed, then bump "
+        "this pin."
+    )
+
+
 def test_ddww_emission_multiset_matches_oracle(spark, sf_dir):
     """Driver-shaped oracle compare for the DDWW key (rows + schema +
     values), mirroring CORRECTNESS — plus the TTL invariant: at least
