@@ -155,6 +155,9 @@ HEADLINE = [
     # round-12: one-pass map-side-combine Gram reduction (constant
     # shuffle in the row count)
     "gram_matrix_embeddings",
+    # round-13: distributed Borůvka MSF (iterative, geometrically
+    # shrinking live-edge relation, early convergence break)
+    "boruvka_msf_trade",
 ]
 
 

@@ -2308,3 +2308,267 @@ register(
     _wsp_oracle(),
 )
 register_plan_proxy("graph_weighted_shortest_path", graph_wsp_iteration_plan)
+
+
+# ==========================================================================
+# boruvka_msf_trade (round 13)
+# ==========================================================================
+
+_MSF_ROUNDS = 6  # Borůvka round cap; probe: 2/3/4 rounds needed at the 3 sfs
+_MSF_JUMPS = 2  # pointer-jumping passes per round; probe: 2 suffice at all sfs
+
+
+def _msf_wkey(w, lo, hi):
+    """Globally-distinct composite edge key as ONE bigint:
+    w * 2^50 + lo * 2^25 + hi.  Distinctness (each undirected edge has
+    a unique (lo, hi)) makes the minimum spanning forest UNIQUE and
+    every min_by/arg_min deterministic, so both engines and the
+    Kruskal pin agree edge-for-edge with no tie-break ambiguity.
+    Precondition: node ids < 2^25 (~33.5M — holds with three orders of
+    magnitude of margin at every committed fixture; pinned by
+    tests/test_round13.py so a larger fixture fails loudly, the
+    events-ts-monotone precedent)."""
+    return (
+        w * F.lit(1 << 50).cast("bigint")
+        + lo * F.lit(1 << 25).cast("bigint")
+        + hi
+    ).cast("bigint")
+
+
+def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the weighted customer-supplier trade
+    graph via distributed Borůvka — the GLOBAL-structure graph contract
+    nothing else in the registry expresses:
+    ``graph_weighted_shortest_path`` computes distances from a seed
+    set, ``graph_kcore_richclub``/coreness measure local density,
+    ``dedup_connected_components`` finds components but is blind to
+    weights; the MSF is the cheapest backbone connecting the graph —
+    the single-linkage-clustering primitive (Borůvka 1926).  The r13
+    feasibility probe disproved the naive one-round model: the
+    per-node min-incident-edge forest differs from the true MSF at
+    EVERY committed fixture (155/159, 1575/1599, 15790/15998 edges),
+    so the multi-round cut-property machinery is load-bearing; edge
+    keys are globally distinct (probe-asserted), so the MSF is unique.
+
+    Algorithm (identically unrolled in the DuckDB oracle): each round,
+    every current component selects its minimum-wkey incident CROSS
+    edge with one ``min_by`` hash aggregate (by the cut property with
+    distinct keys every selected edge IS in the MSF — valid even under
+    PARTIAL contraction, because selection only ever sees a partition
+    REFINING the true components); components hook to their chosen
+    neighbour, 2-cycles break toward the smaller label (distinct keys
+    make every pseudo-forest cycle a 2-cycle), and {J} pointer-jumping
+    passes contract the hook forest.  The loop stops as soon as a
+    round finds no cross edges (identical to letting the oracle's
+    remaining unrolled rounds run empty) and is capped at {R} rounds —
+    the probed fixpoint (4 rounds at sf0.1) plus 2 slack; the output
+    is pinned edge-for-edge against an independent driver-side Kruskal
+    at all three fixtures (tests/test_round13.py, the Dijkstra-pin
+    precedent).
+
+    Scale shape: the live edge relation starts as the checkpointed
+    canonical edge list and is REPLACED each round by the checkpointed
+    cross-edge survivors, so the per-round scan SHRINKS geometrically
+    (587k -> ~40k after round 0 at sf0.1); ``comp`` (node-sized) is
+    BROADCAST into the edge join; the hook/pointer relations hold one
+    row per STILL-MERGING component and shrink geometrically too.  The
+    only edge-sized shuffle per round is the per-component ``min_by``
+    — a map-side-combining hash aggregate.  Every iterative state is
+    localCheckpointed per round (the kcore/WSP lineage rule).
+    Reference parity: all reference graph state is a driver-local
+    adjacency matrix (batchStreamModel.scala:17-18); this is the
+    distributed counterpart for graphs that outgrow one machine.
+    """
+    edges, deg = _trade_edges(spark, sf_dir)
+    live = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+        .withColumn("w", _wsp_weight(F.col("lo"), F.col("hi")))
+    )
+    live = live.withColumn(
+        "wkey", _msf_wkey(F.col("w"), F.col("lo"), F.col("hi"))
+    ).localCheckpoint(eager=True)
+    comp = deg.select(
+        F.col("src").alias("node"), F.col("src").alias("c")
+    ).localCheckpoint(eager=True)
+    sel = None
+    for rnd in range(_MSF_ROUNDS):
+        if rnd == 0:
+            # Round 0: comp is the identity (every node its own
+            # component), so the cross relation is the edge list itself
+            # with ca=lo, cb=hi — same rows the oracle's comp0 join
+            # yields, without re-joining 587k edges against an identity
+            # map (saves the round's two broadcast joins + a redundant
+            # checkpoint; `live` is already sealed and IS the survivor
+            # set, since in round 0 every edge crosses).
+            cross = live.select(
+                "lo", "hi", "w", "wkey",
+                F.col("lo").alias("ca"), F.col("hi").alias("cb"),
+            )
+        else:
+            ca = comp.select(F.col("node").alias("lo"), F.col("c").alias("ca"))
+            cb = comp.select(F.col("node").alias("hi"), F.col("c").alias("cb"))
+            cross = (
+                live.join(F.broadcast(ca), "lo")
+                .join(F.broadcast(cb), "hi")
+                .filter(F.col("ca") != F.col("cb"))
+                .select("lo", "hi", "w", "wkey", "ca", "cb")
+                .localCheckpoint(eager=True)
+            )
+            if cross.isEmpty():
+                break  # converged: later rounds would all select nothing
+            live = cross.select("lo", "hi", "w", "wkey")  # sealed survivors
+        incid = cross.select(
+            F.col("ca").alias("c"), F.col("cb").alias("d"), "lo", "hi", "w", "wkey"
+        ).unionAll(
+            cross.select(
+                F.col("cb").alias("c"), F.col("ca").alias("d"), "lo", "hi", "w", "wkey"
+            )
+        )
+        chosen = (
+            incid.groupBy("c")
+            .agg(
+                F.min_by("d", "wkey").alias("d"),
+                F.min_by("lo", "wkey").alias("lo"),
+                F.min_by("hi", "wkey").alias("hi"),
+                F.min_by("w", "wkey").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picked = chosen.select("lo", "hi", "w")
+        sel = picked if sel is None else sel.unionAll(picked)
+        h2 = chosen.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
+        p = (
+            chosen.join(F.broadcast(h2), chosen.d == F.col("c2"), "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("d2") == F.col("c")) & (F.col("c") < F.col("d")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("d"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(_MSF_JUMPS):
+            pj = p.select(F.col("c").alias("cj"), F.col("p").alias("pj"))
+            p = p.join(F.broadcast(pj), p.p == F.col("cj"), "left").select(
+                "c", F.coalesce(F.col("pj"), F.col("p")).alias("p")
+            )
+        pr = p.select(F.col("c").alias("pc"), F.col("p").alias("pp"))
+        comp = (
+            comp.join(F.broadcast(pr), comp.c == F.col("pc"), "left")
+            .select("node", F.coalesce(F.col("pp"), F.col("c")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return sel.distinct().select(
+        "lo", "hi", F.col("w").cast("bigint").alias("w")
+    )
+
+
+boruvka_msf_trade.__doc__ = boruvka_msf_trade.__doc__.format(
+    R=_MSF_ROUNDS, J=_MSF_JUMPS
+)
+
+
+def boruvka_msf_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan: edge derivation + ONE selection round (the
+    executed operator localCheckpoints per round, WSP precedent)."""
+    edges, deg = _trade_edges(spark, sf_dir)
+    live = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+        .withColumn("w", _wsp_weight(F.col("lo"), F.col("hi")))
+    )
+    live = live.withColumn(
+        "wkey", _msf_wkey(F.col("w"), F.col("lo"), F.col("hi"))
+    )
+    comp = deg.select(F.col("src").alias("node"), F.col("src").alias("c"))
+    ca = comp.select(F.col("node").alias("lo"), F.col("c").alias("ca"))
+    cb = comp.select(F.col("node").alias("hi"), F.col("c").alias("cb"))
+    cross = (
+        live.join(F.broadcast(ca), "lo")
+        .join(F.broadcast(cb), "hi")
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    incid = cross.select(
+        F.col("ca").alias("c"), "lo", "hi", "w", "wkey"
+    ).unionAll(cross.select(F.col("cb").alias("c"), "lo", "hi", "w", "wkey"))
+    return incid.groupBy("c").agg(
+        F.min_by("lo", "wkey").alias("lo"),
+        F.min_by("hi", "wkey").alias("hi"),
+        F.min_by("w", "wkey").alias("w"),
+    )
+
+
+def _msf_oracle() -> str:
+    rounds = []
+    prev_comp = "comp0"
+    prev_edges = "wedges"
+    sels = []
+    for r in range(1, _MSF_ROUNDS + 1):
+        jump_ctes = []
+        pprev = f"p{r}_0"
+        for j in range(1, _MSF_JUMPS + 1):
+            jump_ctes.append(
+                f"""p{r}_{j} AS (
+      SELECT a.c, COALESCE(b.p, a.p) AS p
+      FROM {pprev} a LEFT JOIN {pprev} b ON b.c = a.p)"""
+            )
+            pprev = f"p{r}_{j}"
+        jumps_sql = ",\n    ".join(jump_ctes)
+        rounds.append(
+            f"""cross{r} AS MATERIALIZED (
+      SELECT e.lo, e.hi, e.w, e.wkey, ca.c AS ca, cb.c AS cb
+      FROM {prev_edges} e
+      JOIN {prev_comp} ca ON ca.node = e.lo
+      JOIN {prev_comp} cb ON cb.node = e.hi
+      WHERE ca.c <> cb.c),
+    incid{r} AS (
+      SELECT ca AS c, cb AS d, lo, hi, w, wkey FROM cross{r}
+      UNION ALL
+      SELECT cb AS c, ca AS d, lo, hi, w, wkey FROM cross{r}),
+    chosen{r} AS MATERIALIZED (
+      SELECT c, min_by(d, wkey) AS d, min_by(lo, wkey) AS lo,
+             min_by(hi, wkey) AS hi, min_by(w, wkey) AS w
+      FROM incid{r} GROUP BY c),
+    p{r}_0 AS MATERIALIZED (
+      SELECT a.c,
+             CASE WHEN b.d = a.c AND a.c < a.d THEN a.c ELSE a.d END AS p
+      FROM chosen{r} a LEFT JOIN chosen{r} b ON b.c = a.d),
+    {jumps_sql},
+    comp{r} AS MATERIALIZED (
+      SELECT n.node, COALESCE(p.p, n.c) AS c
+      FROM {prev_comp} n LEFT JOIN {pprev} p ON p.c = n.c)"""
+        )
+        sels.append(f"SELECT lo, hi, w FROM chosen{r}")
+        prev_comp = f"comp{r}"
+        prev_edges = f"(SELECT lo, hi, w, wkey FROM cross{r})"
+    rounds_sql = ",\n    ".join(rounds)
+    sel_union = "\n      UNION ALL\n      ".join(sels)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    wedges AS MATERIALIZED (
+      SELECT LEAST(c, s) AS lo, GREATEST(c, s) AS hi, w,
+             w * (1::BIGINT << 50) + LEAST(c, s) * (1::BIGINT << 25)
+               + GREATEST(c, s) AS wkey
+      FROM (
+        SELECT c, s,
+               1 + CAST(('0x' || substr(md5(CAST(LEAST(c, s) AS STRING)
+                     || '#' || CAST(GREATEST(c, s) AS STRING)), 1, 7))
+                   AS BIGINT) % 9 AS w
+        FROM pairs) t),
+    comp0 AS MATERIALIZED (
+      SELECT node, node AS c FROM (
+        SELECT lo AS node FROM wedges UNION SELECT hi FROM wedges) n),
+    {rounds_sql}
+    SELECT DISTINCT lo, hi, CAST(w AS BIGINT) AS w FROM (
+      {sel_union}) all_sel
+    """
+
+
+register("boruvka_msf_trade", boruvka_msf_trade, _msf_oracle())
+register_plan_proxy("boruvka_msf_trade", boruvka_msf_iteration_plan)
