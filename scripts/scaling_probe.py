@@ -129,6 +129,9 @@ PROBE = {
     "kcenter_diversity_select": "embeddings",
     "greedy_set_cover": "documents",
     "gram_matrix_embeddings": "embeddings",
+    # r13 new key (probed from birth): iterative Borůvka — rounds are
+    # log-bounded (2/3/4 at the three sfs), per-round scans shrink
+    "boruvka_msf_trade": "lineitem",
 }
 
 
