@@ -158,6 +158,11 @@ HEADLINE = [
     # round-13: distributed Borůvka MSF (iterative, geometrically
     # shrinking live-edge relation, early convergence break)
     "boruvka_msf_trade",
+    # round-13: sort-blocked SNM candidate window + bounded verify
+    # join; 26-round domain-bisection exact quantile selection
+    # (driver-paced, see median5)
+    "dedup_sorted_neighborhood",
+    "exact_quantile_bisect",
 ]
 
 
@@ -600,6 +605,11 @@ def main() -> None:
         # collect per round — the most steal-sensitive shape)
         "kcenter_diversity_select",
         "greedy_set_cover",
+        # r13: driver-paced loops (the gstream_epoch precedent) — 26
+        # bisection rounds of one bounded collect each / up to 6
+        # Borůvka rounds with per-round localCheckpoint
+        "exact_quantile_bisect",
+        "boruvka_msf_trade",
     } | _auto_median5_keys()
     # Previous committed round's per-key walls, for in-run escalation:
     # a key that gets steal-hit for the FIRST time this round isn't in

@@ -509,6 +509,123 @@ register(
 )
 
 
+# Sorted-neighborhood method knobs.  Probe (r13, both doc fixtures):
+# every ground-truth pair at Jaccard >= _SNM_JT sits within rank
+# distance <= 3 of its partner under ORDER BY (text, doc_id) — max
+# observed distance 3 at sf0.001, 2 at sf0.01 — and shares its first
+# 8 characters, so W=3 / plen=8 capture 28/28 (sf0.001) and 25/25
+# (sf0.01) of the shingle-join ground truth while generating only
+# ~W*n candidate pairs (vs n*(n-1)/2 ~ 125k all-pairs).
+_SNM_W = 3
+_SNM_PLEN = 8
+_SNM_JT = 0.5
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup detection: the SORT-based
+    candidate-generation class the dedup family lacks — every other
+    member blocks by hashing (MinHash bands, SimHash bytes, shared
+    shingles); SNM instead sorts on a blocking key and compares each
+    record only to its W successors, the classic Hernandez-Stolfo
+    merge/purge windowing.
+
+    Candidates: block on the first ``_SNM_PLEN`` chars of ``text``,
+    order within each block by (text, doc_id), pair each doc with its
+    next ``_SNM_W`` neighbours via ``lead`` (ONE window exec evaluates
+    all W leads).  Verify: exact 3-gram Jaccard on candidates only,
+    keep pairs >= ``_SNM_JT``.  Recall is bounded by the window — the
+    method's documented trade — and the r13 probe measured it at 100%
+    of the >= 0.5-Jaccard shingle-join ground truth on both doc
+    fixtures (28/28, 25/25; see knob comment).
+
+    Scale shape: the sort is a shuffle on ``blk`` (prefix granularity
+    is the skew knob — longer prefixes split hot blocks; fixture
+    blocks are <= 23 docs at plen=8), candidate volume is O(W*n), and
+    the verify join touches only candidate shingles — never all-pairs.
+    A GLOBAL-order window (no partition key) would funnel the corpus
+    through one task; the blocked window is what survives 100 TB, and
+    cross-block misses are the quantified recall cost of that choice
+    (zero at every fixture).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, _SNM_PLEN).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("text", "doc_id")
+    leads = docs.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(w).alias(f"nbr{k}")
+            for k in range(1, _SNM_W + 1)
+        ],
+    )
+    cand = (
+        leads.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"nbr{k}") for k in range(1, _SNM_W + 1)])
+            ).alias("kidx", "nbr"),
+        )
+        .filter(F.col("nbr").isNotNull())
+        .select(
+            F.least("doc_id", "nbr").alias("doc_a"),
+            F.greatest("doc_id", "nbr").alias("doc_b"),
+            (F.col("kidx") + 1).cast("bigint").alias("wdist"),
+        )
+    )
+    sh = _shingles(spark, sf_dir).select("doc_id", "sh").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_a", "doc_b", "wdist")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "wdist", "n_inter", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= _SNM_JT)
+    )
+
+
+register(
+    "dedup_sorted_neighborhood",
+    dedup_sorted_neighborhood,
+    f"""
+    WITH ord AS (
+      SELECT doc_id, text, substr(text, 1, {_SNM_PLEN}) AS blk,
+             row_number() OVER (PARTITION BY substr(text, 1, {_SNM_PLEN})
+                                ORDER BY text, doc_id) AS rn
+      FROM documents),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             CAST(b.rn - a.rn AS BIGINT) AS wdist
+      FROM ord a JOIN ord b
+        ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND {_SNM_W}),
+    sh AS (SELECT DISTINCT doc_id, sh FROM ({_DK_SHINGLES})),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, wdist, COUNT(*) AS n_inter
+      FROM cand
+      JOIN sh a ON a.doc_id = doc_a
+      JOIN sh b ON b.doc_id = doc_b AND a.sh = b.sh
+      GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b, wdist, n_inter,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {_SNM_JT}
+    """,
+)
+
+
 N_EMB_BLOCKS = 8
 
 
