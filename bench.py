@@ -163,6 +163,9 @@ HEADLINE = [
     # (driver-paced, see median5)
     "dedup_sorted_neighborhood",
     "exact_quantile_bisect",
+    # round-13: one map-side-combined sufficient-statistics aggregate
+    # + driver Cramer solve (the gram contract at d=3)
+    "ols_normal_equations",
 ]
 
 

@@ -6954,3 +6954,146 @@ register(
     """,
 )
 register_plan_proxy("exact_quantile_bisect", _eqb_round_plan)
+
+
+# --------------------------------------------------------------------------
+# ols_normal_equations — closed-form multi-feature fit via one scan
+# --------------------------------------------------------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's ``//`` and
+    Spark SQL's ``div`` both truncate, while Python's ``//`` floors;
+    quotients here can be negative, so the Python solve must truncate
+    to stay bit-identical with the oracle."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature least squares by NORMAL EQUATIONS — the closed-
+    form distributed model-fit class: ``regression_agg_q`` is the
+    single-feature ``regr_*`` family, and nothing else fits a joint
+    model.  y = distinct-token count, X = [1, n_chars, token count]
+    over ``documents``; one scan produces the 9 sufficient statistics
+    (n, Sx1, Sx2, Sx1², Sx1x2, Sx2², Sy, Sx1y, Sx2y — all exact
+    BIGINT), the driver solves the 3x3 system by Cramer's rule in
+    arbitrary-precision Python ints, and betas ship as micro-scaled
+    truncating quotients (1e6*det_i / det, toward zero — matching
+    DuckDB ``//`` / Spark ``div``).
+
+    The r13 probe DISPROVED the naive "marginal slopes suffice" model:
+    the joint beta for n_chars is 204-17323 micro across fixtures
+    while the marginal ``regr_slope`` is ~36000 micro — the two
+    features are collinear (the spearman_corr pair, rho ~ +0.997), so
+    the joint solve is load-bearing, textbook omitted-variable bias.
+    det(X^TX) != 0 at every fixture (1e13-1e16, probed); a singular
+    fixture raises rather than divides by zero.
+
+    Scale shape: the whole fit is ONE map-side-combined aggregate
+    reduced to a single 9-value row (the gram_matrix_embeddings
+    contract at d=3) — no shuffle of the data, no iteration; at 100 TB
+    the d(d+3)/2 sums are still one pass, and exactness rests on
+    integer inputs, not on float summation order.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x1"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x2"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("y"),
+    )
+    s = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    ).collect()[0]  # bounded: the 9 sufficient statistics, 1 row
+    n, s1, s2 = int(s["n"]), int(s["s1"]), int(s["s2"])
+    s11, s12, s22 = int(s["s11"]), int(s["s12"]), int(s["s22"])
+    sy, s1y, s2y = int(s["sy"]), int(s["s1y"]), int(s["s2y"])
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    a = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    det = det3(a)
+    if det == 0:
+        raise ValueError(
+            "ols_normal_equations: X^T X is singular at this fixture "
+            "(det == 0) — the fit precondition probed in r13 no longer "
+            "holds; re-probe before trusting this key here"
+        )
+    betas = []
+    for i in range(3):
+        ai = [row[:] for row in a]
+        for r in range(3):
+            ai[r][i] = b[r]
+        betas.append(_tdiv(1_000_000 * det3(ai), det))
+    return spark.createDataFrame(
+        [(n, betas[0], betas[1], betas[2])],
+        "n bigint, beta0_micro bigint, beta1_micro bigint, beta2_micro bigint",
+    )
+
+
+def _ols_sums_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative plan for the drift gate: the one map-side-
+    combined sufficient-statistics aggregate the fit executes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("x1"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x2"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("y"),
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+    )
+
+
+register(
+    "ols_normal_equations",
+    ols_normal_equations,
+    """
+    WITH d AS (
+      SELECT CAST(n_chars AS BIGINT) AS x1,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+             CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+             CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+             CAST(SUM(x2*y) AS HUGEINT) AS s2y
+      FROM d),
+    dets AS (
+      SELECT n,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+               + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+               + s2*(s1y*s12 - s11*s2y) AS det0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+               + s2*(s1*s2y - s1y*s2) AS det1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+               + sy*(s1*s12 - s11*s2) AS det2
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((1000000 * det0) // det AS BIGINT) AS beta0_micro,
+           CAST((1000000 * det1) // det AS BIGINT) AS beta1_micro,
+           CAST((1000000 * det2) // det AS BIGINT) AS beta2_micro
+    FROM dets
+    """,
+)
+register_plan_proxy("ols_normal_equations", _ols_sums_plan)

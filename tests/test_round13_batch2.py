@@ -202,3 +202,118 @@ def test_eqb_oracle_compare(spark, sf_dir):
         ORACLES["exact_quantile_bisect"],
         "exact_quantile_bisect",
     )
+
+
+# --------------------------------------------------------------------------
+# ols_normal_equations
+# --------------------------------------------------------------------------
+
+
+def _doc_xy(sf: str):
+    """(x1, x2, y) rows computed INDEPENDENTLY in Python from raw
+    parquet text (only the feature DEFINITION is shared, by
+    contract)."""
+    rows = duckdb.connect().execute(
+        f"SELECT n_chars, text FROM read_parquet("
+        f"'/root/testdata/{sf}/documents.parquet')"
+    ).fetchall()
+    out = []
+    for n_chars, text in rows:
+        toks = text.split(" ")
+        out.append((int(n_chars), len(toks), len(set(toks))))
+    return out
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ols_matches_independent_fraction_elimination(spark, sf):
+    """Value-for-value pin at every fixture: the Cramer/truncating-
+    division solve equals an INDEPENDENT exact solve by Gaussian
+    elimination over Python Fractions, micro-truncated toward zero —
+    a different algorithm over the same exact rationals."""
+    from fractions import Fraction
+
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        ols_normal_equations,
+    )
+
+    xy = _doc_xy(sf)
+    n = len(xy)
+    a = [[Fraction(0)] * 3 for _ in range(3)]
+    b = [Fraction(0)] * 3
+    for x1, x2, y in xy:
+        v = (1, x1, x2)
+        for i in range(3):
+            for j in range(3):
+                a[i][j] += v[i] * v[j]
+            b[i] += v[i] * y
+    # Gaussian elimination with exact rationals
+    m = [row + [rhs] for row, rhs in zip(a, b)]
+    for c in range(3):
+        p = next(r for r in range(c, 3) if m[r][c] != 0)
+        m[c], m[p] = m[p], m[c]
+        for r in range(3):
+            if r != c and m[r][c] != 0:
+                f = m[r][c] / m[c][c]
+                m[r] = [mv - f * cv for mv, cv in zip(m[r], m[c])]
+    betas = [m[i][3] / m[i][i] for i in range(3)]
+
+    def trunc_micro(fr: Fraction) -> int:
+        v = 1_000_000 * fr
+        q = abs(v.numerator) // abs(v.denominator)
+        return q if v >= 0 else -q
+
+    row = ols_normal_equations(spark, f"/root/testdata/{sf}").collect()[0]
+    assert row.n == n, sf
+    got = (row.beta0_micro, row.beta1_micro, row.beta2_micro)
+    assert got == tuple(trunc_micro(bb) for bb in betas), sf
+
+
+def test_ols_probe_marginal_slope_model_disproved():
+    """The r13 probe fact the key rests on: the JOINT beta for each
+    feature differs from its MARGINAL regr_slope by far more than
+    rounding — the features are collinear, so per-feature regr_*
+    aggregates (regression_agg_q's class) cannot substitute for the
+    joint solve.  Checked at every fixture with exact integers."""
+    for sf in SFS:
+        xy = _doc_xy(sf)
+        n = len(xy)
+        s1 = sum(x1 for x1, _, _ in xy)
+        s2 = sum(x2 for _, x2, _ in xy)
+        s11 = sum(x1 * x1 for x1, _, _ in xy)
+        s22 = sum(x2 * x2 for _, x2, _ in xy)
+        s12 = sum(x1 * x2 for x1, x2, _ in xy)
+        sy = sum(y for _, _, y in xy)
+        s1y = sum(x1 * y for x1, _, y in xy)
+        s2y = sum(x2 * y for _, x2, y in xy)
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        assert det != 0, sf  # fit precondition (singular -> raise)
+        # int128 headroom for the oracle's HUGEINT arithmetic: the
+        # largest intermediate is 1e6 * det_i
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        assert abs(1_000_000 * det1) < 2**127, sf
+        joint_b1 = (1_000_000 * det1) // det  # positive here: // == div
+        marginal_b1 = (1_000_000 * (n * s1y - s1 * sy)) // (n * s11 - s1 * s1)
+        assert abs(joint_b1 - marginal_b1) > 10_000, sf  # > 0.01/char
+
+
+def test_ols_oracle_compare(spark, sf_dir):
+    """Driver-shaped oracle compare (rows + schema + dtypes + values),
+    mirroring CORRECTNESS at the smoke fixture."""
+    from spark_streaming_clustering_spark.operators.extras_surface import (
+        ols_normal_equations,
+    )
+
+    compare(
+        ols_normal_equations(spark, sf_dir),
+        duck_con(sf_dir),
+        ORACLES["ols_normal_equations"],
+        "ols_normal_equations",
+    )
