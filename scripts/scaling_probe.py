@@ -132,6 +132,12 @@ PROBE = {
     # r13 new key (probed from birth): iterative Borůvka — rounds are
     # log-bounded (2/3/4 at the three sfs), per-round scans shrink
     "boruvka_msf_trade": "lineitem",
+    # r13 batch 2 (probed from birth): sort-blocked window + bounded
+    # verify join; 26 domain-bound counting rounds; one sufficient-
+    # statistics aggregate
+    "dedup_sorted_neighborhood": "documents",
+    "exact_quantile_bisect": "orders",
+    "ols_normal_equations": "documents",
 }
 
 
