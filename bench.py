@@ -422,10 +422,19 @@ def _bench_queries(path: str) -> dict:
 
 
 def _previous_bench_times() -> dict:
-    """Per-key walls from the newest USABLE committed round record (the
-    comparison base the verdict's +-25% rule is evaluated against) —
-    self-artifact preferred, truncated driver files skipped."""
-    records = _round_records()
+    """Per-key walls from the newest USABLE record of a PRIOR round —
+    the comparison base the verdict's +-25% rule is evaluated against
+    (self-artifact preferred, truncated driver files skipped).
+
+    Prior-round, not newest-overall: a same-round trial refresh leaves
+    this round's own BENCH_SELF on disk, and comparing against it lets
+    a round-over-round mover ship on a thin best-of-N because the
+    FIRST trial already absorbed the jump (observed r13:
+    bloom_join_prune best2 at +33% vs r12 slipped past escalation
+    because trial 2 compared against trial 1).  The verdict rule is
+    round-over-round, so the base must exclude the current round."""
+    base = _latest_driver_round()
+    records = [r for r in _round_records() if r[0] <= base]
     return records[-1][1] if records else {}
 
 

@@ -3,8 +3,9 @@
 The median-of-5 set must derive from the two newest committed BENCH
 files — in BOTH formats that exist on disk (bench.py's raw JSON line
 and the round driver's wrapper with the line under "parsed") — and
-_previous_bench_times must read the newest file for the in-run
-escalation rule.  Pure unit tests (no Spark)."""
+_previous_bench_times must read the newest PRIOR-ROUND file for the
+in-run escalation rule (a same-round trial refresh must not become
+its own comparison base).  Pure unit tests (no Spark)."""
 
 from __future__ import annotations
 
@@ -299,3 +300,25 @@ def test_quiet_retry_plan_caps_and_orders(tmp_path):
     # budget 215 a fits (200+10) and b fits (210+7.5=217.5 > 215).
     retry, skipped = m._quiet_retry_plan(times, prev, budget_s=215.0)
     assert retry == ["c", "a"] and skipped == ["b"]
+
+
+def test_previous_bench_times_excludes_same_round_trial(tmp_path, monkeypatch):
+    """r13 escalation gap: with a same-round BENCH_SELF trial on disk
+    (the refresh protocol), the +-25% comparison base must STILL be the
+    newest prior-round record — otherwise a round-over-round mover
+    whose first trial already absorbed the jump ships on best-of-N
+    (bloom_join_prune, +33% vs r12, method best2)."""
+    m = _bench_module()
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {"a": 1.0, "b": 2.0}})
+    )
+    # current round's own trial refresh: round 3 self-artifact
+    (tmp_path / "BENCH_SELF_r03.json").write_text(
+        json.dumps({"_round_base": 2, "queries": {"a": 1.6, "b": 2.1}})
+    )
+    monkeypatch.setattr(
+        os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert m._latest_driver_round() == 2
+    prev = m._previous_bench_times()
+    assert prev["a"] == 1.0  # prior round, NOT the same-round trial
