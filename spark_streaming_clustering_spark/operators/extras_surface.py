@@ -6854,20 +6854,23 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm: the k-th smallest (k = max(1, n*pct//100), 1-based) is
     the smallest v with count(<= v) >= k.  Each quantile keeps a
     bracket [lo, hi] with the invariant count(<= lo-1) = base < k <=
-    count(<= hi); one round halves every active bracket by counting
-    rows inside the UNION of the active [lo, mid] ranges — a single
-    conditional-aggregate scan whose predicate is the OR of the
-    shrinking brackets, so parquet row-group min/max pruning reads a
-    shrinking byte range as the search narrows.  Convergence is
-    ceil(log2(hi0-lo0)) rounds — 26 at every fixture (probe), data-
-    size-independent (domain-bound, not row-bound).
+    count(<= hi); one round cuts every active bracket 4x by counting
+    rows up to THREE interior pivots (cumulative within-bracket
+    conditional sums) inside the UNION of the active ranges — a
+    single conditional-aggregate scan whose predicate is the OR of
+    the shrinking brackets, so parquet row-group min/max pruning
+    reads a shrinking byte range as the search narrows.  Convergence
+    is ceil(log4(hi0-lo0)) rounds — 13 at every fixture (probed as 26
+    under the initial 2-way variant; the 4-way cut halves both the
+    driver round-trips and, at 100 TB, the scan count), data-size-
+    independent (domain-bound, not row-bound).
 
     Scale shape: NO shuffle of the data ever happens — each round is
     one map-side partial-count pass reduced to a single row (the
     bounded-collect class of the kmeans/gstream M-step), vs a global
-    sort's full repartition of 100 TB.  All five quantiles share every
-    scan: the per-round aggregate carries one conditional sum per
-    still-active bracket.
+    sort's full repartition of 100 TB.  All five quantiles share
+    every scan: the per-round aggregate carries up to three
+    conditional sums per still-active bracket.
     """
     cents = (
         load_table(spark, sf_dir, "orders")
@@ -6887,14 +6890,20 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         import functools
 
         while any(lo < hi for lo, hi in brackets.values()):
-            mids = {p: (lo + hi) // 2 for p, (lo, hi) in brackets.items() if lo < hi}
+            # Up to three distinct interior pivots per active bracket
+            # (collapses toward plain bisection as hi-lo shrinks).
+            pivots = {
+                p: sorted({lo + ((hi - lo) * i) // 4 for i in (1, 2, 3)})
+                for p, (lo, hi) in brackets.items()
+                if lo < hi
+            }
             scan = cents.filter(
                 functools.reduce(
                     lambda a, b: a | b,
                     [
                         (F.col("cents") >= F.lit(brackets[p][0]))
-                        & (F.col("cents") <= F.lit(m))
-                        for p, m in mids.items()
+                        & (F.col("cents") <= F.lit(pv[-1]))
+                        for p, pv in pivots.items()
                     ],
                 )
             )
@@ -6906,18 +6915,30 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
                             & (F.col("cents") <= F.lit(m)),
                             1,
                         ).otherwise(0)
-                    ).alias(f"c{p}")
-                    for p, m in mids.items()
+                    ).alias(f"c{p}_{j}")
+                    for p, pv in pivots.items()
+                    for j, m in enumerate(pv)
                 ]
             ).collect()[0]  # bounded: 1 row per round
-            for p, m in mids.items():
+            for p, pv in pivots.items():
                 lo, hi = brackets[p]
-                in_range = int(cnt[f"c{p}"] or 0)
-                if base[p] + in_range >= ks[p]:
-                    brackets[p] = (lo, m)
-                else:
-                    base[p] += in_range
-                    brackets[p] = (m + 1, hi)
+                # cumulative counts [lo, pv[j]]; pick the first
+                # sub-bracket whose cumulative reach covers k
+                placed = False
+                prev_cum = 0
+                prev_edge = lo
+                for j, m in enumerate(pv):
+                    cum = int(cnt[f"c{p}_{j}"] or 0)
+                    if base[p] + cum >= ks[p]:
+                        base[p] += prev_cum
+                        brackets[p] = (prev_edge, m)
+                        placed = True
+                        break
+                    prev_cum = cum
+                    prev_edge = m + 1
+                if not placed:
+                    base[p] += prev_cum
+                    brackets[p] = (prev_edge, hi)
         return spark.createDataFrame(
             [(p, ks[p], brackets[p][0]) for p in _EQB_PCTS],
             "pct bigint, k bigint, exact_cents bigint",

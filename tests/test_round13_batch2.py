@@ -128,10 +128,11 @@ def _cents(sf: str) -> list[int]:
 
 @pytest.mark.parametrize("sf", SFS)
 def test_eqb_matches_independent_sorted_selection(spark, sf):
-    """Value-for-value pin at every fixture: the 26-round bisection
+    """Value-for-value pin at every fixture: the domain-bisection
     returns EXACTLY the k-th smallest a Python sort selects, for all
     five quantiles — and the domain-bound round count the docstring
-    claims (ceil(log2(hi-lo)) <= 26) holds at this fixture's domain."""
+    claims (4-way cut: ceil(log4(hi-lo)) <= 13) holds at this
+    fixture's domain."""
     from spark_streaming_clustering_spark.operators.extras_surface import (
         exact_quantile_bisect,
     )
@@ -144,7 +145,7 @@ def test_eqb_matches_independent_sorted_selection(spark, sf):
         k = max(1, (n * r.pct) // 100)
         assert r.k == k, (sf, r.pct)
         assert r.exact_cents == cents[k - 1], (sf, r.pct)
-    assert math.ceil(math.log2(cents[-1] - cents[0])) <= 26, sf
+    assert math.ceil(math.log(cents[-1] - cents[0], 4)) <= 13, sf
 
 
 def test_eqb_kth_invariant_under_ties():
