@@ -1628,11 +1628,13 @@ def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_peel_round(sym: DataFrame, surv: DataFrame) -> DataFrame:
     """One peel application: survivors = nodes whose degree WITHIN the
-    current survivor set is >= K (two semi-joins + one count — the
-    shape each of the unrolled rounds actually pays)."""
+    current survivor set is >= K (two broadcast semi-joins + one count
+    — the shape each of the unrolled rounds actually pays).  ``surv``
+    is node-sized and checkpoint-sealed (no stats), so the hints are
+    explicit (the WSP/Borůvka rule)."""
     return (
-        sym.join(surv.select(F.col("node").alias("u")), "u")
-        .join(surv.select(F.col("node").alias("v")), "v")
+        sym.join(F.broadcast(surv.select(F.col("node").alias("u"))), "u")
+        .join(F.broadcast(surv.select(F.col("node").alias("v"))), "v")
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
         .filter(F.col("d") >= _KCORE_K)
@@ -1658,17 +1660,27 @@ def graph_kcore_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution: the edge relation is calendar-bounded (see
     ``_kcore_edges``), localCheckpointed so the derivation runs ONCE;
-    then {R} fixed peel rounds (measured fixpoint depth <= 4 on every
+    then up to {R} peel rounds (measured fixpoint depth <= 4 on every
     fixture, 2x margin; extra rounds are the identity), each
     checkpointed to truncate lineage — the ``dedup_connected_components``
-    recipe.  The oracle unrolls the same {R} rounds as chained CTEs.
-    No driver-side graph state; every per-round join is on a
-    value-bounded relation AQE broadcasts.
+    recipe.  Peeling only ever REMOVES nodes, so an unchanged survivor
+    COUNT means an unchanged survivor set and every remaining round is
+    the identity — the loop exits there (r13-opt; one cheap count on
+    the checkpointed node-sized relation per round replaces the 3-4
+    identity rounds the fixed unroll paid; result provably identical
+    to the oracle's full {R}-round unroll).  The oracle unrolls the
+    same {R} rounds as chained CTEs.  No driver-side graph state;
+    every per-round join broadcasts the node-sized side explicitly.
     """
     sym = _kcore_edges(spark, sf_dir).localCheckpoint(eager=True)
     surv = sym.select(F.col("u").alias("node")).distinct()
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         surv = _kcore_peel_round(sym, surv).localCheckpoint(eager=True)
+        n = surv.count()  # bounded: node-sized checkpointed relation
+        if n == prev_n:
+            break
+        prev_n = n
     deg_full = sym.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg_full")
     )
@@ -1788,6 +1800,7 @@ _LPA_C = 10  # clique cap: top-C customers per (year, nation) cell
 # tests/test_analytics_props.py replays the full synchronous LPA and
 # fails if any fixture stops converging within _LPA_ROUNDS - 2.
 _LPA_ROUNDS = 8
+_LPA_FUSE = 4  # rounds fused per localCheckpoint (the coreness rule)
 
 
 def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,10 +1876,15 @@ def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
     """One synchronous label-propagation step: every node adopts the
     most frequent label among its NEIGHBORS, ties to the smallest
-    label — one join + one grouped count + one rank window (the shape
-    each unrolled round pays)."""
+    label — one broadcast join + one grouped count + one rank window
+    (the shape each unrolled round pays).  ``labels`` is node-sized
+    and checkpoint-sealed (no stats), so the broadcast hint is
+    explicit — the WSP/Borůvka rule; without it each round plans a
+    SortMergeJoin that shuffles both sides (r13-opt plan diff)."""
     votes = (
-        sym.join(labels.select(F.col("node").alias("v"), "lbl"), "v")
+        sym.join(
+            F.broadcast(labels.select(F.col("node").alias("v"), "lbl")), "v"
+        )
         .groupBy("u", "lbl")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1899,9 +1917,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution: calendar-bounded edge relation localCheckpointed once;
     each round is one broadcast join + grouped count + rank window on
-    a <= few-thousand-row relation, checkpointed to truncate lineage
-    (the ``graph_kcore_richclub`` recipe).  Oracle: {R} MATERIALIZED
-    CTE levels (single-reference per level, materialized for the same
+    a <= few-thousand-row relation.  The label state appears ONCE per
+    round, so the unrolled plan is linear in depth and {F} rounds fuse
+    into each localCheckpoint (r13-opt, the coreness fusion rule —
+    per-round checkpoints paid {R} compiles + materializations the
+    fused blocks don't need).  Oracle: {R} MATERIALIZED CTE levels
+    (single-reference per level, materialized for the same
     evaluate-once shape).
     """
     sym = _lpa_edges(spark, sf_dir).localCheckpoint(eager=True)
@@ -1910,8 +1931,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    for _ in range(_LPA_ROUNDS):
-        labels = _lpa_round(sym, labels).localCheckpoint(eager=True)
+    for start in range(0, _LPA_ROUNDS, _LPA_FUSE):
+        for _ in range(start, min(start + _LPA_FUSE, _LPA_ROUNDS)):
+            labels = _lpa_round(sym, labels)
+        labels = labels.localCheckpoint(eager=True)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
     )
@@ -1932,7 +1955,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
-    R=_LPA_ROUNDS
+    R=_LPA_ROUNDS, F=_LPA_FUSE
 )
 
 
@@ -2030,18 +2053,31 @@ register_plan_proxy("graph_label_propagation", graph_lpa_iteration_plan)
 # verifies against an INDEPENDENT exact-peeling implementation and
 # fails if the true h-iteration fixpoint exceeds _CORE_ROUNDS - 4.
 _CORE_ROUNDS = 20
+# Rounds fused per localCheckpoint: the state relation appears once per
+# round, so a fused block's plan depth is linear (no 2^N re-execution);
+# fusing trades per-round Catalyst compiles + checkpoint jobs for one
+# deeper plan per block (r13-opt; measured job count 113 -> ~60 per run
+# and the wall roughly halves at sf0.1).
+_CORE_FUSE = 5
 
 
 def _coreness_round(sym: DataFrame, c: DataFrame) -> DataFrame:
     """One h-index update: for each node, rank neighbor values
-    descending and take max r with value_r >= r — one join + one rank
-    window + one grouped max (the per-round shape)."""
+    descending and take max r with value_r >= r — one broadcast join +
+    one rank window + one grouped max (the per-round shape).  ``c`` is
+    node-sized (calendar-bounded), and after a localCheckpoint its
+    stats are gone, so the hint is explicit (the WSP/Borůvka rule) —
+    without it the round plans a SortMergeJoin that shuffles BOTH
+    sides before AQE can demote it (r13-opt plan diff)."""
     rk = Window.partitionBy("u").orderBy(
         F.col("cv").desc(), F.col("v").asc()
     )
     return (
         sym.join(
-            c.select(F.col("node").alias("v"), F.col("c").alias("cv")), "v"
+            F.broadcast(
+                c.select(F.col("node").alias("v"), F.col("c").alias("cv"))
+            ),
+            "v",
         )
         .select("u", "v", "cv", F.row_number().over(rk).alias("r"))
         .groupBy("u")
@@ -2075,16 +2111,23 @@ def graph_coreness_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Execution: the shared ``_kcore_edges`` relation (calendar-bounded)
     localCheckpointed once; {R} fixed h-index rounds (measured
     fixpoint <= 14 at every fixture; extra rounds are the identity),
-    each one broadcast-sized join + rank window + grouped max on the
-    value-bounded relation, checkpointed per round.  Oracle: {R}
-    MATERIALIZED CTE levels of the same update.  All integers.
+    each one broadcast join + rank window + grouped max on the
+    value-bounded relation.  The state appears ONCE per round, so the
+    unrolled plan is LINEAR in depth — {F} rounds fuse into each
+    localCheckpoint (r13-opt: per-round checkpoints paid {R} compile+
+    materialize actions for lineage the fused blocks already bound;
+    the 2^N blowup rule only bites when state is referenced twice per
+    round, WSP/union-style).  Oracle: {R} MATERIALIZED CTE levels of
+    the same update.  All integers.
     """
     sym = _kcore_edges(spark, sf_dir).localCheckpoint(eager=True)
     c = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    for _ in range(_CORE_ROUNDS):
-        c = _coreness_round(sym, c).localCheckpoint(eager=True)
+    for start in range(0, _CORE_ROUNDS, _CORE_FUSE):
+        for _ in range(start, min(start + _CORE_FUSE, _CORE_ROUNDS)):
+            c = _coreness_round(sym, c)
+        c = c.localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
@@ -2096,7 +2139,9 @@ def graph_coreness_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_coreness_decomposition.__doc__ = (
-    graph_coreness_decomposition.__doc__.format(R=_CORE_ROUNDS)
+    graph_coreness_decomposition.__doc__.format(
+        R=_CORE_ROUNDS, F=_CORE_FUSE
+    )
 )
 
 

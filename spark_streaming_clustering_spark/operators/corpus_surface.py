@@ -966,8 +966,11 @@ def kcenter_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     float summation order.  The driver loop collects ONE row per round
     (the selected center — the bounded-collect class of the kmeans/
     gstream M-step); the per-point min-distance update is a map-side
-    expression against the new center's 64-int literal, re-min'd and
-    localCheckpointed per round (the WSP/kcore lineage rule).
+    expression against the new center's 64-int literal, re-min'd as a
+    ``least()`` layer over the ONE checkpointed (vec_id, q, mind) base
+    (r13-opt: per-round localCheckpoints paid {K}-1 extra jobs to seal
+    a lineage that is a pure map-side filter chain anyway — the WSP/
+    kcore rule targets per-round SHUFFLES, which this loop never has).
 
     Scale: each round is one scan of the checkpointed (vec_id, q,
     mind) relation + one TakeOrdered(1) — no shuffle beyond the top-1
@@ -994,7 +997,7 @@ def kcenter_diversity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.withColumn(
             "mind",
             F.least("mind", F.expr(_KCEN_D2_SPARK.format(c=lit_vec(top.q)))),
-        ).localCheckpoint(eager=True)
+        )
     return spark.createDataFrame(
         picks, "sel_round bigint, vec_id bigint, maxmin_d2q bigint"
     )
@@ -1088,14 +1091,21 @@ def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses exactly this to pick a compact seed corpus that
     still exercises the vocabulary.
 
-    Execution: the distinct (doc_id, bigram) relation is the state;
-    each round is one (doc_id)-keyed count aggregate + TakeOrdered(1)
-    (the selected doc collects to the driver — 1 bounded row, the
-    k-center precedent), then a broadcast anti-join removes the
-    newly-covered terms and the state localCheckpoints (lineage rule).
-    Gains are exact integers; the oracle unrolls the same {K} rounds
-    with MATERIALIZED remaining-relations and computes the running
-    coverage with a window over the {K}-row pick list.
+    Execution: the distinct (doc_id, bigram) relation is checkpointed
+    ONCE; each round is one (doc_id)-keyed count aggregate +
+    TakeOrdered(1) (the selected doc collects to the driver — 1
+    bounded row, the k-center precedent), then the pick's OWN bigrams
+    collect (bounded by one document's length — the kcenter
+    center-vector-literal precedent) and the uncovered state is a
+    MAP-SIDE literal NOT-IN filter over the sealed base — no per-round
+    shuffle, broadcast or checkpoint (r13-opt: the former per-round
+    broadcast anti-join + localCheckpoint paid 2 extra jobs per round
+    for relief the <= {K}-layer filter chain over a checkpointed base
+    never needs; lineage stays bounded because the base is sealed and
+    each layer is a filter).  Gains are exact integers; the oracle
+    unrolls the same {K} rounds with MATERIALIZED remaining-relations
+    and computes the running coverage with a window over the {K}-row
+    pick list.
     """
     state = _gsc_doc_bigrams(spark, sf_dir).localCheckpoint(eager=True)
     picks = []
@@ -1110,10 +1120,13 @@ def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # bounded: 1 row per round
         total += int(top.gain)
         picks.append((r, int(top.doc_id), int(top.gain), total))
-        ptoks = state.filter(F.col("doc_id") == top.doc_id).select("tok")
-        state = state.join(
-            F.broadcast(ptoks), "tok", "left_anti"
-        ).localCheckpoint(eager=True)
+        ptoks = [
+            row.tok
+            for row in state.filter(F.col("doc_id") == top.doc_id)
+            .select("tok")
+            .collect()
+        ]  # bounded: one document's distinct bigrams
+        state = state.filter(~F.col("tok").isin(ptoks))
     return spark.createDataFrame(
         picks,
         "sel_round bigint, doc_id bigint, gain bigint, covered_total bigint",

@@ -6838,6 +6838,13 @@ register(
 # --------------------------------------------------------------------------
 
 _EQB_PCTS = (25, 50, 75, 90, 99)
+# Domain-cut arity per round.  The loop is DRIVER-round-trip-bound
+# (per-round plan compile ~0.3 s dwarfs the conditional-sum work on the
+# cached cents column), so fewer, fatter rounds win: 2-way needed 26
+# rounds (7.1 s at sf0.1), 4-way 13 (5.9 s), 16-way needs
+# ceil(log16(domain)) = 7 with 15 conditional sums per active bracket —
+# still one map-side scan per round (r13 optimization measurement).
+_EQB_CUT = 16
 
 
 def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6854,16 +6861,18 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm: the k-th smallest (k = max(1, n*pct//100), 1-based) is
     the smallest v with count(<= v) >= k.  Each quantile keeps a
     bracket [lo, hi] with the invariant count(<= lo-1) = base < k <=
-    count(<= hi); one round cuts every active bracket 4x by counting
-    rows up to THREE interior pivots (cumulative within-bracket
+    count(<= hi); one round cuts every active bracket {C}x by counting
+    rows up to {Cm1} interior pivots (cumulative within-bracket
     conditional sums) inside the UNION of the active ranges — a
     single conditional-aggregate scan whose predicate is the OR of
     the shrinking brackets, so parquet row-group min/max pruning
     reads a shrinking byte range as the search narrows.  Convergence
-    is ceil(log4(hi0-lo0)) rounds — 13 at every fixture (probed as 26
-    under the initial 2-way variant; the 4-way cut halves both the
-    driver round-trips and, at 100 TB, the scan count), data-size-
-    independent (domain-bound, not row-bound).
+    is ceil(log{C}(hi0-lo0)) rounds — {RND} at every fixture (probed
+    as 26 under the initial 2-way variant, then 13 as 4-way; the
+    driver-paced loop is round-trip-bound, so widening the cut to
+    {C}-way trades a few more per-scan conditional sums for {RND}
+    rounds — r13-opt measurement), data-size-independent
+    (domain-bound, not row-bound).
 
     Scale shape: NO shuffle of the data ever happens — each round is
     one map-side partial-count pass reduced to a single row (the
@@ -6890,10 +6899,16 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         import functools
 
         while any(lo < hi for lo, hi in brackets.values()):
-            # Up to three distinct interior pivots per active bracket
-            # (collapses toward plain bisection as hi-lo shrinks).
+            # Up to _EQB_CUT-1 distinct interior pivots per active
+            # bracket (collapses toward plain bisection as hi-lo
+            # shrinks).
             pivots = {
-                p: sorted({lo + ((hi - lo) * i) // 4 for i in (1, 2, 3)})
+                p: sorted(
+                    {
+                        lo + ((hi - lo) * i) // _EQB_CUT
+                        for i in range(1, _EQB_CUT)
+                    }
+                )
                 for p, (lo, hi) in brackets.items()
                 if lo < hi
             }
@@ -6945,6 +6960,11 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cents.unpersist()
+
+
+exact_quantile_bisect.__doc__ = exact_quantile_bisect.__doc__.format(
+    C=_EQB_CUT, Cm1=_EQB_CUT - 1, RND=7
+)
 
 
 def _eqb_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
