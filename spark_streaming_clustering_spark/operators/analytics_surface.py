@@ -938,10 +938,17 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once: (ranks ⋈ deg) is one row per node, so rank div deg is
         # computed n times, not m times, and each iteration plans one
         # edge-sized join instead of two.
-        per_node = ranks.join(deg, "src").select(
+        # ranks and deg are node-sized (deg carries persisted stats but
+        # ranks is a mid-plan aggregate Catalyst can't size) — hint both
+        # node-sized joins broadcast so no iteration shuffles the edge
+        # relation; the only per-iteration shuffle left is the groupBy
+        # dst partial-agg exchange (r13-opt; the WSP/Borůvka rule)
+        per_node = ranks.join(F.broadcast(deg), "src").select(
             "src", F.expr("rank div deg").alias("contrib")
         )
-        contrib = per_node.join(edges, "src").select("dst", "contrib")
+        contrib = edges.join(F.broadcast(per_node), "src").select(
+            "dst", "contrib"
+        )
         ranks = contrib.groupBy("dst").agg(
             F.expr("150000 + (sum(contrib) * 85) div 100").alias("rank")
         ).select(F.col("dst").alias("src"), "rank")
@@ -2202,6 +2209,12 @@ register_plan_proxy(
 
 _WSP_ROUNDS = 6  # Bellman-Ford relaxation rounds; fixpoint margin below
 _WSP_SEED_MAX = 20  # seeds: customer nodes (even ids) with id < 20
+# Rounds fused per localCheckpoint.  With zero-weight self-loops the
+# per-round update references the distance state exactly ONCE, so the
+# unrolled plan is LINEAR in depth (the union-branch 2^N doubling that
+# forced per-round checkpoints is gone) and the LPA/coreness fusion
+# rule applies: 6 rounds -> 2 checkpoints (r13-opt).
+_WSP_FUSE = 3
 
 
 def _wsp_weight(src, dst):
@@ -2249,33 +2262,49 @@ def graph_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the distributed counterpart for graphs that outgrow it.
     """
     edges, deg = _trade_edges(spark, sf_dir)
-    # weights materialized ONCE (localCheckpoint): six rounds re-read a
-    # sealed edge relation instead of re-deriving orders ⋈ lineitem ⋈
-    # distinct per round (the kcore/LPA precedent)
-    wedges = edges.select(
-        "src", "dst", _wsp_weight(F.col("src"), F.col("dst")).alias("w")
-    ).localCheckpoint(eager=True)
+    # weights + one zero-weight SELF-LOOP per node, materialized ONCE
+    # (localCheckpoint): six rounds re-read a sealed edge relation
+    # instead of re-deriving orders ⋈ lineitem ⋈ distinct per round
+    # (the kcore/LPA precedent).  The self-loops fold the old
+    # ``dist UNION ALL relaxed`` carry-over branch into the join itself
+    # (min(dist + 0) == dist; customers are even, suppliers odd, so no
+    # real edge is a self-loop), making each round reference the
+    # distance state exactly ONCE — the union-shape doubled the plan
+    # tree per round (2^6 recomputations, measured 64 s at sf0.1) and
+    # forced a checkpoint per round; the single-reference shape is
+    # linear, so _WSP_FUSE rounds fuse per checkpoint (r13-opt; result
+    # provably identical — same candidate multiset per node per round).
+    nodes = edges.select("src").distinct()
+    wedges = (
+        edges.select(
+            "src", "dst", _wsp_weight(F.col("src"), F.col("dst")).alias("w")
+        )
+        .unionAll(
+            nodes.select(
+                "src",
+                F.col("src").alias("dst"),
+                F.lit(0).cast("bigint").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     dist = (
         deg.select(F.col("src").alias("node"))
         .filter((F.col("node") < _WSP_SEED_MAX) & (F.col("node") % 2 == 0))
         .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
-    for _ in range(_WSP_ROUNDS):
-        # broadcast the node-sized distance relation into the edge-sized
-        # join (post-checkpoint stats are gone, so hint explicitly), and
-        # SEAL each round: dist appears twice in the next round's plan
-        # (union + relax), so an uncheckpointed unroll doubles the tree
-        # per round — 2^6 recomputations (measured 64 s at sf0.1 vs ~2 s
-        # checkpointed)
-        relaxed = F.broadcast(dist).join(wedges, dist.node == wedges.src).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-        )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    for start in range(0, _WSP_ROUNDS, _WSP_FUSE):
+        for _ in range(start, min(start + _WSP_FUSE, _WSP_ROUNDS)):
+            # broadcast the node-sized distance relation into the
+            # edge-sized join (post-checkpoint stats are gone, so the
+            # hint is explicit — the WSP/Borůvka rule)
+            dist = (
+                F.broadcast(dist)
+                .join(wedges, dist.node == wedges.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            )
+        dist = dist.localCheckpoint(eager=True)
     return dist.select(
         "node",
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -2291,20 +2320,28 @@ graph_weighted_shortest_path.__doc__ = (
 
 
 def graph_wsp_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit-only lazy plan: edge derivation + ONE relaxation round."""
+    """Audit-only lazy plan: edge derivation + ONE relaxation round
+    (self-loop shape — the executed operator's per-round plan)."""
     edges, deg = _trade_edges(spark, sf_dir)
+    nodes = edges.select("src").distinct()
     wedges = edges.select(
         "src", "dst", _wsp_weight(F.col("src"), F.col("dst")).alias("w")
+    ).unionAll(
+        nodes.select(
+            "src", F.col("src").alias("dst"), F.lit(0).cast("bigint").alias("w")
+        )
     )
     dist = (
         deg.select(F.col("src").alias("node"))
         .filter((F.col("node") < _WSP_SEED_MAX) & (F.col("node") % 2 == 0))
         .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
-    relaxed = F.broadcast(dist).join(wedges, dist.node == wedges.src).select(
-        F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+    return (
+        F.broadcast(dist)
+        .join(wedges, dist.node == wedges.src)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
     )
-    return dist.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
 
 
 def _wsp_oracle() -> str:
@@ -2418,8 +2455,12 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST into the edge join; the hook/pointer relations hold one
     row per STILL-MERGING component and shrink geometrically too.  The
     only edge-sized shuffle per round is the per-component ``min_by``
-    — a map-side-combining hash aggregate.  Every iterative state is
-    localCheckpointed per round (the kcore/WSP lineage rule).
+    — a map-side-combining hash aggregate.  The multiply-referenced
+    per-round states (``cross``, ``chosen``, ``comp``) are
+    localCheckpointed (the kcore/WSP lineage rule); the hook/jump chain
+    ``p`` is a bounded broadcast-join tree over the sealed ``chosen``
+    and the identity component map is referenced once over the
+    persisted ``deg``, so neither pays a checkpoint job (r13-opt).
     Reference parity: all reference graph state is a driver-local
     adjacency matrix (batchStreamModel.scala:17-18); this is the
     distributed counterpart for graphs that outgrow one machine.
@@ -2433,9 +2474,10 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = live.withColumn(
         "wkey", _msf_wkey(F.col("w"), F.col("lo"), F.col("hi"))
     ).localCheckpoint(eager=True)
-    comp = deg.select(
-        F.col("src").alias("node"), F.col("src").alias("c")
-    ).localCheckpoint(eager=True)
+    # Identity component map: referenced ONCE (the end-of-round-0 comp
+    # update) over the persisted deg relation, so a checkpoint here paid
+    # a job for lineage the single reference never re-executes (r13-opt).
+    comp = deg.select(F.col("src").alias("node"), F.col("src").alias("c"))
     sel = None
     for rnd in range(_MSF_ROUNDS):
         if rnd == 0:
@@ -2483,18 +2525,20 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked = chosen.select("lo", "hi", "w")
         sel = picked if sel is None else sel.unionAll(picked)
         h2 = chosen.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
-        p = (
-            chosen.join(F.broadcast(h2), chosen.d == F.col("c2"), "left")
-            .select(
-                "c",
-                F.when(
-                    (F.col("d2") == F.col("c")) & (F.col("c") < F.col("d")),
-                    F.col("c"),
-                )
-                .otherwise(F.col("d"))
-                .alias("p"),
+        # p and its jump passes reference only the SEALED chosen relation
+        # (component-sized broadcast joins): the 2 references per jump
+        # double a tree of cheap sealed-base scans, not of shuffle
+        # recomputation, so the former checkpoint here paid one job per
+        # round for lineage relief this bounded block never needs
+        # (r13-opt; the kcenter rule).
+        p = chosen.join(F.broadcast(h2), chosen.d == F.col("c2"), "left").select(
+            "c",
+            F.when(
+                (F.col("d2") == F.col("c")) & (F.col("c") < F.col("d")),
+                F.col("c"),
             )
-            .localCheckpoint(eager=True)
+            .otherwise(F.col("d"))
+            .alias("p"),
         )
         for _ in range(_MSF_JUMPS):
             pj = p.select(F.col("c").alias("cj"), F.col("p").alias("pj"))

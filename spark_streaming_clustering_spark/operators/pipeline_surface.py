@@ -311,17 +311,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges, labels = _cc_edges_labels(spark, sf_dir, checkpoint=True)
     labels = labels.localCheckpoint(eager=True)
+    # Convergence probe: min-propagation is MONOTONE (every label can
+    # only decrease, the node set is constant), so the labels changed
+    # iff their exact total decreased — one map-side DECIMAL sum over
+    # the just-checkpointed node-sized relation replaces the old
+    # join+filter+count change detector (r13-opt; DECIMAL(38,0) so the
+    # invariant stays exact at any node-count/id scale, the
+    # spearman_corr accumulation rule).
+    prev_sum = None
     for _ in range(20):  # diameter bound; bucket cap keeps clusters shallow
         new_labels = _cc_step(edges, labels).localCheckpoint(eager=True)
-        changed = (
-            new_labels.select("node", F.col("lbl").alias("new_lbl"))
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.coalesce(
+                F.sum(F.col("lbl").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component")
     )
@@ -352,10 +361,14 @@ def _cc_edges_labels(spark: SparkSession, sf_dir: str, checkpoint: bool = False)
 
 def _cc_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One min-label propagation iteration: neighbor labels in via one
-    join, min(own, neighbors') via one groupBy — the pair of shuffles
-    each of the <=20 loop iterations actually pays."""
+    broadcast join, min(own, neighbors') via one groupBy — the shape
+    each of the <=20 loop iterations actually pays.  ``labels`` is
+    node-sized and checkpoint-sealed in the executed loop (no stats),
+    so the hint is explicit (the WSP/Borůvka rule) — without it each
+    round plans a SortMergeJoin that shuffles the edge relation
+    (r13-opt plan diff)."""
     prop = edges.join(
-        labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+        F.broadcast(labels.select(F.col("node").alias("dst"), "lbl")), "dst"
     ).select(F.col("src").alias("node"), "lbl")
     return labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
 

@@ -451,12 +451,15 @@ _MIS_ROUNDS = 8
 def _mis_chosen(sym: DataFrame, live: DataFrame) -> DataFrame:
     """Luby selection step: the live nodes whose (hash, id) priority is
     a LOCAL MINIMUM among live neighbors — one join + one anti-join
-    (the shape each unrolled round pays)."""
+    (the shape each unrolled round pays).  ``live`` is node-sized and
+    checkpoint-sealed (no stats), so the broadcast hints are explicit
+    (the WSP/Borůvka rule) — without them each round plans SortMergeJoins
+    that shuffle the edge relation twice (r13-opt plan diff)."""
     lu = live.select(F.col("node").alias("u"), F.col("h").alias("hu"))
     lv = live.select(F.col("node").alias("v"), F.col("h").alias("hv"))
     blocked = (
-        sym.join(lu, "u")
-        .join(lv, "v")
+        sym.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
         .filter(
             (F.col("hv") < F.col("hu"))
             | ((F.col("hv") == F.col("hu")) & (F.col("v") < F.col("u")))
@@ -487,10 +490,11 @@ def dedup_mis_max_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution: the pair graph is the existing banded-capped
     ``dedup_simhash_hamming`` relation (bounded buckets, never
-    all-pairs), localCheckpointed once; {R} fixed Luby rounds
+    all-pairs), localCheckpointed once; up to {R} Luby rounds
     (measured fixpoint <= 4 everywhere, 2x margin; rounds past an
-    empty live set are the identity), each round one broadcast-sized
-    join + two anti-joins on the value-bounded live relation, chosen
+    empty live set are the identity, so the loop exits at the first
+    empty live set — r13-opt), each round one broadcast join + two
+    broadcast anti-joins on the value-bounded live relation, chosen
     and live checkpointed per round (the ``graph_kcore_richclub``
     lineage recipe).  Oracle: {R} MATERIALIZED CTE levels with
     NOT-EXISTS blockers.  Priorities are the house 28-bit md5 prefix
@@ -513,15 +517,25 @@ def dedup_mis_max_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen = _mis_chosen(sym, live).localCheckpoint(eager=True)
         kept.append(chosen)
         evicted = (
-            sym.join(chosen.select(F.col("node").alias("u")), "u")
+            sym.join(F.broadcast(chosen.select(F.col("node").alias("u"))), "u")
             .select(F.col("v").alias("node"))
             .distinct()
         )
         live = (
-            live.join(chosen, "node", "left_anti")
-            .join(evicted, "node", "left_anti")
+            live.join(F.broadcast(chosen), "node", "left_anti")
+            .join(F.broadcast(evicted), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # Luby peeling empties the live set at the fixpoint (measured
+        # <= 4 rounds at every fixture) and every later round is the
+        # identity over an EMPTY relation — exit there instead of
+        # paying the remaining rounds' join/checkpoint jobs (r13-opt;
+        # one cheap isEmpty on the just-checkpointed node-sized
+        # relation per round; result provably identical to the
+        # oracle's full {R}-round unroll, whose tail rounds select
+        # nothing).
+        if live.isEmpty():
+            break
     mis = kept[0]
     for c in kept[1:]:
         mis = mis.unionAll(c)
