@@ -1660,16 +1660,6 @@ register(
 )
 
 
-def _key_count_rel(spark: SparkSession, sf_dir: str, table: str, key: str):
-    """(k, cnt) grouped key counts — the statistics relation join-size
-    estimation runs on (distinct-key-sized, never the fact rows)."""
-    return (
-        load_table(spark, sf_dir, table)
-        .groupBy(F.col(key).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
 _JOIN_EST_PAIRS = (
     ("customer_orders", ("customer", "c_custkey"), ("orders", "o_custkey")),
     ("orders_lineitem", ("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
@@ -1690,33 +1680,55 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the containment statistics a join-reordering cost model
     feeds on.
 
-    Scale shape: per edge, two grouped counts (map-side partials, one
-    shuffle each on the join key) reduce the fact tables to
-    distinct-key-sized statistics relations; ONE full-outer join of
-    those relations computes left/right/common/product in a single
-    aggregate (full-outer is deliberate: left-only and right-only keys
-    are part of the statistic — this is the one join shape a broadcast
-    can't serve, and its inputs are already aggregates).  BIGINT
-    headroom: SUM(cntA*cntB) is the true join size, which a 100 TB
-    plan would only materialize as this very statistic.
+    Scale shape: per edge, the two key columns are tagged and UNIONED,
+    then ONE hash aggregate keyed by k computes both sides' counts
+    (map-side partials over the union), and a global aggregate folds
+    the per-key rows into the statistic — the full-outer-join
+    formulation this replaces paid two exchanges + two sorts + a
+    SortMergeJoin per edge for the identical multiset of per-key
+    (cntA, cntB) pairs: full outer is the one join shape a broadcast
+    can't serve, so the r13 optimization removes the join instead
+    (4 SMJ + 8 Exchange + 8 Sort -> 0 SMJ + 4 Exchange, plan-diff in
+    plans/r13/).  NULL keys are filtered explicitly — the outer join
+    never matched them, so they contributed to no output column (the
+    TPC-H keys are non-null anyway; the filter pins the equivalence).
+    BIGINT headroom: SUM(cntA*cntB) is the true join size, which a
+    100 TB plan would only materialize as this very statistic.
     """
     outs = []
     for name, (lt, lk), (rt, rk) in _JOIN_EST_PAIRS:
-        lc = _key_count_rel(spark, sf_dir, lt, lk).alias("l")
-        rc = _key_count_rel(spark, sf_dir, rt, rk).alias("r")
-        j = lc.join(rc, F.col("l.k") == F.col("r.k"), "full_outer")
+        la = (
+            load_table(spark, sf_dir, lt)
+            .filter(F.col(lk).isNotNull())
+            .select(F.col(lk).alias("k"), F.lit(1).alias("is_l"))
+        )
+        ra = (
+            load_table(spark, sf_dir, rt)
+            .filter(F.col(rk).isNotNull())
+            .select(F.col(rk).alias("k"), F.lit(0).alias("is_l"))
+        )
+        per_key = (
+            la.unionAll(ra)
+            .groupBy("k")
+            .agg(
+                F.sum("is_l").cast("bigint").alias("lcnt"),
+                F.sum(1 - F.col("is_l")).cast("bigint").alias("rcnt"),
+            )
+        )
+        both = (F.col("lcnt") > 0) & (F.col("rcnt") > 0)
         outs.append(
-            j.agg(
-                F.count(F.col("l.k")).cast("bigint").alias("n_keys_left"),
-                F.count(F.col("r.k")).cast("bigint").alias("n_keys_right"),
-                F.count(
-                    F.when(
-                        F.col("l.k").isNotNull() & F.col("r.k").isNotNull(), 1
-                    )
-                )
+            per_key.agg(
+                F.count(F.when(F.col("lcnt") > 0, 1))
                 .cast("bigint")
-                .alias("n_keys_common"),
-                F.coalesce(F.sum(F.col("l.cnt") * F.col("r.cnt")), F.lit(0))
+                .alias("n_keys_left"),
+                F.count(F.when(F.col("rcnt") > 0, 1))
+                .cast("bigint")
+                .alias("n_keys_right"),
+                F.count(F.when(both, 1)).cast("bigint").alias("n_keys_common"),
+                F.coalesce(
+                    F.sum(F.when(both, F.col("lcnt") * F.col("rcnt"))),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias("est_rows"),
             ).select(F.lit(name).alias("join_name"), "*")

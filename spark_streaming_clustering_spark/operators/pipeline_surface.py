@@ -585,7 +585,29 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kidx") + 1).cast("bigint").alias("wdist"),
         )
     )
-    sh = _shingles(spark, sf_dir).select("doc_id", "sh").distinct()
+    # Verify-side pruning (r13-opt): every shingle consumer below only
+    # ever looks at CANDIDATE docs, so seal the candidate pairs (one
+    # bounded window job), semi-join the shingle stream down to those
+    # docs BEFORE the distinct, and seal the pruned relation once —
+    # the previous shape re-derived split+explode+distinct over the
+    # WHOLE corpus three times (sizes, a, b: 3 corpus-wide shuffles);
+    # now the corpus is shingled once and the distinct runs on the
+    # candidate-bounded subset (plan: 5 documents scans -> 2).  The
+    # per-doc shingle sets of candidate docs are untouched, so sizes/
+    # intersections — and the result — are identical.
+    cand = cand.localCheckpoint(eager=True)
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        _shingles(spark, sf_dir)
+        .join(F.broadcast(cdocs), "doc_id")
+        .select("doc_id", "sh")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -605,6 +627,41 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", "wdist", "n_inter", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= _SNM_JT)
+    )
+
+
+def snm_candidate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-only lazy plan for ``dedup_sorted_neighborhood``: the
+    executed operator seals the candidate pairs and the pruned shingle
+    relation (r13-opt), so its RETURNED plan is a join over bare RDD
+    scans — the all-zero-fingerprint blind spot the
+    ``dedup_cc_iteration_plan`` precedent exists for.  This proxy
+    rebuilds the blocked-window candidate generation (the corpus-scale
+    pass the key actually pays) without the checkpoint."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, _SNM_PLEN).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("text", "doc_id")
+    leads = docs.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", k).over(w).alias(f"nbr{k}")
+            for k in range(1, _SNM_W + 1)
+        ],
+    )
+    return (
+        leads.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"nbr{k}") for k in range(1, _SNM_W + 1)])
+            ).alias("kidx", "nbr"),
+        )
+        .filter(F.col("nbr").isNotNull())
+        .select(
+            F.least("doc_id", "nbr").alias("doc_a"),
+            F.greatest("doc_id", "nbr").alias("doc_b"),
+            (F.col("kidx") + 1).cast("bigint").alias("wdist"),
+        )
     )
 
 
@@ -637,6 +694,7 @@ register(
     WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {_SNM_JT}
     """,
 )
+register_plan_proxy("dedup_sorted_neighborhood", snm_candidate_plan)
 
 
 N_EMB_BLOCKS = 8
