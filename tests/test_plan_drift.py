@@ -48,6 +48,9 @@ def _plan_audit_module():
 def _clear_shared_caches() -> None:
     from spark_streaming_clustering_spark.operators import pipeline_surface
     from spark_streaming_clustering_spark.operators._idioms import clear_sig_cache
+    from spark_streaming_clustering_spark.operators._simhash import (
+        clear_simhash_cache,
+    )
     from spark_streaming_clustering_spark.operators._text import clear_tf_cache
     from spark_streaming_clustering_spark.operators.extras_surface import (
         clear_iso_cache,
@@ -59,6 +62,7 @@ def _clear_shared_caches() -> None:
     )
 
     clear_sig_cache()
+    clear_simhash_cache()
     clear_tf_cache()
     clear_ppj_cache()
     clear_vopt_cache()
