@@ -6850,13 +6850,16 @@ register(
 # --------------------------------------------------------------------------
 
 _EQB_PCTS = (25, 50, 75, 90, 99)
-# Domain-cut arity per round.  The loop is DRIVER-round-trip-bound
-# (per-round plan compile ~0.3 s dwarfs the conditional-sum work on the
-# cached cents column), so fewer, fatter rounds win: 2-way needed 26
-# rounds (7.1 s at sf0.1), 4-way 13 (5.9 s), 16-way needs
-# ceil(log16(domain)) = 7 with 15 conditional sums per active bracket —
-# still one map-side scan per round (r13 optimization measurement).
-_EQB_CUT = 16
+# Domain-cut arity per round.  The loop is driver-round-trip-bound up
+# to a point: 2-way needed 26 rounds (7.1 s at sf0.1), 4-way 13
+# (5.9 s) — but the r13 OPTIMIZATION A/B showed widening further
+# REGRESSES: under comparable load, 16-way (7 rounds, 75 conditional
+# sums/scan) measured ~14.9 s median vs 8-way ~9.6 s vs 4-way ~8.4 s —
+# the per-scan CASE-chain aggregate work grows faster than the saved
+# round-trips.  4 is the measured optimum; kept (the guide §1.1 rule:
+# a fresh "ideal" implementation is often slower — measure, then walk
+# it back).
+_EQB_CUT = 4
 
 
 def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6880,11 +6883,10 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shrinking brackets, so parquet row-group min/max pruning
     reads a shrinking byte range as the search narrows.  Convergence
     is ceil(log{C}(hi0-lo0)) rounds — {RND} at every fixture (probed
-    as 26 under the initial 2-way variant, then 13 as 4-way; the
-    driver-paced loop is round-trip-bound, so widening the cut to
-    {C}-way trades a few more per-scan conditional sums for {RND}
-    rounds — r13-opt measurement), data-size-independent
-    (domain-bound, not row-bound).
+    as 26 under the initial 2-way variant; the r13-opt A/B measured
+    8-way and 16-way cuts SLOWER — per-scan conditional-sum work grows
+    faster than the saved round-trips — so {C}-way is the measured
+    optimum), data-size-independent (domain-bound, not row-bound).
 
     Scale shape: NO shuffle of the data ever happens — each round is
     one map-side partial-count pass reduced to a single row (the
@@ -6975,7 +6977,7 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 exact_quantile_bisect.__doc__ = exact_quantile_bisect.__doc__.format(
-    C=_EQB_CUT, Cm1=_EQB_CUT - 1, RND=7
+    C=_EQB_CUT, Cm1=_EQB_CUT - 1, RND=13
 )
 
 

@@ -131,8 +131,9 @@ def test_eqb_matches_independent_sorted_selection(spark, sf):
     """Value-for-value pin at every fixture: the domain-bisection
     returns EXACTLY the k-th smallest a Python sort selects, for all
     five quantiles — and the domain-bound round count the docstring
-    claims (16-way cut: ceil(log16(hi-lo)) <= 7) holds at this
-    fixture's domain."""
+    claims (4-way cut: ceil(log4(hi-lo)) <= 13) holds at this
+    fixture's domain.  (The r13-opt A/B measured 8/16-way cuts SLOWER
+    — see the _EQB_CUT comment — so 4 is pinned as the optimum.)"""
     from spark_streaming_clustering_spark.operators.extras_surface import (
         _EQB_CUT,
         exact_quantile_bisect,
@@ -146,8 +147,8 @@ def test_eqb_matches_independent_sorted_selection(spark, sf):
         k = max(1, (n * r.pct) // 100)
         assert r.k == k, (sf, r.pct)
         assert r.exact_cents == cents[k - 1], (sf, r.pct)
-    assert _EQB_CUT == 16
-    assert math.ceil(math.log(cents[-1] - cents[0], _EQB_CUT)) <= 7, sf
+    assert _EQB_CUT == 4
+    assert math.ceil(math.log(cents[-1] - cents[0], _EQB_CUT)) <= 13, sf
 
 
 def test_eqb_kth_invariant_under_ties():
