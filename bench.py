@@ -372,22 +372,33 @@ def _load_stamp() -> dict:
 _STDOUT_QUERIES_BUDGET = 1600
 
 
-def _capped_stdout_queries(times: dict) -> dict:
+def _capped_stdout_queries(
+    times: dict, shed_salt: int = 0, budget: int | None = None
+) -> dict:
     """Slim per-key walls for the stdout tail line, CAPPED so the line
     can never outgrow the driver's capture window as the headline set
     grows (74 keys x ~26 chars worst-case passed 1900 at r11).  When
-    over budget, keys are dropped in HEADLINE order — the OLDEST,
-    deepest-history keys first: their walls are witnessed by ten rounds
-    of committed artifacts and by THIS round's self-artifact (which
-    always carries the full map + raw samples and is what
-    _round_records and auditors prefer); the newest keys keep their
-    driver-witnessed stdout slot."""
+    over budget, keys are shed from a ROTATING window (VERDICT r13
+    item 2: fixed oldest-first shedding left 25 keys permanently
+    invisible to the driver): even rounds shed oldest-first (HEADLINE
+    order), odd rounds shed a disjoint mid-list window, so every key
+    is driver-witnessed at least once in any two consecutive rounds.
+    The newest 5 headline keys and the two derived gstream rows are
+    never shed; the full map + raw samples always live in the
+    self-artifact (which _round_records and auditors prefer)."""
+    if budget is None:
+        budget = _STDOUT_QUERIES_BUDGET
     out = {k: _slim_wall(v) for k, v in times.items()}
-    order = [k for k in times]  # HEADLINE order: oldest batches first
+    keys = list(times)
+    never = set(keys[-7:])  # 5 newest headline keys + 2 gstream extras
+    order = [k for k in keys if k not in never]
+    if shed_salt % 2:
+        half = len(order) // 2
+        order = order[half:] + order[:half]
+    order += [k for k in keys if k in never]  # last-resort overflow only
     i = 0
     while (
-        len(json.dumps(out, separators=(",", ":")))
-        > _STDOUT_QUERIES_BUDGET
+        len(json.dumps(out, separators=(",", ":"))) > budget
         and i < len(order)
     ):
         del out[order[i]]
@@ -439,14 +450,23 @@ def _previous_bench_times() -> dict:
 
 
 def _quiet_retry_plan(
-    times: dict, prev_times: dict, budget_s: float = 120.0
+    times: dict, prev_times: dict, budget_s: float | None = None
 ) -> tuple[list[str], list[str]]:
     """Plan the capped end-of-run quiet retry (ADVICE r12): movers
     (>25% over their previous committed wall) ordered worst-ratio-first,
     split into (retry, skipped) by a total estimated-retry-time budget
     of ``budget_s`` seconds at 5 samples per mover.  The worst mover is
     ALWAYS retried even if its estimate alone exceeds the budget — the
-    cap bounds the tail, it must not silence the headline regression."""
+    cap bounds the tail, it must not silence the headline regression.
+
+    The default budget SCALES with the run (VERDICT r13 item 1: the
+    fixed 120 s cap left 39 storm-hit movers un-adjudicated where the
+    r12 run retried all of them): max(300 s, 0.4x the measured headline
+    wall) — a storm that inflates many keys inflates the budget with
+    them, so broad-contamination runs still self-correct, while a quiet
+    run with few movers never comes near the cap."""
+    if budget_s is None:
+        budget_s = max(300.0, 0.5 * sum(times.values()))
     movers = sorted(
         (
             k
@@ -461,13 +481,22 @@ def _quiet_retry_plan(
     skipped: list[str] = []
     est = 0.0
     for k in movers:
-        cost = 5 * times[k]
+        cost = _retry_samples(times[k]) * times[k]
         if retry and est + cost > budget_s:
             skipped.append(k)
         else:
             retry.append(k)
             est += cost
     return retry, skipped
+
+
+def _retry_samples(wall_s: float) -> int:
+    """Retry sample count per mover: 5 for expensive keys (a storm-hit
+    center needs both tails discarded), 3 for sub-2 s keys — a cheap
+    key's 3-sample median already sits on its floor, and the smaller
+    estimate lets ~40% more movers fit the same retry budget (VERDICT
+    r13 item 1: cheap movers were the bulk of the 39 skipped)."""
+    return 3 if wall_s <= 2.0 else 5
 
 
 def bench_gstream(spark, sf_dir: str, batch_points: int = 100, n_batches: int = 20) -> float:
@@ -665,7 +694,17 @@ def main() -> None:
                     break
             best = min(samples)
             prev = prev_times.get(key)
-            if prev is not None and prev > 0 and best > prev * 1.25:
+            # SYMMETRIC escalation (r14): a >25% move in EITHER
+            # direction on a thin best-of-N is weak evidence — the r13
+            # freeze shipped dedup_simhash_hamming at -66% on best2 and
+            # the standing median5-or-converged contract
+            # (test_bench_noise_rules) flagged it; an improvement claim
+            # deserves the same 5-sample robustness a regression does.
+            if (
+                prev is not None
+                and prev > 0
+                and (best > prev * 1.25 or best < prev * 0.75)
+            ):
                 while len(samples) < 5:
                     _sample()
                 times[key], how = _robust_center(samples, floors.get(key))
@@ -693,7 +732,7 @@ def main() -> None:
     for key in _retry_keys:
         stamp0 = _load_stamp()
         retry: list[float] = []
-        for _run in range(5):
+        for _run in range(_retry_samples(times[key])):
             t0 = time.monotonic()
             _force(QUERIES[key](spark, SF_DIR))
             retry.append(round(time.monotonic() - t0, 3))
@@ -751,6 +790,24 @@ def main() -> None:
         # uncorrected burst centers and must be read alongside load
         # stamps, not as adjudicated floors.
         record["retry_skipped"] = _retry_skipped
+    # Per-key steal deltas across each key's sample burst (VERDICT r13
+    # item 1: make the driver-visible line self-adjudicating about host
+    # noise) — a wall whose burst saw thousands of stolen ticks is
+    # storm-contaminated, not regressed.  Full stamps live in the
+    # self-artifact; stdout carries only the worst offenders so the
+    # tail-window budget is bounded (<= 8 entries, >= 1000 ticks).
+    steal_deltas = {}
+    for k, m in methods.items():
+        ld = m.get("load", {})
+        d = ld.get("end", {}).get("steal", 0) - ld.get("start", {}).get("steal", 0)
+        rd = m.get("retry", {}).get("load", {})
+        if rd:
+            d += rd.get("end", {}).get("steal", 0) - rd.get("start", {}).get("steal", 0)
+        if d >= 1000:
+            steal_deltas[k] = int(d)
+    top_steal = dict(
+        sorted(steal_deltas.items(), key=lambda kv: -kv[1])[:8]
+    )
     # Full record — per-key sampling method + every raw sample — goes to
     # a repo file bench.py owns: the round driver captures only a tail
     # of stdout, and embedding ~55 keys' samples in the printed line
@@ -774,12 +831,31 @@ def main() -> None:
     # budget live in the self-artifact; the tail line only needs to
     # stay parseable and small as the headline grows (VERDICT r9
     # item 6: centisecond rendering left 94 chars of slack at 67 keys).
-    capped = _capped_stdout_queries(times)
+    # Variable-width stdout extras (storm adjudication data) are paid
+    # for OUT OF the per-key budget: a quiet round has none and keeps
+    # the full queries budget; a storm round trades a few shed keys
+    # (rotation recovers them next round) for the steal evidence.
+    extras: dict = {}
+    if _retry_skipped:
+        # stdout carries the count + worst 5 names; the full list lives
+        # in the self-artifact (r13's 39-name list cost ~900 tail-window
+        # chars — the chars the shed queries needed).
+        extras["retry_skipped"] = _retry_skipped[:5]
+        extras["retry_skipped_n"] = len(_retry_skipped)
+    if top_steal:
+        extras["steal"] = top_steal
+    extras_len = len(json.dumps(extras, separators=(",", ":"))) if extras else 0
+    capped = _capped_stdout_queries(
+        times,
+        shed_salt=_next_round(),
+        budget=_STDOUT_QUERIES_BUDGET - extras_len,
+    )
     slim = {
         **record,
         "queries": capped,
         # self-artifact name is deterministic (BENCH_SELF_r{base+1});
         # not repeated here — every stdout char is tail-window budget
+        **extras,
     }
     del slim["gstream_ms_per_batch_budget"]
     if len(capped) < len(times):

@@ -59,7 +59,10 @@ def main() -> None:
     out = {}
     for key in keys:
         samples = []
-        njobs = None
+        # Per-sample job counts (ADVICE r13: a single overwritten value
+        # silently misreports when warm-up/caching changes the count
+        # across samples — e.g. a session-cached relation's first build).
+        jobs_per_sample: list[int] = []
         st0 = _steal()
         for i in range(args.n):
             grp = f"mb_{key}_{i}"
@@ -68,14 +71,16 @@ def main() -> None:
             _force(QUERIES[key](spark, args.sf_dir))
             samples.append(round(time.monotonic() - t0, 3))
             ids = spark.sparkContext.statusTracker().getJobIdsForGroup(grp)
-            njobs = len(ids)
+            jobs_per_sample.append(len(ids))
         st1 = _steal()
         med = sorted(samples)[len(samples) // 2]
+        njobs = jobs_per_sample[-1] if jobs_per_sample else None
         out[key] = {"median": med, "samples": samples, "jobs": njobs,
+                    "jobs_per_sample": jobs_per_sample,
                     "steal_ticks": (st1 - st0) if st0 is not None else None}
         print(
             f"{key}: median={med} jobs={njobs} steal={out[key]['steal_ticks']}"
-            f" samples={samples}",
+            f" samples={samples} jobs_per_sample={jobs_per_sample}",
             flush=True,
         )
         if args.plans:

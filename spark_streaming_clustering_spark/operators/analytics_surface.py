@@ -2456,11 +2456,13 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per STILL-MERGING component and shrink geometrically too.  The
     only edge-sized shuffle per round is the per-component ``min_by``
     — a map-side-combining hash aggregate.  The multiply-referenced
-    per-round states (``cross``, ``chosen``, ``comp``) are
-    localCheckpointed (the kcore/WSP lineage rule); the hook/jump chain
-    ``p`` is a bounded broadcast-join tree over the sealed ``chosen``
-    and the identity component map is referenced once over the
-    persisted ``deg``, so neither pays a checkpoint job (r13-opt).
+    per-round states (``cross``, ``chosen``) are localCheckpointed
+    (the kcore/WSP lineage rule); the hook/jump chain ``p`` and the
+    ``comp`` label map are bounded broadcast-join chains over the
+    sealed ``chosen`` relations / the persisted ``deg``, so neither
+    pays a checkpoint job (r13/r14-opt); the convergence probe reads
+    the sealed ``chosen`` (empty iff no cut edge existed) instead of
+    paying a separate ``cross.isEmpty()`` job (r14-opt).
     Reference parity: all reference graph state is a driver-local
     adjacency matrix (batchStreamModel.scala:17-18); this is the
     distributed counterpart for graphs that outgrow one machine.
@@ -2502,16 +2504,24 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("lo", "hi", "w", "wkey", "ca", "cb")
                 .localCheckpoint(eager=True)
             )
-            if cross.isEmpty():
-                break  # converged: later rounds would all select nothing
             live = cross.select("lo", "hi", "w", "wkey")  # sealed survivors
+        # Both incidence directions via one map-side explode instead of
+        # a self-union: the sealed cross relation is scanned ONCE per
+        # selection round (r14; §2.4 — same aggregate input, one scan).
         incid = cross.select(
-            F.col("ca").alias("c"), F.col("cb").alias("d"), "lo", "hi", "w", "wkey"
-        ).unionAll(
-            cross.select(
-                F.col("cb").alias("c"), F.col("ca").alias("d"), "lo", "hi", "w", "wkey"
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("ca").alias("c"), F.col("cb").alias("d"),
+                        F.col("lo"), F.col("hi"), F.col("w"), F.col("wkey"),
+                    ),
+                    F.struct(
+                        F.col("cb").alias("c"), F.col("ca").alias("d"),
+                        F.col("lo"), F.col("hi"), F.col("w"), F.col("wkey"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.c", "e.d", "e.lo", "e.hi", "e.w", "e.wkey")
         chosen = (
             incid.groupBy("c")
             .agg(
@@ -2522,6 +2532,13 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # Convergence probe PIGGYBACKS on the sealed selection result
+        # (r14; §5 — one fewer action per round): chosen is empty iff
+        # cross found no cut edges, so the former cross.isEmpty() job
+        # is redundant.  Round 0 never probes (cross = the full edge
+        # list; an empty one just yields an empty forest below).
+        if rnd > 0 and chosen.isEmpty():
+            break  # converged: later rounds would all select nothing
         picked = chosen.select("lo", "hi", "w")
         sel = picked if sel is None else sel.unionAll(picked)
         h2 = chosen.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
@@ -2546,10 +2563,15 @@ def boruvka_msf_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c", F.coalesce(F.col("pj"), F.col("p")).alias("p")
             )
         pr = p.select(F.col("c").alias("pc"), F.col("p").alias("pp"))
-        comp = (
-            comp.join(F.broadcast(pr), comp.c == F.col("pc"), "left")
-            .select("node", F.coalesce(F.col("pp"), F.col("c")).alias("c"))
-            .localCheckpoint(eager=True)
+        # comp stays LAZY (r14; the kcenter rule): it is a chain of
+        # broadcast left-joins of geometrically-shrinking component
+        # relations (pr, derived from the SEALED chosen) over the
+        # persisted deg base — re-executing it for the two broadcast
+        # builds per round costs <= _MSF_ROUNDS tiny map-side joins,
+        # while the former per-round eager checkpoint paid a full job
+        # for lineage relief this bounded chain never needs.
+        comp = comp.join(F.broadcast(pr), comp.c == F.col("pc"), "left").select(
+            "node", F.coalesce(F.col("pp"), F.col("c")).alias("c")
         )
     return sel.distinct().select(
         "lo", "hi", F.col("w").cast("bigint").alias("w")

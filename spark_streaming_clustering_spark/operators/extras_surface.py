@@ -6850,16 +6850,18 @@ register(
 # --------------------------------------------------------------------------
 
 _EQB_PCTS = (25, 50, 75, 90, 99)
-# Domain-cut arity per round.  The loop is driver-round-trip-bound up
-# to a point: 2-way needed 26 rounds (7.1 s at sf0.1), 4-way 13
-# (5.9 s) — but the r13 OPTIMIZATION A/B showed widening further
-# REGRESSES: under comparable load, 16-way (7 rounds, 75 conditional
-# sums/scan) measured ~14.9 s median vs 8-way ~9.6 s vs 4-way ~8.4 s —
-# the per-scan CASE-chain aggregate work grows faster than the saved
-# round-trips.  4 is the measured optimum; kept (the guide §1.1 rule:
-# a fresh "ideal" implementation is often slower — measure, then walk
-# it back).
-_EQB_CUT = 4
+# Histogram arity per round (r14).  History of the round/width
+# trade-off: 2-way CASE-chain bisection needed 26 rounds (7.1 s at
+# sf0.1), 4-way 13 (5.9 s), and the r13 A/B showed WIDER CASE chains
+# regress (16-way: 75 conditional sums per scan measured ~14.9 s —
+# the per-scan aggregate work grew faster than the saved ~0.3 s
+# round-trips).  The r14 rewrite removes the CASE chain entirely: one
+# integer divide maps every in-bracket row to one of B buckets and a
+# map-side-combining hash aggregate counts them, so per-row work is
+# CONSTANT in B and the round count drops to ceil(logB(domain)) — 2-3
+# rounds at any fixture instead of 13.  B=4096 keeps the per-round
+# driver collect bounded at <= 5*4096 rows (~100 KB).
+_EQB_BUCKETS = 4096
 
 
 def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6876,24 +6878,23 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm: the k-th smallest (k = max(1, n*pct//100), 1-based) is
     the smallest v with count(<= v) >= k.  Each quantile keeps a
     bracket [lo, hi] with the invariant count(<= lo-1) = base < k <=
-    count(<= hi); one round cuts every active bracket {C}x by counting
-    rows up to {Cm1} interior pivots (cumulative within-bracket
-    conditional sums) inside the UNION of the active ranges — a
-    single conditional-aggregate scan whose predicate is the OR of
-    the shrinking brackets, so parquet row-group min/max pruning
-    reads a shrinking byte range as the search narrows.  Convergence
-    is ceil(log{C}(hi0-lo0)) rounds — {RND} at every fixture (probed
-    as 26 under the initial 2-way variant; the r13-opt A/B measured
-    8-way and 16-way cuts SLOWER — per-scan conditional-sum work grows
-    faster than the saved round-trips — so {C}-way is the measured
-    optimum), data-size-independent (domain-bound, not row-bound).
+    count(<= hi); one round histograms every ACTIVE bracket into
+    {B} equal integer sub-ranges (bucket = (cents-lo)*{B} div span,
+    one divide per row — constant work regardless of arity, unlike
+    the r13 CASE-chain variant whose per-row cost grew linearly with
+    the cut width) and picks the first bucket whose cumulative count
+    reaches k.  Quantiles sharing a bracket share one histogram
+    (round 1: all five).  The scan filter is the OR of the shrinking
+    brackets, so parquet row-group min/max pruning reads a shrinking
+    byte range as the search narrows.  Convergence is
+    ceil(log{B}(hi0-lo0)) rounds — 2-3 at every fixture vs 13 for the
+    4-way cut and 26 for plain bisection — data-size-independent
+    (domain-bound, not row-bound).
 
     Scale shape: NO shuffle of the data ever happens — each round is
-    one map-side partial-count pass reduced to a single row (the
-    bounded-collect class of the kmeans/gstream M-step), vs a global
-    sort's full repartition of 100 TB.  All five quantiles share
-    every scan: the per-round aggregate carries up to three
-    conditional sums per still-active bracket.
+    one map-side partial-count pass reduced to <= {B} rows per active
+    bracket (the bounded-collect class of the kmeans/gstream M-step),
+    vs a global sort's full repartition of 100 TB.
     """
     cents = (
         load_table(spark, sf_dir, "orders")
@@ -6912,62 +6913,70 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = {p: 0 for p in _EQB_PCTS}  # count(<= lo-1), exact
         import functools
 
+        B = _EQB_BUCKETS
         while any(lo < hi for lo, hi in brackets.values()):
-            # Up to _EQB_CUT-1 distinct interior pivots per active
-            # bracket (collapses toward plain bisection as hi-lo
-            # shrinks).
-            pivots = {
-                p: sorted(
-                    {
-                        lo + ((hi - lo) * i) // _EQB_CUT
-                        for i in range(1, _EQB_CUT)
-                    }
-                )
-                for p, (lo, hi) in brackets.items()
-                if lo < hi
-            }
+            # Distinct active brackets; quantiles whose brackets
+            # coincide share one histogram (round 1: all five share
+            # the global [lo, hi]).
+            groups: dict = {}
+            for p, (lo, hi) in brackets.items():
+                if lo < hi:
+                    groups.setdefault((lo, hi), []).append(p)
+            glist = list(groups)
             scan = cents.filter(
                 functools.reduce(
                     lambda a, b: a | b,
                     [
-                        (F.col("cents") >= F.lit(brackets[p][0]))
-                        & (F.col("cents") <= F.lit(pv[-1]))
-                        for p, pv in pivots.items()
+                        (F.col("cents") >= F.lit(lo))
+                        & (F.col("cents") <= F.lit(hi))
+                        for lo, hi in glist
                     ],
                 )
             )
-            cnt = scan.agg(
-                *[
-                    F.sum(
-                        F.when(
-                            (F.col("cents") >= F.lit(brackets[p][0]))
-                            & (F.col("cents") <= F.lit(m)),
-                            1,
-                        ).otherwise(0)
-                    ).alias(f"c{p}_{j}")
-                    for p, pv in pivots.items()
-                    for j, m in enumerate(pv)
-                ]
-            ).collect()[0]  # bounded: 1 row per round
-            for p, pv in pivots.items():
-                lo, hi = brackets[p]
-                # cumulative counts [lo, pv[j]]; pick the first
-                # sub-bracket whose cumulative reach covers k
-                placed = False
-                prev_cum = 0
-                prev_edge = lo
-                for j, m in enumerate(pv):
-                    cum = int(cnt[f"c{p}_{j}"] or 0)
-                    if base[p] + cum >= ks[p]:
-                        base[p] += prev_cum
-                        brackets[p] = (prev_edge, m)
-                        placed = True
-                        break
-                    prev_cum = cum
-                    prev_edge = m + 1
-                if not placed:
-                    base[p] += prev_cum
-                    brackets[p] = (prev_edge, hi)
+            structs = [
+                F.when(
+                    (F.col("cents") >= F.lit(lo))
+                    & (F.col("cents") <= F.lit(hi)),
+                    F.struct(
+                        F.lit(gi).alias("g"),
+                        F.expr(
+                            f"((cents - {lo}L) * {B}) div {hi - lo + 1}L"
+                        ).alias("b"),
+                    ),
+                )
+                for gi, (lo, hi) in enumerate(glist)
+            ]
+            hist = (
+                scan.select(
+                    F.explode(F.array_compact(F.array(*structs))).alias("gb")
+                )
+                .groupBy(F.col("gb.g").alias("g"), F.col("gb.b").alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )  # bounded: <= len(glist) * B rows per round
+            counts = {(int(r["g"]), int(r["b"])): int(r["c"]) for r in hist}
+            for gi, (lo, hi) in enumerate(glist):
+                span = hi - lo + 1
+                for p in groups[(lo, hi)]:
+                    # walk the histogram to the first bucket whose
+                    # cumulative reach covers k; bucket b holds cents in
+                    # [lo + ceil(b*span/B), lo + ceil((b+1)*span/B) - 1]
+                    cum = 0
+                    for b in range(B):
+                        c = counts.get((gi, b), 0)
+                        if base[p] + cum + c >= ks[p]:
+                            base[p] += cum
+                            brackets[p] = (
+                                lo + (b * span + B - 1) // B,
+                                min(
+                                    hi,
+                                    lo
+                                    + ((b + 1) * span + B - 1) // B
+                                    - 1,
+                                ),
+                            )
+                            break
+                        cum += c
         return spark.createDataFrame(
             [(p, ks[p], brackets[p][0]) for p in _EQB_PCTS],
             "pct bigint, k bigint, exact_cents bigint",
@@ -6977,20 +6986,30 @@ def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 exact_quantile_bisect.__doc__ = exact_quantile_bisect.__doc__.format(
-    C=_EQB_CUT, Cm1=_EQB_CUT - 1, RND=13
+    B=_EQB_BUCKETS
 )
 
 
 def _eqb_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative one-round plan for the drift gate: the pushed
-    range filter + conditional-count aggregate the loop repeats."""
+    range filter + the map-side-combining bucket histogram the loop
+    repeats (single-bracket round; multi-bracket rounds add the
+    array_compact/explode tagging)."""
     cents = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    lo, mid = 100000, 25000000
-    return cents.filter(
-        (F.col("cents") >= F.lit(lo)) & (F.col("cents") <= F.lit(mid))
-    ).agg(F.count(F.lit(1)).alias("c50"))
+    lo, hi = 100000, 25000000
+    return (
+        cents.filter(
+            (F.col("cents") >= F.lit(lo)) & (F.col("cents") <= F.lit(hi))
+        )
+        .groupBy(
+            F.expr(
+                f"((cents - {lo}L) * {_EQB_BUCKETS}) div {hi - lo + 1}L"
+            ).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 register(

@@ -117,7 +117,20 @@ def test_stdout_summary_line_fits_tail_capture():
     times = {k: 0.99 for k in m.HEADLINE}
     times["gstream_epoch_20x100"] = 0.99
     times["gstream_estep_distributed"] = 0.99
-    capped = m._capped_stdout_queries(times)
+    # Model the variable-width storm extras at their widest (8 steal
+    # entries on the longest key names, 5 truncated retry names +
+    # count) — main() debits their serialized length from the queries
+    # budget, so the modeled line must carry both at worst case.
+    long_names = sorted(m.HEADLINE, key=len, reverse=True)
+    extras = {
+        "retry_skipped": long_names[:5],
+        "retry_skipped_n": 99,
+        "steal": {k: 99999999 for k in long_names[5:13]},
+    }
+    extras_len = len(json.dumps(extras, separators=(",", ":")))
+    capped = m._capped_stdout_queries(
+        times, budget=m._STDOUT_QUERIES_BUDGET - extras_len
+    )
     assert all(len(json.dumps(v)) <= 4 for v in capped.values())
     line = json.dumps(
         {
@@ -128,6 +141,7 @@ def test_stdout_summary_line_fits_tail_capture():
             "sf": 0.1,
             "gstream_ms_per_batch": 9999.9,
             "estep_points_per_sec": 99999999,
+            **extras,
             # truncation marker (ADVICE r11) at its widest plausible
             # value — it is part of the modeled stdout budget
             "q_dropped": 999,
@@ -135,14 +149,41 @@ def test_stdout_summary_line_fits_tail_capture():
         separators=(",", ":"),
     )
     assert len(line) < 1900, len(line)
-    # the NEWEST keys keep their stdout slot; only oldest-history keys
-    # may be dropped, and the two gstream extras always survive
+    # the NEWEST keys keep their stdout slot; only older keys may be
+    # dropped, and the two gstream extras always survive
     tail_keys = list(m.HEADLINE)[-5:]
     assert all(k in capped for k in tail_keys)
     assert "gstream_epoch_20x100" in capped
     assert "gstream_estep_distributed" in capped
     dropped = [k for k in times if k not in capped]
     assert dropped == list(m.HEADLINE)[: len(dropped)]
+
+
+def test_capped_stdout_rotation_covers_every_key_in_two_rounds():
+    """VERDICT r13 item 2: the shed set must ROTATE so every headline
+    key is driver-witnessed at least once in any two consecutive
+    rounds (fixed oldest-first shedding left 25 keys permanently
+    invisible)."""
+    m = _bench_module()
+    times = {k: 0.99 for k in m.HEADLINE}
+    times["gstream_epoch_20x100"] = 0.99
+    times["gstream_estep_distributed"] = 0.99
+    even = m._capped_stdout_queries(times, shed_salt=14)
+    odd = m._capped_stdout_queries(times, shed_salt=15)
+    # both parities shed something at the current headline size
+    assert len(even) < len(times) and len(odd) < len(times)
+    # even rounds shed oldest-first (the historical behavior)
+    dropped_even = [k for k in times if k not in even]
+    assert dropped_even == list(m.HEADLINE)[: len(dropped_even)]
+    # the two windows are disjoint: every key survives in at least one
+    # of any two consecutive rounds
+    assert set(times) == set(even) | set(odd)
+    # the derived gstream rows and the 5 newest keys survive BOTH
+    for k in list(m.HEADLINE)[-5:] + [
+        "gstream_epoch_20x100",
+        "gstream_estep_distributed",
+    ]:
+        assert k in even and k in odd
 
 
 def test_slim_wall_two_significant_digits():
@@ -295,11 +336,20 @@ def test_quiet_retry_plan_caps_and_orders(tmp_path):
     assert retry == ["c", "a", "b"] and skipped == []
     # No previous record (first round): no movers, no retries.
     assert m._quiet_retry_plan(times, {}) == ([], [])
-    # Partial budget: c (200) exceeds alone, a (10) fits after? No —
-    # after c, est=200 > any remaining budget, so a and b skip; with
-    # budget 215 a fits (200+10) and b fits (210+7.5=217.5 > 215).
-    retry, skipped = m._quiet_retry_plan(times, prev, budget_s=215.0)
+    # Partial budget (cheap movers cost 3 samples, VERDICT r13 item 1):
+    # c costs 5*40=200, a 3*2=6 (fits at 206 <= 208), b 3*1.5=4.5
+    # (210.5 > 208 -> skipped).
+    retry, skipped = m._quiet_retry_plan(times, prev, budget_s=208.0)
     assert retry == ["c", "a"] and skipped == ["b"]
+    # The DEFAULT budget scales with the run: max(300, 0.5 * total
+    # wall), so a storm that inflates many keys inflates the budget
+    # with them instead of silencing the retry pass.
+    big = {k: 100.0 for k in ("a", "b", "c", "d", "e", "f", "g", "h")}
+    prev_big = {k: 1.0 for k in big}
+    retry, skipped = m._quiet_retry_plan(big, prev_big)  # budget 400
+    assert retry == ["a", "b", "c", "d", "e", "f", "g", "h"][: len(retry)]
+    assert len(retry) == 1 or sum(5 * 100.0 for _ in retry) <= 400.0
+    assert m._retry_samples(0.5) == 3 and m._retry_samples(9.0) == 5
 
 
 def test_previous_bench_times_excludes_same_round_trial(tmp_path, monkeypatch):

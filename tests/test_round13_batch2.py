@@ -131,11 +131,14 @@ def test_eqb_matches_independent_sorted_selection(spark, sf):
     """Value-for-value pin at every fixture: the domain-bisection
     returns EXACTLY the k-th smallest a Python sort selects, for all
     five quantiles — and the domain-bound round count the docstring
-    claims (4-way cut: ceil(log4(hi-lo)) <= 13) holds at this
-    fixture's domain.  (The r13-opt A/B measured 8/16-way cuts SLOWER
-    — see the _EQB_CUT comment — so 4 is pinned as the optimum.)"""
+    claims (B-bucket histogram: ceil(logB(hi-lo)) <= 3) holds at this
+    fixture's domain.  (History: 2-way bisection took 26 rounds, the
+    r13 4-way CASE-chain cut 13; the r14 histogram rewrite reaches
+    2-3 rounds with CONSTANT per-row work — one integer divide — so
+    the round/width trade-off that killed the 8/16-way CASE variants
+    no longer applies.)"""
     from spark_streaming_clustering_spark.operators.extras_surface import (
-        _EQB_CUT,
+        _EQB_BUCKETS,
         exact_quantile_bisect,
     )
 
@@ -147,8 +150,8 @@ def test_eqb_matches_independent_sorted_selection(spark, sf):
         k = max(1, (n * r.pct) // 100)
         assert r.k == k, (sf, r.pct)
         assert r.exact_cents == cents[k - 1], (sf, r.pct)
-    assert _EQB_CUT == 4
-    assert math.ceil(math.log(cents[-1] - cents[0], _EQB_CUT)) <= 13, sf
+    assert _EQB_BUCKETS >= 1024  # keeps the round bound below
+    assert math.ceil(math.log(cents[-1] - cents[0], _EQB_BUCKETS)) <= 3, sf
 
 
 def test_eqb_kth_invariant_under_ties():
